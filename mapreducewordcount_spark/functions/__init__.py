@@ -1,0 +1,16 @@
+"""Scalar / vector function library (JVM-side first, Arrow second).
+
+Everything here prefers built-in ``pyspark.sql.functions`` column
+expressions (whole-stage-codegen'd, vectorized) and drops to
+Arrow-batched Pandas UDFs only where column expressions genuinely
+cannot express the semantics (nltk-parity tokenization, fixed-seed
+hash permutations). No row-at-a-time Python UDFs in any hot path.
+"""
+
+from mapreducewordcount_spark.functions.tokenize import (  # noqa: F401
+    PUNCT_CLASS,
+    normalize_word,
+    tokenize_expr,
+    tokenize_parity,
+)
+from mapreducewordcount_spark.functions.buckets import bucket_expr  # noqa: F401

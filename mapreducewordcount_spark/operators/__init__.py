@@ -1,0 +1,5 @@
+from mapreducewordcount_spark.operators.wordcount import (  # noqa: F401
+    word_counts,
+    wordcount_pipeline,
+    write_wordcount_output,
+)
