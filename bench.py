@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <dir>}
+
+Each query is executed to completion through the ``noop`` sink
+(full computation, no driver collect, no disk write) — the same
+shape a cluster job has, so the timings reflect scan+shuffle+agg
+cost rather than toPandas serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from mapreducewordcount_spark.queries import all_queries  # noqa: E402
+from mapreducewordcount_spark.session import get_spark  # noqa: E402
+
+#: representative slice of the operator surface: scan+agg, joins,
+#: window, as-of, sessionize, wordcount, dedup (exact + LSH), ANN,
+#: text metrics — the ops whose scale behavior matters most.
+HEADLINE = (
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "top_orders_per_customer",
+    "events_sessions",
+    "events_asof_orders",
+    "wc_word_count",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "ann_cosine_topk",
+    "doc_quality",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    specs = all_queries()
+
+    # warm up the JVM/codegen on the smallest table once
+    specs["q1_pricing_summary"].spark_fn(spark, sf_dir).write \
+        .mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        specs[name].spark_fn(spark, sf_dir).write \
+            .mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({"metric": "headline_total", "value": total,
+                      "unit": "sec", "queries": timings, "sf": sf_dir}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

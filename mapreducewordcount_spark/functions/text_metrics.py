@@ -1,0 +1,166 @@
+"""Text-analysis column expressions for the documents table.
+
+All pure ``pyspark.sql.functions`` compositions — no Python in the
+hot path, every expression whole-stage-codegen'd. These are the
+engine's text-quality / language-ID / token-counting surface for an
+LLM training-data pipeline (extension scope per SURVEY.md §2.5; the
+reference's own scalar surface is only tokenize/strip/lower,
+``src/worker.py:37-53``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from mapreducewordcount_spark.functions.tokenize import tokenize_expr
+
+#: Tiny English stopword list (public-domain, most-frequent function
+#: words). Deliberately small and fixed so oracle SQL can embed it.
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "as", "with", "was", "at", "by", "be",
+)
+
+#: BPE-ish pre-tokenization regex: word runs, single digits, or a
+#: single non-space symbol — the classic GPT-2-style pre-split shape,
+#: kept RE2/Java-portable so DuckDB oracles can run the same pattern.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def words(col: Column | str) -> Column:
+    """text → array<string> of normalized words (native tokenizer)."""
+    return tokenize_expr(col)
+
+
+def n_words(col: Column | str) -> Column:
+    return F.size(words(col))
+
+
+def n_distinct_words(col: Column | str) -> Column:
+    return F.size(F.array_distinct(words(col)))
+
+
+def avg_word_len(col: Column | str) -> Column:
+    """Mean characters per word; 0.0 for empty docs (no NaN at scale)."""
+    ws = words(col)
+    total = F.aggregate(ws, F.lit(0).cast("long"),
+                        lambda acc, w: acc + F.length(w))
+    return F.when(F.size(ws) > 0,
+                  total.cast("double") / F.size(ws)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str,
+                   stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Fraction of words that are stopwords; 0.0 for empty docs."""
+    ws = words(col)
+    stops = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stops, w)))
+    return F.when(F.size(ws) > 0,
+                  n_stop.cast("double") / F.size(ws)).otherwise(F.lit(0.0))
+
+
+def token_count(col: Column | str, pattern: str = TOKEN_REGEX) -> Column:
+    """Count of BPE-ish pre-tokens (TOKEN_REGEX matches)."""
+    return F.size(F.regexp_extract_all(F.col(col) if isinstance(col, str) else col,
+                                       F.lit(pattern), F.lit(0)))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of non-space characters that are ASCII punctuation."""
+    c = F.col(col) if isinstance(col, str) else col
+    nonspace = F.length(F.regexp_replace(c, r"\s+", ""))
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[!-/:-@\[-`{-~]", ""))
+    return F.when(nonspace > 0, punct.cast("double") / nonspace).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document-quality score in [0, 1].
+
+    Composite of the classic cheap signals (length band, mean word
+    length band, stopword presence, low punctuation density) used to
+    pre-filter web text for LLM training. Fixed weights; the value is
+    a ranking signal, not a calibrated probability.
+    """
+    nw = n_words(col).cast("double")
+    awl = avg_word_len(col)
+    sr = stopword_ratio(col)
+    pr = punct_ratio(col)
+    len_ok = F.when((nw >= 10) & (nw <= 100000), 1.0).otherwise(0.0)
+    wl_ok = F.when((awl >= 2.0) & (awl <= 12.0), 1.0).otherwise(0.0)
+    stop_ok = F.when(sr >= 0.01, 1.0).otherwise(0.0)
+    punct_ok = F.when(pr <= 0.2, 1.0).otherwise(0.0)
+    return (0.3 * len_ok + 0.2 * wl_ok + 0.3 * stop_ok + 0.2 * punct_ok)
+
+
+def language_id(col: Column | str) -> Column:
+    """N-gram/stopword-heuristic language guess.
+
+    Scores the text against per-language function-word lists and
+    returns the argmax, ``und`` when nothing matches. List-based
+    rather than model-based: runs entirely JVM-side, which is what
+    you want for a first-pass filter over 100 TB (route the
+    survivors to a real classifier afterwards).
+    """
+    ws = words(col)
+    langs = {
+        "en": ("the", "and", "of", "to", "is", "that", "with"),
+        "es": ("el", "la", "de", "que", "los", "por", "una"),
+        "fr": ("le", "la", "les", "des", "est", "dans", "pour"),
+        "de": ("der", "die", "das", "und", "ist", "nicht", "mit"),
+    }
+    scores = []
+    for lang, stops in langs.items():
+        arr = F.array(*[F.lit(s) for s in stops])
+        scores.append(F.struct(
+            F.size(F.filter(ws, lambda w: F.array_contains(arr, w))).alias("score"),
+            F.lit(lang).alias("lang")))
+    # argmax by (score, lang) — lang as deterministic tiebreak
+    best = F.array_max(F.array(*scores))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Exact content fingerprint: md5 of the normalized word sequence.
+
+    Normalization (tokenize → lower → re-join single-space) makes the
+    fingerprint whitespace/punctuation-insensitive, the standard
+    first pass of exact dedup at scale — group by a 16-byte digest
+    instead of shuffling full document bodies.
+    """
+    return F.md5(F.concat_ws(" ", words(col)))
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """array of distinct word n-gram shingle strings (order-sensitive).
+
+    Built with ``transform`` over index positions + ``slice`` — pure
+    column expressions, no UDF.
+    """
+    # Let-binding trick: transform(array(ws), w -> ...)[0] evaluates
+    # the tokenizer ONCE per row and binds it to the lambda variable
+    # `w`. Referencing the tokenize expression directly inside the
+    # per-index lambda would re-run it for every shingle position
+    # (measured ~50× slower on the documents corpus).
+    def build(w: Column) -> Column:
+        k = F.size(w) - (n - 1)
+        # guard: sequence(1, 0) would count DOWN in Spark — emit [] instead
+        idx = F.when(k > 0, F.sequence(F.lit(1), k)) \
+            .otherwise(F.array().cast("array<int>"))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n))))
+
+    return F.transform(F.array(words(col)), build)[0]
+
+
+def fingerprint_winnow(col: Column | str, n: int = 3, keep: int = 4) -> Column:
+    """Winnowing-style robust fingerprint: the ``keep`` smallest md5
+    digests over word n-gram shingles, joined to one string.
+
+    Near-identical documents share most shingles, hence most minimal
+    digests — a compact similarity key that survives small edits
+    (the content-defined analog of the rolling-hash fingerprints used
+    in plagiarism detection / near-dup mining).
+    """
+    hashed = F.transform(shingles(col, n), lambda s: F.md5(s))
+    return F.concat_ws("|", F.slice(F.array_sort(hashed), 1, keep))

@@ -1,0 +1,249 @@
+"""Deduplication operators for a training-data pipeline.
+
+Extension scope (SURVEY.md §2.5 / driver north star): the reference
+has no dedup surface; these are built Spark-first as compositions of
+DataFrame ops — no Python UDFs anywhere, so every stage stays in
+whole-stage codegen and scales by adding executors.
+
+Scale ladder (which one to use at which size):
+
+1. ``exact_dedup`` — md5-fingerprint groupBy. One shuffle of 16-byte
+   digests. The only one you run on all 100 TB.
+2. ``minhash_lsh_pairs`` — candidate generation via banded MinHash;
+   shuffle cost ~ O(docs × bands), then exact verification only on
+   candidates. The scale path for near-dup mining.
+3. ``shingle_jaccard_pairs`` — exact all-pairs via shingle self-join;
+   quadratic in docs sharing a shingle. Correctness oracle and
+   small-corpus tool, not the 100 TB path.
+4. ``simhash_pairs`` — 64-bit simhash + banded Hamming candidates;
+   cheapest signature, coarser than MinHash.
+5. ``embedding_dup_pairs`` — semantic near-dups over embeddings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreducewordcount_spark.functions.text_metrics import fingerprint_md5, shingles
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """One row per distinct normalized text: keeper id + copy count.
+
+    ``keep_id`` = min id in the group (deterministic). Grouping is on
+    the md5 fingerprint, not the text — at 100 TB this shuffles
+    32-char digests instead of document bodies (a ~1000× shuffle-byte
+    reduction for web pages).
+    """
+    return (docs
+            .select(F.col(id_col), fingerprint_md5(text_col).alias("fp"))
+            .groupBy("fp")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    # Compact corpora arrive as one parquet file → one partition; the
+    # shingle/hash work downstream is CPU-bound, so spread it across
+    # the cluster first (a shuffle of raw docs is trivial next to the
+    # per-shingle hashing it parallelizes).
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    return (spread
+            .select(F.col(id_col).alias("doc_id"),
+                    shingles(text_col, n).alias("shingles"))
+            .filter(F.size("shingles") > 0))
+
+
+def shingle_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", n: int = 3,
+                          threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (a_id < b_id, j >= threshold).
+
+    Plan shape: explode distinct shingles → self equi-join on shingle
+    (this is the *only* join; Catalyst picks shuffle-hash/SMJ on the
+    shingle key) → per-pair intersection counts → Jaccard by
+    inclusion-exclusion against per-doc shingle counts (broadcast).
+
+    Exact but quadratic in docs-per-hot-shingle: at real scale run
+    ``minhash_lsh_pairs`` and keep this as the verifier/oracle.
+    """
+    sh = _doc_shingles(docs, id_col, text_col, n)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("a_id"),
+                      F.col("b.doc_id").alias("b_id"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    return (inter
+            .join(F.broadcast(sizes.withColumnRenamed("doc_id", "a_id")
+                              .withColumnRenamed("n_sh", "a_sh")), "a_id")
+            .join(F.broadcast(sizes.withColumnRenamed("doc_id", "b_id")
+                              .withColumnRenamed("n_sh", "b_sh")), "b_id")
+            .withColumn("jaccard",
+                        F.col("n_inter").cast("double")
+                        / (F.col("a_sh") + F.col("b_sh") - F.col("n_inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard")))
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3,
+                       num_hashes: int = 64) -> DataFrame:
+    """doc_id + array<long> MinHash signature over n-gram shingles.
+
+    Hash family: each shingle is string-hashed ONCE (``xxhash64``,
+    deterministic, JVM-side), then the ``num_hashes`` permutations
+    are cheap universal hashes ``(a_i·h + b_i) mod p`` over the base
+    value — the standard one-hash MinHash construction; string
+    hashing (the dominant cost) stays O(|shingles|) instead of
+    O(|shingles|×64).
+
+    ``p`` is the Mersenne prime 2^31-1 with base hashes and
+    coefficients folded into [0, p): the product stays < 2^62 (no
+    long overflow, ANSI-safe) while wrapping the modulus ~2^31 times,
+    which is what makes the map well-mixed. (A modulus at or above
+    the product range wraps ≤ once, leaving the map
+    piecewise-monotonic in h — the "permutations" are then all
+    correlated and the min-wise property collapses; caught by a
+    planted-pair recall test.)
+
+    Computed per-row via ``array_min(transform(...))`` —
+    embarrassingly parallel, zero shuffle (the explode+groupBy
+    formulation pushes |docs|×|shingles| rows through a 64-column min
+    aggregation; this touches each doc once in place).
+    """
+    p = (1 << 31) - 1  # Mersenne prime
+    coeffs = _permutation_coeffs(num_hashes)
+    sh = _doc_shingles(docs, id_col, text_col, n)
+    base = F.transform("shingles",
+                       lambda s: F.pmod(F.xxhash64(s), F.lit(p)))
+
+    def perm(a: int, b: int):
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(p))
+
+    sig = F.array(*[F.array_min(F.transform("__base", perm(a, b)))
+                    for a, b in coeffs])
+    return (sh.withColumn("__base", base)
+            .select("doc_id", sig.alias("signature")))
+
+
+def _permutation_coeffs(k: int, seed: int = 1) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs, a odd and < 2^31, via a fixed LCG."""
+    out, state = [], seed
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = ((state >> 33) | 1) % ((1 << 31) - 1) or 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = (state >> 33) % ((1 << 31) - 1)
+        out.append((a, b))
+    return out
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      num_hashes: int = 64, bands: int = 16,
+                      threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH + exact verification.
+
+    Candidate pairs = docs sharing any band (``bands`` bands of
+    ``num_hashes/bands`` rows; at 64/16 the S-curve puts j=0.9 recall
+    at ~1-3e-8 miss). Candidates are then verified with *exact*
+    shingle Jaccard, so output equals ``shingle_jaccard_pairs`` up to
+    LSH recall — same schema, same oracle.
+
+    Scale: shuffle ~ docs × bands small keys; hot buckets (boilerplate
+    docs) are bounded by the exact-verify join which AQE skew-splits.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.xxhash64(F.concat_ws(",", *[
+                F.col("signature")[b * rows + r].cast("string")
+                for r in range(rows)]))
+            for b in range(bands)])).alias("band", "band_hash"))
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                         & (F.col("a.band_hash") == F.col("b.band_hash"))
+                         & (F.col("a.doc_id") < F.col("b.doc_id")))
+                  .select(F.col("a.doc_id").alias("a_id"),
+                          F.col("b.doc_id").alias("b_id"))
+                  .distinct())
+    sh = _doc_shingles(docs, id_col, text_col, n)
+    a_sh = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_shingles"))
+    b_sh = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_shingles"))
+    return (candidates.join(a_sh, "a_id").join(b_sh, "b_id")
+            .withColumn("n_inter",
+                        F.size(F.array_intersect("a_shingles", "b_shingles")))
+            .withColumn("jaccard",
+                        F.col("n_inter").cast("double")
+                        / (F.size("a_shingles") + F.size("b_shingles") - F.col("n_inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard")))
+
+
+def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash within ``max_hamming`` bits.
+
+    SimHash: per word, take ``xxhash64``; for each of 64 bit
+    positions accumulate +1/-1 by bit value; the sign vector is the
+    document signature. Banded into 8 bytes for candidate generation
+    (pairs within Hamming distance 7 must agree on ≥1 of 8 bytes);
+    exact popcount verification on candidates.
+    """
+    ws = (docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode(F.split(F.lower(text_col), r"(?U)\s+")).alias("w"))
+          .filter(F.length("w") > 0)
+          .withColumn("h", F.xxhash64("w")))
+    bit_aggs = [
+        F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"b{i}")
+        for i in range(64)]
+    acc = ws.groupBy("doc_id").agg(*bit_aggs)
+    sim = acc.select("doc_id", sum(
+        [F.shiftleft(F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long"))
+                     .otherwise(F.lit(0).cast("long")), i)
+         for i in range(64)]).alias("simhash"))
+    bytes_df = sim.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(255)).cast("int")
+            for i in range(8)])).alias("byte_pos", "byte_val"))
+    a, b = bytes_df.alias("a"), bytes_df.alias("b")
+    cand = (a.join(b, (F.col("a.byte_pos") == F.col("b.byte_pos"))
+                   & (F.col("a.byte_val") == F.col("b.byte_val"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("a_id"), F.col("a.simhash").alias("a_sim"),
+                    F.col("b.doc_id").alias("b_id"), F.col("b.simhash").alias("b_sim"))
+            .distinct())
+    return (cand
+            .withColumn("hamming", F.bit_count(
+                F.col("a_sim").bitwiseXOR(F.col("b_sim"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a_id", "b_id", "hamming"))
+
+
+def embedding_dup_pairs(embeddings: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        threshold: float = 0.45) -> DataFrame:
+    """Semantic near-dup pairs: cosine >= threshold over embeddings.
+
+    Brute all-pairs (self-join on a range-split key). Correct at any
+    size but O(n²); the scale path is LSH bucketing
+    (``operators.similarity.lsh_topk``) which prunes the join to
+    same-bucket pairs.
+    """
+    from mapreducewordcount_spark.functions.vectors import cosine
+
+    a = embeddings.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    b = embeddings.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    return (a.join(b, F.col("a_id") < F.col("b_id"))
+            .withColumn("cos", cosine("a_vec", "b_vec"))
+            .filter(F.col("cos") >= threshold)
+            .select("a_id", "b_id", F.round("cos", 4).alias("cos")))

@@ -1,0 +1,98 @@
+"""Similarity search over embedding columns (extension scope).
+
+Two tiers, same output contract:
+
+- ``cosine_topk`` — exact brute-force scan: broadcast the query set,
+  score every (query, candidate) pair JVM-side, window top-k. The
+  baseline and the verifier.
+- ``lsh_topk`` — sign-random-projection LSH: candidates limited to
+  buckets within a Hamming radius of the query's bucket, exact
+  cosine re-rank on candidates only. The 100 TB path: the corpus is
+  hashed once (write-time), a query touches a constant number of
+  buckets instead of every row.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreducewordcount_spark.functions.vectors import cosine, hyperplane_bits
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k cosine neighbors per query (self-matches excluded).
+
+    ``F.broadcast(queries)`` pins a broadcast-nested-loop join — the
+    right plan while the query set fits an executor (thousands of
+    queries); the corpus side streams through without a shuffle.
+    Ties break on neighbor id for determinism.
+    """
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec"))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("cos").desc(), F.col("neighbor_id")))
+    return (c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("cos", F.round(cosine("q_vec", "c_vec"), 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos"))
+
+
+def _fixed_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG, no numpy RNG state).
+
+    Driver-side constants folded into the plan; same seed → same
+    bucketing on every run and every retry.
+    """
+    planes = []
+    state = seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            # map top 53 bits to (-1, 1)
+            row.append((state >> 11) / float(1 << 53) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id", dim: int = 64,
+             n_planes: int = 8, hamming_radius: int = 3) -> DataFrame:
+    """Approximate top-k: LSH-bucketed candidates + exact re-rank.
+
+    Corpus rows and queries get an ``n_planes``-bit sign signature;
+    a candidate must agree with the query on all but
+    ``hamming_radius`` bits. The bit-agreement predicate is evaluated
+    on two short strings — the expensive cosine runs only on
+    survivors. Same output schema as ``cosine_topk`` (rank may differ
+    where recall < 1; measured in tests).
+    """
+    planes = _fixed_planes(dim, n_planes)
+    c = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("c_vec"))
+         .withColumn("c_bits", hyperplane_bits("c_vec", planes)))
+    q = (queries.select(F.col(query_id_col).alias("query_id"),
+                        F.col(vec_col).alias("q_vec"))
+         .withColumn("q_bits", hyperplane_bits("q_vec", planes)))
+    # Hamming distance between bit strings via per-position compare
+    pos = list(range(1, n_planes + 1))
+    mismatches = sum([
+        F.when(F.substring("c_bits", i, 1) != F.substring("q_bits", i, 1), 1)
+        .otherwise(0) for i in pos])
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("cos").desc(), F.col("neighbor_id")))
+    return (c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+            .filter(mismatches <= hamming_radius)
+            .withColumn("cos", F.round(cosine("q_vec", "c_vec"), 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos"))

@@ -1,0 +1,38 @@
+"""Query registry: every operator exposed as (Spark impl, oracle SQL).
+
+Each entry is ``name -> QuerySpec(spark_fn, oracle_sql)`` where
+``spark_fn(spark, sf_dir) -> DataFrame`` is the DataFrame-first
+implementation and ``oracle_sql`` is equivalent ANSI SQL a DuckDB
+instance can run over the same parquet tables (None for ops whose
+semantics are hash-family-specific and not SQL-expressible — the
+driver then records a rows-only check; pytest covers them against
+planted ground truth instead).
+
+Column names are part of the contract: the correctness gate sorts
+columns by name and hashes values, so every computed column is
+aliased identically on both sides, floating-point aggregates are
+rounded on both sides (money 2dp, ratios/scores 4-6dp), and
+timestamp group keys are rendered as strings to pin formatting.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle_sql: Optional[str]
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    from mapreducewordcount_spark.queries import analytics, dedup_queries, tpch, wordcount_queries
+
+    out: dict[str, QuerySpec] = {}
+    for mod in (wordcount_queries, tpch, analytics, dedup_queries):
+        out.update(mod.QUERIES)
+    return out

@@ -1,0 +1,151 @@
+"""Dedup + similarity-search queries (the LLM-pipeline extension surface).
+
+Oracle notes:
+- ``dedup_exact`` / ``dedup_ngram_pairs`` / ``dedup_embedding_pairs`` /
+  ``ann_cosine_topk`` are exactly SQL-expressible → full DuckDB oracles.
+- ``dedup_minhash_pairs`` shares the *exact-Jaccard* oracle: its LSH
+  candidate stage is probabilistic, but at 64 hashes / 16 bands the
+  miss probability for pairs at the 0.5 threshold is < 1e-7 per pair
+  and the final filter re-verifies with exact Jaccard, so its output
+  is expected identical to the exact operator (recall measured in
+  tests as well).
+- ``dedup_simhash_pairs`` / ``ann_lsh_topk`` depend on a specific
+  64-bit hash family (xxhash64) that DuckDB does not implement → no
+  SQL oracle (driver records rows-only); pytest checks them against
+  the exact operators (planted-pair recall / neighbor overlap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducewordcount_spark.operators import dedup as dd
+from mapreducewordcount_spark.operators import similarity as sim
+from mapreducewordcount_spark.queries import QuerySpec
+from mapreducewordcount_spark.sources.tables import load_table
+
+# Words CTE shared by the shingle oracles — mirrors the native
+# tokenizer (functions/tokenize.py): whitespace split, ASCII-punct
+# ends-strip, lower, drop empties.
+_WORDS_CTE = r"""
+w AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(regexp_split_to_array(lower(text), '\s+'),
+                          x -> regexp_replace(x, '^[!-/:-@\[-`{-~]+|[!-/:-@\[-`{-~]+$', '', 'g')),
+           x -> x <> '') AS words
+  FROM documents
+)
+"""
+
+_SHINGLES_CTE = r"""
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:i+2], ' ')
+                        for i in range(1, greatest(len(words) - 2, 0) + 1)]) AS shingles
+  FROM w WHERE len(words) >= 3
+)
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs)
+
+
+DEDUP_EXACT_SQL = f"""
+WITH {_WORDS_CTE}
+SELECT md5(array_to_string(words, ' ')) AS fp,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM w GROUP BY 1
+"""
+
+
+def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.shingle_jaccard_pairs(docs, threshold=0.5)
+
+
+DEDUP_PAIRS_SQL = f"""
+WITH {_WORDS_CTE}, {_SHINGLES_CTE}
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+      / (len(a.shingles) + len(b.shingles)
+         - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+"""
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_pairs(docs, max_hamming=3)
+
+
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dd.embedding_dup_pairs(emb, threshold=0.45)
+
+
+DEDUP_EMBEDDING_SQL = """
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+"""
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact ANN baseline: 5 nearest for query vecs 0-9."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return sim.cosine_topk(emb, queries, k=5)
+
+
+ANN_COSINE_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(CASE WHEN sqrt(list_dot_product(q.q_vec::DOUBLE[], q.q_vec::DOUBLE[])) > 0
+                     AND sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) > 0
+               THEN list_dot_product(q.q_vec::DOUBLE[], e.embedding::DOUBLE[])
+                    / (sqrt(list_dot_product(q.q_vec::DOUBLE[], q.q_vec::DOUBLE[]))
+                       * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+               ELSE 0.0 END, 6) AS cos
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+       cos
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate ANN (recall measured in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return sim.lsh_topk(emb, queries, k=5)
+
+
+QUERIES = {
+    "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ngram_pairs": QuerySpec(dedup_ngram_pairs, DEDUP_PAIRS_SQL),
+    "dedup_minhash_pairs": QuerySpec(dedup_minhash_pairs, DEDUP_PAIRS_SQL),
+    "dedup_simhash_pairs": QuerySpec(dedup_simhash_pairs, None),
+    "dedup_embedding_pairs": QuerySpec(dedup_embedding_pairs, DEDUP_EMBEDDING_SQL),
+    "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_COSINE_SQL),
+    "ann_lsh_topk": QuerySpec(ann_lsh_topk, None),
+}

@@ -57,6 +57,9 @@ def get_spark(app_name: str = "mapreducewordcount_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # TIMESTAMP(NANOS) parquet (events.ts) reads as long; the
+        # events loader converts to timestamp at microsecond precision
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -1,0 +1,70 @@
+"""Dedup operator correctness beyond the SQL oracles.
+
+The hash-family-specific operators (MinHash LSH, SimHash) have no
+DuckDB oracle; here they're checked against the exact operators /
+planted ground truth on sf0.01 and on constructed corpora.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducewordcount_spark.operators import dedup as dd
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from mapreducewordcount_spark.sources.tables import load_table
+
+    return load_table(spark, SF_ORACLE, "documents").cache()
+
+
+def test_minhash_recall_vs_exact(spark, docs):
+    exact = {(r.a_id, r.b_id) for r in
+             dd.shingle_jaccard_pairs(docs, threshold=0.5).collect()}
+    lsh = {(r.a_id, r.b_id) for r in
+           dd.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert exact, "expected planted near-dup pairs at sf0.01"
+    # exact-verify filter makes LSH ⊆ exact; banding at 64/16 makes
+    # recall ~1 on pairs this far above threshold (j ≈ 0.98)
+    assert lsh == exact
+
+
+def test_minhash_jaccard_values_match_exact(spark, docs):
+    exact = {(r.a_id, r.b_id): r.jaccard for r in
+             dd.shingle_jaccard_pairs(docs, threshold=0.5).collect()}
+    lsh = {(r.a_id, r.b_id): r.jaccard for r in
+           dd.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert lsh == exact  # same exact-Jaccard verification stage
+
+
+def test_simhash_finds_planted_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    corrupted = base.replace("lazy", "sleepy", 1)
+    different = "completely unrelated content about spark shuffles " * 8
+    df = spark.createDataFrame(
+        [(0, base), (1, corrupted), (2, different)], "doc_id long, text string")
+    pairs = {(r.a_id, r.b_id) for r in
+             dd.simhash_pairs(df, max_hamming=12).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_exact_dedup_finds_planted_copies(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "Alpha  beta   GAMMA!"),  # same after normalize
+         (2, "delta epsilon")],
+        "doc_id long, text string")
+    rows = {r.keep_id: r.n_copies for r in dd.exact_dedup(df).collect()}
+    assert rows == {0: 2, 2: 1}
+
+
+def test_embedding_dups_symmetric_threshold(spark):
+    from mapreducewordcount_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    pairs = dd.embedding_dup_pairs(emb, threshold=0.45).collect()
+    assert all(r.a_id < r.b_id for r in pairs)
+    assert all(r.cos >= 0.45 for r in pairs)

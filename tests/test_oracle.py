@@ -1,0 +1,76 @@
+"""Mirror of the driver's correctness gate, run locally at sf0.01.
+
+For every query with an oracle: run the Spark implementation and the
+DuckDB SQL side-by-side, then compare row count, schema width, and
+order-insensitive values (columns sorted by name, rows sorted by all
+columns, exact equality after the per-query rounding baked into both
+sides). This is intentionally *stricter* than approximate float
+comparison — the driver hashes values, so we must be bit-stable.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from mapreducewordcount_spark.queries import all_queries
+from tests.conftest import SF_ORACLE
+
+SPECS = all_queries()
+WITH_ORACLE = sorted(n for n, s in SPECS.items() if s.oracle_sql)
+ROWS_ONLY = sorted(n for n, s in SPECS.items() if not s.oracle_sql)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_ORACLE}/{t}.parquet'")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def _values_equal(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b or (pd.isna(a) and pd.isna(b))
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_query_matches_duckdb_oracle(spark, duck, name):
+    spec = SPECS[name]
+    got = _canon(spec.spark_fn(spark, SF_ORACLE).toPandas())
+    want = _canon(duck.execute(spec.oracle_sql).df())
+
+    assert list(got.columns) == list(want.columns), \
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    for col in got.columns:
+        ga, wa = got[col].tolist(), want[col].tolist()
+        bad = [(i, x, y) for i, (x, y) in enumerate(zip(ga, wa))
+               if not _values_equal(x, y)]
+        assert not bad, f"{name}.{col}: first mismatches {bad[:5]}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = SPECS[name].spark_fn(spark, SF_ORACLE)
+    assert df.count() >= 0 and len(df.schema) > 0

@@ -1,0 +1,75 @@
+"""ANN recall + as-of join semantics (constructed ground truth)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducewordcount_spark.operators.asof import asof_join_backward
+from mapreducewordcount_spark.operators.similarity import cosine_topk, lsh_topk
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from mapreducewordcount_spark.sources.tables import load_table
+
+    return load_table(spark, SF_ORACLE, "embeddings").cache()
+
+
+def _queries(emb):
+    return (emb.filter(F.col("vec_id") < 10)
+            .select(F.col("vec_id").alias("query_id"), "embedding"))
+
+
+def test_lsh_recall_at_5(spark, emb):
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, _queries(emb), k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in lsh_topk(emb, _queries(emb), k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    # 8 planes / radius 2 on random-ish 64-d data: expect mid recall;
+    # the contract is "approximate but useful", pinned here
+    assert recall >= 0.4, f"LSH recall collapsed: {recall}"
+
+
+def test_cosine_topk_excludes_self_and_ranks(spark, emb):
+    rows = cosine_topk(emb, _queries(emb), k=5).collect()
+    by_q = {}
+    for r in rows:
+        assert r.query_id != r.neighbor_id
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cos))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [r for r, _ in rs] == [1, 2, 3, 4, 5]
+        cs = [c for _, c in rs]
+        assert cs == sorted(cs, reverse=True)
+
+
+def test_asof_backward_semantics(spark):
+    TS = dt.datetime
+    left = spark.createDataFrame(
+        [(1, 10, TS(2024, 1, 5)), (2, 10, TS(2024, 1, 1)),
+         (3, 10, TS(2023, 12, 31)), (4, 20, TS(2024, 2, 1))],
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, TS(2024, 1, 1), 100), (10, TS(2024, 1, 4), 101),
+         (20, TS(2024, 3, 1), 102)],
+        "user_id long, otime timestamp, oid long")
+
+    got = {r.event_id: r.oid for r in asof_join_backward(
+        left, right, left_on="user_id", right_on="user_id",
+        left_time="ts", right_time="otime", right_cols=["oid"],
+        how="inner").collect()}
+    # event 1: latest right <= Jan5 is Jan4 (101); event 2: exactly-at
+    # ties are INCLUSIVE (100); event 3: no earlier right row — dropped;
+    # event 4: user 20's only order is later — dropped
+    assert got == {1: 101, 2: 100}
+
+    left_join = {r.event_id: r.oid for r in asof_join_backward(
+        left, right, left_on="user_id", right_on="user_id",
+        left_time="ts", right_time="otime", right_cols=["oid"],
+        how="left").collect()}
+    assert left_join == {1: 101, 2: 100, 3: None, 4: None}
