@@ -18,7 +18,9 @@ from tests.conftest import SF_ORACLE
 def docs(spark):
     from mapreducewordcount_spark.sources.tables import load_table
 
-    return load_table(spark, SF_ORACLE, "documents").cache()
+    df = load_table(spark, SF_ORACLE, "documents").cache()
+    yield df
+    df.unpersist()  # a lingering cache rewrites other tests' scans
 
 
 def test_minhash_recall_vs_exact(spark, docs):

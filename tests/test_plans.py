@@ -1,0 +1,71 @@
+"""Physical-plan hygiene: the properties that matter at 100 TB.
+
+These tests pin the *plan*, not the results: predicate pushdown to
+the parquet scan, column pruning, broadcast joins on small
+dimensions, codegen coverage. A refactor that silently turns a
+broadcast join into a sort-merge join or starts reading all 11
+lineitem columns fails here long before it fails a cluster bill.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducewordcount_spark.plans import (
+    has_broadcast_hash_join,
+    has_pushed_filters,
+    read_schema_columns,
+    wholestage_codegen_spans,
+)
+from mapreducewordcount_spark.queries.tpch import (
+    q1_pricing_summary,
+    q3_top_orders,
+    q5_region_revenue,
+)
+from tests.conftest import SF_ORACLE
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    df = q1_pricing_summary(spark, SF_ORACLE)
+    assert has_pushed_filters(df, "LessThanOrEqual(l_shipdate")
+
+
+def test_q1_column_pruning(spark):
+    df = q1_pricing_summary(spark, SF_ORACLE)
+    scans = read_schema_columns(df)
+    assert scans, "expected a parquet scan"
+    li = max(scans, key=len)
+    # Q1 touches 7 of 11 lineitem columns; the scan must not read more
+    assert li == {"l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                  "l_returnflag", "l_linestatus", "l_shipdate"}
+
+
+def test_q5_broadcasts_dimensions(spark):
+    df = q5_region_revenue(spark, SF_ORACLE)
+    assert has_broadcast_hash_join(df)
+
+
+def test_q3_runs_in_codegen(spark):
+    df = q3_top_orders(spark, SF_ORACLE)
+    assert wholestage_codegen_spans(df) >= 2
+
+
+def test_small_dim_join_autobroadcasts(spark):
+    """Catalyst must pick broadcast for nation×customer without a hint
+    (autoBroadcastJoinThreshold is sized for dimension tables)."""
+    from mapreducewordcount_spark.sources.tables import load_table
+
+    c = load_table(spark, SF_ORACLE, "customer")
+    n = load_table(spark, SF_ORACLE, "nation")
+    joined = c.join(n, c.c_nationkey == n.n_nationkey)
+    assert has_broadcast_hash_join(joined)
+
+
+def test_wordcount_projection_prunes_documents(spark):
+    from mapreducewordcount_spark.queries.wordcount_queries import word_count
+
+    df = word_count(spark, SF_ORACLE)
+    scans = read_schema_columns(df)
+    assert scans and all(cols == {"text"} for cols in scans), \
+        f"documents scan should read only 'text', got {scans}"

@@ -16,7 +16,9 @@ from tests.conftest import SF_ORACLE
 def emb(spark):
     from mapreducewordcount_spark.sources.tables import load_table
 
-    return load_table(spark, SF_ORACLE, "embeddings").cache()
+    df = load_table(spark, SF_ORACLE, "embeddings").cache()
+    yield df
+    df.unpersist()  # a lingering cache rewrites other tests' scans
 
 
 def _queries(emb):
