@@ -1,0 +1,5 @@
+from mapreducewordcount_spark.streaming.jobs import (  # noqa: F401
+    stream_hourly_events,
+    stream_session_windows,
+    stream_word_counts,
+)

@@ -1,0 +1,68 @@
+"""Structured Streaming forms of the engine's aggregations.
+
+The reference is batch-only (SURVEY.md §2.4: no watermarks, windows
+or state stores anywhere in its 549 LoC); these are extension scope.
+Each job reuses the *same column expressions* as its batch twin
+(tokenizer, window, session gap), so batch/stream parity is a test
+assertion, not a hope:
+
+- ``stream_word_counts`` — the reference pipeline as an unbounded
+  query: counts update as files arrive. At scale this is the
+  canonical "ingest new crawl shards continuously" shape.
+- ``stream_hourly_events`` — tumbling-window counts with a
+  watermark bounding state: late events beyond the watermark are
+  dropped deterministically instead of growing state forever.
+- ``stream_session_windows`` — gap-based sessions via the built-in
+  ``session_window`` state machine (the streaming twin of
+  ``operators/sessionize.py``).
+
+All jobs take source/sink through parameters so tests can drive them
+file→memory while production drives kafka→parquet; the plan is
+identical either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreducewordcount_spark.functions.tokenize import tokenize_expr
+
+
+def stream_word_counts(lines: DataFrame) -> DataFrame:
+    """streaming lines(value) → running word counts (complete mode)."""
+    return (lines
+            .select(F.explode(tokenize_expr("value")).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def stream_hourly_events(events: DataFrame,
+                         watermark: str = "2 hours") -> DataFrame:
+    """streaming events(ts, event_type, value) → 1h tumbling counts.
+
+    The watermark bounds state: a window finalizes (append mode) once
+    the event-time high-water mark passes window.end + watermark, so
+    state size is O(active windows), independent of stream length.
+    """
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.date_format(F.col("w.start"),
+                                  "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+                    "event_type", "n", "sum_value"))
+
+
+def stream_session_windows(events: DataFrame, gap: str = "30 minutes",
+                           watermark: str = "2 hours") -> DataFrame:
+    """streaming events → per-user session aggregates via session_window."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.date_format(F.col("w.start"),
+                                  "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+                    "n_events"))

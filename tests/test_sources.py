@@ -1,0 +1,50 @@
+"""Source/sink round-trips with explicit schemas."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from mapreducewordcount_spark.sources import io as sio
+
+
+def _sample(spark):
+    return spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, None, None)],
+        "id long, name string, score double")
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = _sample(spark)
+    path = str(tmp_path / "csv")
+    sio.write_csv(df, path)
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("name", T.StringType()),
+                           T.StructField("score", T.DoubleType())])
+    back = sio.read_csv(spark, path, schema)
+    assert sorted((r.id, r.name, r.score) for r in back.collect()) == \
+        sorted((r.id, r.name, r.score) for r in df.collect())
+
+
+def test_json_roundtrip(spark, tmp_path):
+    df = _sample(spark)
+    path = str(tmp_path / "json")
+    sio.write_json(df, path)
+    back = sio.read_json(spark, path, df.schema)
+    assert sorted((r.id, r.name, r.score) for r in back.collect()) == \
+        sorted((r.id, r.name, r.score) for r in df.collect())
+
+
+def test_parquet_partitioned_write(spark, tmp_path):
+    df = _sample(spark)
+    path = str(tmp_path / "pq")
+    sio.write_parquet(df, path, partition_by=["id"])
+    back = spark.read.parquet(path)
+    assert back.count() == 3
+    import os
+    assert any(d.startswith("id=") for d in os.listdir(path))
+
+
+def test_open_table_formats_gated(spark):
+    # not shipped in this image; the gate must answer False, not raise
+    assert sio.open_table_format_available(spark, "delta") is False
+    assert sio.open_table_format_available(spark, "iceberg") is False
