@@ -26,6 +26,8 @@ output partitions; and the worker early-exit liveness bug
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -83,3 +85,29 @@ def write_wordcount_output(counts: DataFrame, out_dir: str, m: int) -> None:
      .sortWithinPartitions("bucket", "word")
      .select("bucket", F.concat_ws(" ", "word", "count").alias("value"))
      .write.mode("overwrite").partitionBy("bucket").text(out_dir))
+
+
+def rename_to_reference_layout(out_dir: str, m: int) -> None:
+    """Flatten ``bucket=<b>/part-*`` dirs to flat ``out-<b>`` files.
+
+    The reference names reduce outputs ``out-<reduce_task_id>``
+    (``src/worker.py:133-137``); Spark names them
+    ``bucket=<b>/part-<uuid>``. This post-write shim concatenates
+    each bucket's part files (already sorted; single file per bucket
+    under the parity writer) into the reference's flat name, emitting
+    an EMPTY ``out-<b>`` for buckets with no words — the case where
+    the reference itself KeyErrors (``src/worker.py:126``).
+    """
+    import shutil
+
+    for b in range(m):
+        target = os.path.join(out_dir, f"out-{b}")
+        src_dir = os.path.join(out_dir, f"bucket={b}")
+        with open(target, "wb") as out:
+            if os.path.isdir(src_dir):
+                for part in sorted(os.listdir(src_dir)):
+                    if part.startswith("part-"):
+                        with open(os.path.join(src_dir, part), "rb") as f:
+                            shutil.copyfileobj(f, out)
+        if os.path.isdir(src_dir):
+            shutil.rmtree(src_dir)
