@@ -96,3 +96,60 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "cos"))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id", n_lists: int = 16,
+             n_probe: int = 4) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: centroid routing.
+
+    The index structure of FAISS-style IVF expressed as DataFrames:
+
+    1. **Centroids**: a deterministic corpus sample (every
+       ``|corpus|/n_lists``-th vector by id — at scale, k-means
+       centroids; the routing algebra is identical).
+    2. **Assign**: each corpus vector joins its nearest centroid
+       (broadcast centroids, one argmax over ``n_lists`` cosines) —
+       this is the write-time partitioning step; production would
+       persist partitioned by ``list_id``.
+    3. **Probe**: each query scores only vectors in its ``n_probe``
+       nearest lists — a broadcast semi-filterable join that touches
+       ``n_probe/n_lists`` of the corpus instead of all of it.
+    4. **Re-rank**: exact cosine on the candidates.
+
+    Same output contract as ``cosine_topk``; recall vs brute force is
+    pinned in tests. Clustered real embeddings do far better than the
+    near-random test vectors (which are ANN's adversarial case).
+    """
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec"))
+    n = corpus.count()
+    step = max(1, n // n_lists)
+    cent = (corpus.filter(F.pmod(F.col(id_col), F.lit(step)) == 0)
+            .limit(n_lists)
+            .select(F.col(id_col).alias("list_id"),
+                    F.col(vec_col).alias("cent_vec")))
+
+    def nearest_lists(df, vec, out, take):
+        scored = (df.join(F.broadcast(cent), how="cross")
+                  .withColumn("__d", cosine(vec, "cent_vec"))
+                  .withColumn("__r", F.row_number().over(
+                      Window.partitionBy(out)
+                      .orderBy(F.col("__d").desc(), F.col("list_id"))))
+                  .filter(F.col("__r") <= take))
+        return scored.drop("cent_vec", "__d", "__r")
+
+    assigned = nearest_lists(c, "c_vec", "neighbor_id", 1)
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    probed = nearest_lists(q, "q_vec", "query_id", n_probe)
+
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("cos").desc(), F.col("neighbor_id")))
+    return (assigned.join(probed, "list_id")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("cos", F.round(cosine("q_vec", "c_vec"), 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos"))

@@ -140,6 +140,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_topk(emb, queries, k=5)
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF centroid-routed approximate ANN (recall measured in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return sim.ivf_topk(emb, queries, k=5)
+
+
 QUERIES = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_pairs": QuerySpec(dedup_ngram_pairs, DEDUP_PAIRS_SQL),
@@ -148,4 +156,5 @@ QUERIES = {
     "dedup_embedding_pairs": QuerySpec(dedup_embedding_pairs, DEDUP_EMBEDDING_SQL),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_COSINE_SQL),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, None),
+    "ann_ivf_topk": QuerySpec(ann_ivf_topk, None),
 }

@@ -66,3 +66,38 @@ def stream_session_windows(events: DataFrame, gap: str = "30 minutes",
                     F.date_format(F.col("w.start"),
                                   "yyyy-MM-dd HH:mm:ss").alias("session_start"),
                     "n_events"))
+
+
+def stream_user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum) via
+    ``applyInPandasWithState``.
+
+    The escape hatch for stateful logic the built-in aggregations
+    can't express (per-key state machines, custom eviction): state is
+    an explicit (n, total) record per user, updated per micro-batch,
+    emitted in update mode. State lives in the state store
+    (checkpointed, exactly-once across restarts); memory is bounded
+    by active keys — at 100 TB of history the state is still just
+    one small row per live user.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [round(total, 2)]})
+
+    return (events
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType="user_id long, n_events long, total_value double",
+                stateStructType="n long, total double",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

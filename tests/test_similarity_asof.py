@@ -37,6 +37,20 @@ def test_lsh_recall_at_5(spark, emb):
     assert recall >= 0.4, f"LSH recall collapsed: {recall}"
 
 
+def test_ivf_recall_at_5(spark, emb):
+    from mapreducewordcount_spark.operators.similarity import ivf_topk
+
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, _queries(emb), k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ivf_topk(emb, _queries(emb), k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    # near-random 64-d vectors are IVF's adversarial case; with
+    # n_probe/n_lists = 1/4 of the corpus scanned, recall must beat
+    # the random-scan baseline (~0.25) decisively
+    assert recall >= 0.4, f"IVF recall collapsed: {recall}"
+
+
 def test_cosine_topk_excludes_self_and_ranks(spark, emb):
     rows = cosine_topk(emb, _queries(emb), k=5).collect()
     by_q = {}
