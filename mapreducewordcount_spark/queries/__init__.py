@@ -33,12 +33,14 @@ def all_queries() -> dict[str, QuerySpec]:
     from mapreducewordcount_spark.queries import (
         analytics,
         analytics2,
+        analytics3,
         dedup_queries,
         tpch,
         wordcount_queries,
     )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (wordcount_queries, tpch, analytics, analytics2, dedup_queries):
+    for mod in (wordcount_queries, tpch, analytics, analytics2, analytics3,
+                dedup_queries):
         out.update(mod.QUERIES)
     return out

@@ -1,0 +1,123 @@
+"""Third batch: subquery patterns + scalar function families.
+
+- ``above_avg_customers`` — the correlated-scalar-subquery shape
+  ("rows above their group's average"), expressed Spark-first as a
+  broadcast join against the per-group aggregate (what a decorrelating
+  optimizer produces anyway; the oracle keeps the correlated form).
+- ``part_name_features`` — scalar string-function family (length,
+  upper, split/first-token, substring, concat) over a dimension.
+- ``orders_by_month`` — date-part family (year/month/quarter
+  extraction) with portable semantics.
+- ``label_centroid_norms`` — array/vector aggregation: per-label mean
+  embedding via posexplode + positional average, reduced to the
+  centroid L2 norm (scalar output keeps the oracle hash stable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducewordcount_spark.queries import QuerySpec
+from mapreducewordcount_spark.sources.tables import load_table
+
+
+def above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose account balance exceeds their nation's average."""
+    c = load_table(spark, sf_dir, "customer")
+    nat_avg = (c.groupBy("c_nationkey")
+               .agg(F.avg("c_acctbal").alias("nat_avg")))
+    return (c.join(F.broadcast(nat_avg), "c_nationkey")
+            .filter(F.col("c_acctbal") > F.col("nat_avg"))
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_above"),
+                 F.round(F.max("c_acctbal"), 2).alias("max_bal")))
+
+
+ABOVE_AVG_SQL = """
+SELECT c_nationkey, count(*) AS n_above, round(max(c_acctbal), 2) AS max_bal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+GROUP BY c_nationkey
+"""
+
+
+def part_name_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.length("p_name").cast("long").alias("name_len"),
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_token"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"))
+
+
+PART_NAME_SQL = """
+SELECT p_partkey,
+       CAST(strlen(p_name) AS BIGINT) AS name_len,
+       upper(p_brand) AS brand_upper,
+       string_split(p_name, ' ')[1] AS first_token,
+       substring(p_type, 1, 5) AS type_prefix,
+       concat(p_brand, '/', p_type) AS brand_type
+FROM part
+"""
+
+
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy(F.year("o_orderdate").alias("yr"),
+                      F.quarter("o_orderdate").alias("qtr"),
+                      F.month("o_orderdate").alias("mth"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+ORDERS_BY_MONTH_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(month(o_orderdate) AS INT) AS mth,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1, 2, 3
+"""
+
+
+def label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding → centroid L2 norm + cohort size.
+
+    posexplode → positional mean → norm: one shuffle on (label, pos),
+    partial aggregation map-side; the pattern for any element-wise
+    vector aggregate (centroids, variance, PCA prep) without UDFs.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    pos = e.select("label", F.posexplode(
+        F.col("embedding").cast("array<double>")).alias("pos", "x"))
+    per_dim = pos.groupBy("label", "pos").agg(F.avg("x").alias("m"))
+    return (per_dim.groupBy("label")
+            .agg(F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6)
+                 .alias("centroid_norm"))
+            .join(e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs")),
+                  "label"))
+
+
+LABEL_CENTROID_SQL = """
+WITH per_dim AS (
+  SELECT label, i, avg(embedding[i]::DOUBLE) AS m
+  FROM embeddings, range(1, 65) t(i)
+  GROUP BY label, i
+)
+SELECT p.label, round(sqrt(sum(m * m)), 6) AS centroid_norm, n.n_vecs
+FROM per_dim p
+JOIN (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label) n
+  ON p.label = n.label
+GROUP BY p.label, n.n_vecs
+"""
+
+
+QUERIES = {
+    "above_avg_customers": QuerySpec(above_avg_customers, ABOVE_AVG_SQL),
+    "part_name_features": QuerySpec(part_name_features, PART_NAME_SQL),
+    "orders_by_month": QuerySpec(orders_by_month, ORDERS_BY_MONTH_SQL),
+    "label_centroid_norms": QuerySpec(label_centroid_norms, LABEL_CENTROID_SQL),
+}
