@@ -16,7 +16,7 @@ from mapreducewordcount_spark.functions import text_metrics as tm
 from mapreducewordcount_spark.operators.asof import asof_join_backward
 from mapreducewordcount_spark.operators.sessionize import session_stats
 from mapreducewordcount_spark.queries import QuerySpec
-from mapreducewordcount_spark.sources.tables import load_table
+from mapreducewordcount_spark.sources.tables import load_table, spread
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -130,7 +130,7 @@ ASOF JOIN o1 ON e.user_id = o1.o_custkey AND e.ts >= o1.o_orderdate
 # --- text analysis ----------------------------------------------------------
 
 def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         tm.n_words("text").alias("n_words"),
@@ -167,7 +167,7 @@ FROM w
 
 def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-heuristic language guess + English stopword ratio."""
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         tm.language_id("text").alias("pred_lang"),
@@ -202,7 +202,7 @@ FROM scored
 
 
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"))
     return d.select("doc_id",
                     F.round(tm.quality_score("text"), 4).alias("quality"),
                     tm.token_count("text").alias("n_tokens"))
@@ -236,7 +236,7 @@ FROM m
 
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"))
     return d.select("doc_id",
                     tm.fingerprint_md5("text").alias("fp_md5"),
                     tm.fingerprint_winnow("text").alias("fp_winnow"))

@@ -32,6 +32,9 @@ _ORACLE_WORDS = r"""
 
 
 def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no spread() here: the groupBy's own exchange redistributes right
+    # after tokenize, and a pre-shuffle measured net-negative (the
+    # doc_* metric queries DO spread — they keep all work pre-shuffle)
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(F.explode(tokenize_expr("text")).alias("word"))
 

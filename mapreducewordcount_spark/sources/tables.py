@@ -41,6 +41,19 @@ def load_tables(spark: SparkSession, sf_dir: str,
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition a compact source to full parallelism before a
+    CPU-bound stage.
+
+    Small/one-file parquet arrives as one partition; tokenizers,
+    hash/shingle builders and vector math are compute-bound, so a
+    cheap shuffle of the raw rows buys cluster-wide parallelism.
+    No-op-cheap at scale (big sources already have many partitions —
+    still, prefer calling this only in front of heavy expressions).
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def register_views(spark: SparkSession, sf_dir: str,
                    names: tuple[str, ...] = TABLES) -> None:
     """Register each table as a temp view for the SQL entry points."""
