@@ -247,3 +247,39 @@ def embedding_dup_pairs(embeddings: DataFrame, id_col: str = "vec_id",
             .withColumn("cos", cosine("a_vec", "b_vec"))
             .filter(F.col("cos") >= threshold)
             .select("a_id", "b_id", F.round("cos", 4).alias("cos")))
+
+
+def embedding_dup_pairs_lsh(embeddings: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.45, dim: int = 64,
+                            n_planes: int = 8,
+                            hamming_radius: int = 3) -> DataFrame:
+    """Scale path for semantic near-dups: LSH-pruned candidate pairs.
+
+    Both sides get a sign-random-projection bit string (fixed seeds);
+    a pair is a candidate only if its signatures agree on all but
+    ``hamming_radius`` of ``n_planes`` bits, which prunes the O(n²)
+    join to near-bucket pairs before the exact cosine verify. Output
+    contract matches ``embedding_dup_pairs`` up to LSH recall
+    (measured in tests; cosine-close pairs agree on most signs, so
+    recall concentrates exactly where the threshold matters).
+    """
+    from mapreducewordcount_spark.functions.vectors import cosine, hyperplane_bits
+    from mapreducewordcount_spark.operators.similarity import _fixed_planes
+
+    planes = _fixed_planes(dim, n_planes)
+    sig = embeddings.select(F.col(id_col).alias("id"),
+                            F.col(vec_col).alias("vec"),
+                            hyperplane_bits(vec_col, planes).alias("bits"))
+    a = sig.select(F.col("id").alias("a_id"), F.col("vec").alias("a_vec"),
+                   F.col("bits").alias("a_bits"))
+    b = sig.select(F.col("id").alias("b_id"), F.col("vec").alias("b_vec"),
+                   F.col("bits").alias("b_bits"))
+    mismatches = sum([
+        F.when(F.substring("a_bits", i, 1) != F.substring("b_bits", i, 1), 1)
+        .otherwise(0) for i in range(1, n_planes + 1)])
+    return (a.join(b, F.col("a_id") < F.col("b_id"))
+            .filter(mismatches <= hamming_radius)
+            .withColumn("cos", cosine("a_vec", "b_vec"))
+            .filter(F.col("cos") >= threshold)
+            .select("a_id", "b_id", F.round("cos", 4).alias("cos")))

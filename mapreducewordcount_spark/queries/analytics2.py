@@ -119,9 +119,63 @@ GROUP BY c_mktsegment
 """
 
 
+def rollup_with_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + ``grouping()`` flags: lets consumers distinguish a
+    real NULL group key from a rollup subtotal row — required for
+    correct subtotal rendering when the data itself contains NULLs."""
+    return (_joined_orders(spark, sf_dir)
+            .rollup("c_mktsegment", "o_orderstatus")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.grouping("c_mktsegment").cast("int").alias("g_seg"),
+                 F.grouping("o_orderstatus").cast("int").alias("g_status")))
+
+
+ROLLUP_FLAGS_SQL = """
+SELECT c_mktsegment, o_orderstatus,
+       round(sum(o_totalprice), 2) AS revenue,
+       CAST(grouping(c_mktsegment) AS INT) AS g_seg,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
+"""
+
+
+def orders_nearby_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per order, how many of the same customer's
+    orders fall within ±30 days — a physical range frame over an
+    epoch-days ordering column (RANGE frames need a numeric key in
+    both engines). Restricted to custkey < 50 for gate compactness."""
+    from pyspark.sql import Window
+
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_custkey") < 50)
+         .withColumn("day", F.datediff("o_orderdate",
+                                       F.lit("1990-01-01").cast("date"))))
+    w = (Window.partitionBy("o_custkey").orderBy("day")
+         .rangeBetween(-30, 30))
+    return (o.select("o_custkey", "o_orderkey",
+                     F.count(F.lit(1)).over(w).alias("n_nearby")))
+
+
+ORDERS_NEARBY_SQL = """
+WITH d AS (
+  SELECT o_custkey, o_orderkey,
+         date_diff('day', DATE '1990-01-01', o_orderdate::DATE) AS day
+  FROM orders WHERE o_custkey < 50
+)
+SELECT o_custkey, o_orderkey,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY day
+                      RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING) AS n_nearby
+FROM d
+"""
+
+
 QUERIES = {
     "pivot_status_by_segment": QuerySpec(pivot_status_by_segment, PIVOT_SQL),
     "unpivot_part_measures": QuerySpec(unpivot_part_measures, UNPIVOT_SQL),
     "cube_revenue": QuerySpec(cube_revenue, CUBE_SQL),
     "segment_price_quantiles": QuerySpec(segment_price_quantiles, QUANTILES_SQL),
+    "rollup_with_grouping_flags": QuerySpec(rollup_with_grouping_flags,
+                                            ROLLUP_FLAGS_SQL),
+    "orders_nearby_window": QuerySpec(orders_nearby_window, ORDERS_NEARBY_SQL),
 }

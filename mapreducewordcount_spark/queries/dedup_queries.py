@@ -103,6 +103,12 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """
 
 
+def dedup_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-pruned semantic near-dups (recall vs exact pinned in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dd.embedding_dup_pairs_lsh(emb, threshold=0.45)
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact ANN baseline: 5 nearest for query vecs 0-9."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -154,6 +160,7 @@ QUERIES = {
     "dedup_minhash_pairs": QuerySpec(dedup_minhash_pairs, DEDUP_PAIRS_SQL),
     "dedup_simhash_pairs": QuerySpec(dedup_simhash_pairs, None),
     "dedup_embedding_pairs": QuerySpec(dedup_embedding_pairs, DEDUP_EMBEDDING_SQL),
+    "dedup_embedding_pairs_lsh": QuerySpec(dedup_embedding_pairs_lsh, None),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_COSINE_SQL),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, None),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, None),

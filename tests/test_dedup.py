@@ -70,3 +70,19 @@ def test_embedding_dups_symmetric_threshold(spark):
     pairs = dd.embedding_dup_pairs(emb, threshold=0.45).collect()
     assert all(r.a_id < r.b_id for r in pairs)
     assert all(r.cos >= 0.45 for r in pairs)
+
+
+def test_embedding_lsh_recall_vs_exact(spark):
+    from mapreducewordcount_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    exact = {(r.a_id, r.b_id) for r in
+             dd.embedding_dup_pairs(emb, threshold=0.45).collect()}
+    lsh = {(r.a_id, r.b_id) for r in
+           dd.embedding_dup_pairs_lsh(emb, threshold=0.45).collect()}
+    assert lsh <= exact  # exact-verify stage: no false positives
+    assert exact, "expected pairs above threshold at sf0.01"
+    recall = len(lsh) / len(exact)
+    # pairs at cos >= 0.45 agree on most hyperplane signs; radius 3/8
+    # keeps most of them while pruning the quadratic join
+    assert recall >= 0.5, f"embedding LSH recall collapsed: {recall}"

@@ -44,6 +44,42 @@ def test_stream_word_counts_matches_batch(spark, tmp_path):
     assert got == {"spark": 1, "streams": 2, "the": 2, "stream": 2}
 
 
+def test_foreachbatch_reference_sink(spark, tmp_path):
+    """Streaming counts land as reference-layout out-<b> files and
+    refresh as new files arrive."""
+    import os
+
+    from mapreducewordcount_spark.streaming.jobs import (
+        start_wordcount_to_reference_sink,
+    )
+
+    src = tmp_path / "lines"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (src / "a.txt").write_text("alpha beta alpha\n")
+
+    lines = (spark.readStream
+             .schema(T.StructType([T.StructField("value", T.StringType())]))
+             .text(str(src)))
+    q = start_wordcount_to_reference_sink(lines, out, m=4, checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+        assert (tmp_path / "out" / "out-1").read_text() == "alpha 2\n"
+        (src / "b.txt").write_text("beta gamma\n")
+        q.processAllAvailable()
+        files = sorted(f for f in os.listdir(out) if f.startswith("out-"))
+        assert files == [f"out-{b}" for b in range(4)]
+        merged = {}
+        for f in files:
+            for ln in (tmp_path / "out" / f).read_text().splitlines():
+                w, c = ln.rsplit(" ", 1)
+                merged[w] = int(c)
+        assert merged == {"alpha": 2, "beta": 2, "gamma": 1}
+    finally:
+        q.stop()
+
+
 @pytest.fixture(scope="module")
 def events_stream_dir(spark, tmp_path_factory):
     """events table copied to a dir the file stream source can watch."""
