@@ -22,6 +22,14 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # self-defensive: callers may hand us a session built without
+        # our defaults (the correctness driver does); both confs are
+        # runtime-settable. nanosAsLong is required to scan events.ts;
+        # UTC pins timestamp rendering to match UTC-naive oracles on
+        # any host timezone.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as
