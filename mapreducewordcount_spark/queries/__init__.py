@@ -35,12 +35,13 @@ def all_queries() -> dict[str, QuerySpec]:
         analytics2,
         analytics3,
         dedup_queries,
+        text_queries,
         tpch,
         wordcount_queries,
     )
 
     out: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, tpch, analytics, analytics2, analytics3,
-                dedup_queries):
+                text_queries, dedup_queries):
         out.update(mod.QUERIES)
     return out

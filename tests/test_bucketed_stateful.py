@@ -88,3 +88,46 @@ def test_stateful_running_totals_accumulate_across_batches(spark, tmp_path):
         assert latest == {1: (3, 17.5), 2: (1, 1.0), 3: (1, 7.0)}
     finally:
         q.stop()
+
+
+def test_stateful_state_survives_query_restart(spark, tmp_path):
+    """Stop the query, start a NEW one on the same checkpoint: state
+    must resume (exactly-once recovery), not restart from zero."""
+    import json
+
+    src = tmp_path / "events"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType())])
+
+    updates: list[tuple] = []
+
+    def start_query():
+        # memory sink can't recover from checkpoints; foreachBatch can
+        stream = spark.readStream.schema(schema).json(str(src))
+        return (stream_user_running_totals(stream)
+                .writeStream.outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .foreachBatch(lambda df, _id: updates.extend(
+                    (r.user_id, r.n_events, r.total_value) for r in df.collect()))
+                .start())
+
+    (src / "b1.json").write_text(json.dumps({"user_id": 7, "value": 4.0}))
+    q1 = start_query()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    assert (7, 1, 4.0) in updates
+
+    (src / "b2.json").write_text(json.dumps({"user_id": 7, "value": 6.0}))
+    q2 = start_query()
+    try:
+        q2.processAllAvailable()
+        # n=2/total=10 proves batch-1 state was recovered from the
+        # checkpointed state store by the restarted query
+        assert (7, 2, 10.0) in updates
+    finally:
+        q2.stop()
