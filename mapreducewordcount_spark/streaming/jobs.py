@@ -103,6 +103,25 @@ def stream_user_running_totals(events: DataFrame) -> DataFrame:
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def stream_deduped_docs(docs: DataFrame, watermark: str = "1 hour",
+                        id_col: str = "fp") -> DataFrame:
+    """Streaming exact dedup: first-seen wins within the watermark.
+
+    ``dropDuplicates`` on a stream keeps per-key state; the watermark
+    bounds it — a duplicate arriving later than the watermark horizon
+    is NOT deduped (documented trade-off; at ingest scale the horizon
+    is set to the upstream's max delivery delay). This is the
+    streaming twin of ``operators.dedup.exact_dedup``: same md5
+    fingerprint, state is 16-byte digests not documents.
+    """
+    from mapreducewordcount_spark.functions.text_metrics import fingerprint_md5
+
+    return (docs
+            .withColumn(id_col, fingerprint_md5("text"))
+            .withWatermark("ts", watermark)
+            .dropDuplicates([id_col]))
+
+
 def start_wordcount_to_reference_sink(lines: DataFrame, out_dir: str, m: int,
                                       checkpoint_dir: str):
     """Streaming word count → reference-layout ``out-<bucket>`` files,

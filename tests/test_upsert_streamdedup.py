@@ -1,0 +1,79 @@
+"""MERGE/upsert + SCD2 + streaming dedup."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mapreducewordcount_spark.operators.upsert import merge_upsert, scd2_apply
+from mapreducewordcount_spark.streaming.jobs import stream_deduped_docs
+
+TS = dt.datetime
+
+
+def test_merge_upsert_update_and_insert(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, v double")
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (4, "d", 40.0)], "id long, name string, v double")
+    got = {r.id: (r.name, r.v) for r in
+           merge_upsert(target, updates, "id").collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 21.0),
+                   3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_composite_key(spark):
+    target = spark.createDataFrame([(1, "x", 1.0), (1, "y", 2.0)],
+                                   "id long, sub string, v double")
+    updates = spark.createDataFrame([(1, "y", 9.0)],
+                                    "id long, sub string, v double")
+    got = {(r.id, r.sub): r.v for r in
+           merge_upsert(target, updates, ["id", "sub"]).collect()}
+    assert got == {(1, "x"): 1.0, (1, "y"): 9.0}
+
+
+def test_scd2_closes_and_opens_versions(spark):
+    history = spark.createDataFrame(
+        [(1, "v1", TS(2024, 1, 1), None), (2, "w1", TS(2024, 1, 1), None)],
+        "id long, val string, valid_from timestamp, valid_to timestamp")
+    updates = spark.createDataFrame(
+        [(1, "v2", TS(2024, 6, 1))], "id long, val string, ts timestamp")
+    rows = scd2_apply(history, updates, key="id", ts_col="ts").collect()
+    by_version = {(r.id, r.val): (r.valid_from, r.valid_to) for r in rows}
+    assert by_version[(1, "v1")] == (TS(2024, 1, 1), TS(2024, 6, 1))  # closed
+    assert by_version[(1, "v2")] == (TS(2024, 6, 1), None)           # opened
+    assert by_version[(2, "w1")] == (TS(2024, 1, 1), None)           # untouched
+
+
+def test_stream_dedup_first_seen_wins(spark, tmp_path):
+    import json
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType())])
+
+    rows = [
+        {"doc_id": 0, "text": "alpha beta", "ts": "2024-01-01T00:00:00"},
+        {"doc_id": 1, "text": "ALPHA   beta!", "ts": "2024-01-01T00:01:00"},  # dup after normalize
+        {"doc_id": 2, "text": "gamma delta", "ts": "2024-01-01T00:02:00"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (stream_deduped_docs(stream)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("deduped").start())
+    try:
+        q.processAllAvailable()
+        kept = sorted(r.doc_id for r in spark.sql("SELECT * FROM deduped").collect())
+        assert len(kept) == 2 and 2 in kept
+        assert 0 in kept or 1 in kept  # one representative of the dup group
+        assert not (0 in kept and 1 in kept)
+    finally:
+        q.stop()
