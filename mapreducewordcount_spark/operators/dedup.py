@@ -187,6 +187,50 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
             .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard")))
 
 
+def dup_groups(pairs: DataFrame, a_col: str = "a_id",
+               b_col: str = "b_id", max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, group_id).
+
+    Near-dup detection yields *pairs*; deciding what to keep needs
+    *clusters* (A~B, B~C ⇒ {A,B,C} keep one). Minimum-label
+    propagation: every vertex starts labeled with its own id; each
+    iteration every vertex takes the min label in its neighborhood;
+    converged when no label changes. ``group_id`` = min doc id of the
+    component — deterministic keeper choice.
+
+    Scale notes: iterations = graph diameter (dup clusters are
+    near-cliques, so 2-3 in practice; ``max_iters`` guards
+    pathological chains). Each iteration is one join + one aggregate
+    on the edge list; ``localCheckpoint`` truncates the lineage so
+    plan size stays constant across iterations (without it the DAG
+    doubles every loop and the driver chokes long before the data
+    does).
+    """
+    edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+             .unionByName(pairs.select(F.col(b_col).alias("src"),
+                                       F.col(a_col).alias("dst"))))
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("comp", F.col("id")))
+    for _ in range(max_iters):
+        neighbor_min = (edges.join(labels, edges.dst == labels.id)
+                        .groupBy("src").agg(F.min("comp").alias("nmin")))
+        updated = (labels.join(neighbor_min, labels.id == neighbor_min.src,
+                               "left")
+                   .select(F.col("id"),
+                           F.least(F.col("comp"),
+                                   F.coalesce(F.col("nmin"), F.col("comp")))
+                           .alias("comp")))
+        updated = updated.localCheckpoint(eager=True)
+        changed = (updated.alias("u")
+                   .join(labels.alias("l"), "id")
+                   .filter(F.col("u.comp") != F.col("l.comp")).count())
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("comp").alias("group_id"))
+
+
 def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by 64-bit SimHash within ``max_hamming`` bits.

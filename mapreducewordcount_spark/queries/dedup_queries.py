@@ -103,6 +103,38 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """
 
 
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components (doc_id, group_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.shingle_jaccard_pairs(docs, threshold=0.5)
+    return dd.dup_groups(pairs)
+
+
+# transitive closure via recursive CTE over the same pair set; the
+# component label is the min reachable doc id — identical contract
+DEDUP_GROUPS_SQL = f"""
+WITH RECURSIVE {_WORDS_CTE}, {_SHINGLES_CTE},
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        / (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL SELECT b_id, a_id FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT id AS doc_id, min(r) AS group_id
+FROM reach GROUP BY id
+"""
+
+
 def dedup_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-pruned semantic near-dups (recall vs exact pinned in tests)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -159,6 +191,7 @@ QUERIES = {
     "dedup_ngram_pairs": QuerySpec(dedup_ngram_pairs, DEDUP_PAIRS_SQL),
     "dedup_minhash_pairs": QuerySpec(dedup_minhash_pairs, DEDUP_PAIRS_SQL),
     "dedup_simhash_pairs": QuerySpec(dedup_simhash_pairs, None),
+    "dedup_groups": QuerySpec(dedup_groups, DEDUP_GROUPS_SQL),
     "dedup_embedding_pairs": QuerySpec(dedup_embedding_pairs, DEDUP_EMBEDDING_SQL),
     "dedup_embedding_pairs_lsh": QuerySpec(dedup_embedding_pairs_lsh, None),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_COSINE_SQL),

@@ -63,6 +63,17 @@ def test_exact_dedup_finds_planted_copies(spark):
     assert rows == {0: 2, 2: 1}
 
 
+def test_dup_groups_transitive_closure(spark):
+    """A~B, B~C must land in one group even though A~C was never a
+    pair (the whole point of consolidating pairs into components)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "a_id long, b_id long")
+    got = {r.doc_id: r.group_id for r in dd.dup_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
+
+
 def test_embedding_dups_symmetric_threshold(spark):
     from mapreducewordcount_spark.sources.tables import load_table
 
