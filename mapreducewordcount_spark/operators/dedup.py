@@ -121,7 +121,11 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     sh = _doc_shingles(docs, id_col, text_col, n)
     base = F.transform("shingles",
                        lambda s: F.pmod(F.xxhash64(s), F.lit(p)))
-
+    # 64 parallel array_min(transform(...)) expressions: pays a one-time
+    # codegen compile on first use but runs ~4x faster than a nested
+    # transform over a coefficient array (measured — the nested form
+    # evaluates struct-field lookups per element instead of folding
+    # the coefficients into constants)
     def perm(a: int, b: int):
         return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(p))
 
@@ -177,6 +181,9 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     sh = _doc_shingles(docs, id_col, text_col, n)
     a_sh = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_shingles"))
     b_sh = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_shingles"))
+    # candidates ≪ corpus: broadcast the candidate pair list into both
+    # verify joins so the (larger) shingle table never shuffles
+    candidates = F.broadcast(candidates)
     return (candidates.join(a_sh, "a_id").join(b_sh, "b_id")
             .withColumn("n_inter",
                         F.size(F.array_intersect("a_shingles", "b_shingles")))

@@ -115,8 +115,27 @@ GROUP BY p.label, n.n_vecs
 """
 
 
+def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass sketch aggregates: HyperLogLog++ distinct counts and
+    GK approximate percentiles per returnflag.
+
+    The 100 TB form of ``distinct_stats``/``segment_price_quantiles``:
+    constant memory per group, one scan, mergeable across partitions.
+    Sketch outputs are estimator-specific → no SQL oracle (DuckDB's
+    HLL differs); accuracy vs exact is pinned in pytest instead.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return (l.groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_partkey", rsd=0.02)
+                 .alias("approx_parts"),
+                 F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+                 .alias("approx_p50"),
+                 F.count(F.lit(1)).alias("n_rows")))
+
+
 QUERIES = {
     "above_avg_customers": QuerySpec(above_avg_customers, ABOVE_AVG_SQL),
+    "sketch_stats": QuerySpec(sketch_stats, None),
     "part_name_features": QuerySpec(part_name_features, PART_NAME_SQL),
     "orders_by_month": QuerySpec(orders_by_month, ORDERS_BY_MONTH_SQL),
     "label_centroid_norms": QuerySpec(label_centroid_norms, LABEL_CENTROID_SQL),

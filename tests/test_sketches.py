@@ -1,0 +1,25 @@
+"""Sketch-aggregate accuracy vs exact (no SQL oracle possible)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreducewordcount_spark.queries.analytics3 import sketch_stats
+from mapreducewordcount_spark.sources.tables import load_table
+from tests.conftest import SF_ORACLE
+
+
+def test_sketches_within_tolerance_of_exact(spark):
+    approx = {r.l_returnflag: r for r in
+              sketch_stats(spark, SF_ORACLE).collect()}
+    l = load_table(spark, SF_ORACLE, "lineitem")
+    exact = {r.l_returnflag: r for r in
+             (l.groupBy("l_returnflag")
+              .agg(F.count_distinct(F.col("l_partkey")).alias("parts"),
+                   F.expr("percentile(l_extendedprice, 0.5)").alias("p50"))
+              .collect())}
+    assert set(approx) == set(exact)
+    for flag, a in approx.items():
+        e = exact[flag]
+        assert abs(a.approx_parts - e.parts) / e.parts < 0.05   # 2% rsd sketch
+        assert abs(a.approx_p50 - e.p50) / e.p50 < 0.05         # GK at 1e4 acc
