@@ -133,9 +133,53 @@ def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_rows")))
 
 
+def acctbal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of account balances — binning expressed as
+    portable floor arithmetic (``width_bucket`` isn't universal), the
+    building block for distribution profiling over any measure."""
+    c = load_table(spark, sf_dir, "customer")
+    bucket = F.floor((F.col("c_acctbal") + 1000.0) / 500.0).cast("int")
+    return (c.withColumn("bucket", bucket)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("c_acctbal"), 2).alias("lo"),
+                 F.round(F.max("c_acctbal"), 2).alias("hi")))
+
+
+ACCTBAL_HISTOGRAM_SQL = """
+SELECT CAST(floor((c_acctbal + 1000.0) / 500.0) AS INT) AS bucket,
+       count(*) AS n,
+       round(min(c_acctbal), 2) AS lo,
+       round(max(c_acctbal), 2) AS hi
+FROM customer GROUP BY 1
+"""
+
+
+def events_props_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON→map functions family: parse ``props`` into a typed map,
+    explode its keys, count key frequency (schema profiling for
+    semi-structured columns)."""
+    from pyspark.sql import types as T
+
+    e = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    return (e.select(F.explode(F.map_keys(parsed)).alias("key"))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+EVENTS_PROPS_KEYS_SQL = """
+SELECT key, count(*) AS n
+FROM (SELECT unnest(json_keys(props)) AS key FROM events)
+GROUP BY key
+"""
+
+
 QUERIES = {
     "above_avg_customers": QuerySpec(above_avg_customers, ABOVE_AVG_SQL),
     "sketch_stats": QuerySpec(sketch_stats, None),
+    "acctbal_histogram": QuerySpec(acctbal_histogram, ACCTBAL_HISTOGRAM_SQL),
+    "events_props_keys": QuerySpec(events_props_keys, EVENTS_PROPS_KEYS_SQL),
     "part_name_features": QuerySpec(part_name_features, PART_NAME_SQL),
     "orders_by_month": QuerySpec(orders_by_month, ORDERS_BY_MONTH_SQL),
     "label_centroid_norms": QuerySpec(label_centroid_norms, LABEL_CENTROID_SQL),

@@ -44,6 +44,15 @@ def test_parquet_partitioned_write(spark, tmp_path):
     assert any(d.startswith("id=") for d in os.listdir(path))
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    df = _sample(spark)
+    path = str(tmp_path / "orc")
+    df.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert sorted((r.id, r.name, r.score) for r in back.collect()) == \
+        sorted((r.id, r.name, r.score) for r in df.collect())
+
+
 def test_open_table_formats_gated(spark):
     # not shipped in this image; the gate must answer False, not raise
     assert sio.open_table_format_available(spark, "delta") is False
