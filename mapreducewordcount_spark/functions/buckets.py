@@ -29,14 +29,29 @@ def bucket_expr(word: Column | str, m: int) -> Column:
     return F.pmod(F.ascii(F.lower(word)), F.lit(m)).cast("int")
 
 
-def salted_key(key: Column | str, buckets: int) -> Column:
+def salted_key(key: Column | str, buckets: int,
+               salt_from: Column | str | None = None) -> Column:
     """Append a deterministic salt to a hot key for two-phase aggregation.
 
     At 100 TB a Zipfian key (the word "the"; a null join key) overloads
     one reducer. Standard recipe: aggregate on ``(key, salt)`` first
     (map-side combine shrinks each salted group), then re-aggregate on
-    ``key``. The salt is a hash of the row's other content, not
-    ``rand()``, to keep the plan deterministic and retry-safe.
+    ``key``.
+
+    ``salt_from`` MUST be a deterministic per-row discriminator the
+    caller owns — a row id, a file offset, a source line column.
+    The salt is its hash mod ``buckets``: recomputing a partition on
+    retry reproduces the same salt for the same row, which is what
+    makes the two-phase counts exact under partial stage recompute
+    (a ``rand()`` or row-position salt can double-count there).
+    Rows that are fully identical with no discriminator cannot be
+    deterministically spread — hence the parameter is required.
     """
+    if salt_from is None:
+        raise ValueError(
+            "salted_key needs salt_from: a deterministic per-row "
+            "discriminator column (row id / offset); without one the "
+            "salt cannot be retry-safe")
     col = F.col(key) if isinstance(key, str) else key
-    return F.concat_ws("#", col, F.pmod(F.xxhash64(col, F.monotonically_increasing_id()), F.lit(buckets)))
+    src = F.col(salt_from) if isinstance(salt_from, str) else salt_from
+    return F.concat_ws("#", col, F.pmod(F.xxhash64(src), F.lit(buckets)))

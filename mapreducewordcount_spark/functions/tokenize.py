@@ -135,7 +135,10 @@ def tokenize_parity(df: DataFrame, text_col: str = "value",
 
         for pdf in batches:
             words: list[str] = []
-            for line in pdf[text_col].astype(str):
+            for line in pdf[text_col]:
+                if not isinstance(line, str):
+                    continue  # null text -> no tokens (astype(str)
+                    # would turn None into the literal token "none")
                 for tok in tokenize(line):
                     w = tok.strip(punct)
                     if w:

@@ -18,8 +18,10 @@ time-bucket secondary key.
 
 Semantics: ``direction='backward'`` matches the latest right row with
 ``right_time <= left_time`` per key (DuckDB/pandas ``merge_asof``
-default). Right-side ties on time resolve to the row latest in
-``(time, tiebreak)`` order.
+default). Right-side ties on time resolve deterministically by a
+content hash of the right payload — a stable but arbitrary winner;
+pre-dedupe the right side when a semantic tie-break (e.g. max id
+wins) is required, as ``events_asof_orders`` does.
 """
 
 from __future__ import annotations
@@ -66,7 +68,11 @@ def asof_join_backward(left: DataFrame, right: DataFrame, left_on: str,
 
     # right rows (__side=0) sort before left rows at equal time, so a
     # right row timestamped exactly at left_time IS eligible (<=).
-    w = (Window.partitionBy("__k").orderBy("__t", "__side")
+    # hash(__r) is the deterministic tiebreak among right rows sharing
+    # a timestamp: content-derived, so re-runs and retries pick the
+    # same winner (callers wanting a semantic tiebreak pre-dedupe the
+    # right side, as events_asof_orders does).
+    w = (Window.partitionBy("__k").orderBy("__t", "__side", F.hash("__r"))
          .rowsBetween(Window.unboundedPreceding, 0))
     matched = (merged
                .withColumn("__match", F.last("__r", ignorenulls=True).over(w))

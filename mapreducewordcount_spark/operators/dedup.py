@@ -207,17 +207,19 @@ def dup_groups(pairs: DataFrame, a_col: str = "a_id",
 
     Scale notes: iterations = graph diameter (dup clusters are
     near-cliques, so 2-3 in practice; ``max_iters`` guards
-    pathological chains). Each iteration is one join + one aggregate
-    on the edge list; ``localCheckpoint`` truncates the lineage so
-    plan size stays constant across iterations (without it the DAG
-    doubles every loop and the driver chokes long before the data
-    does).
+    pathological chains — if labels have NOT converged by then the
+    result would be silently wrong, so that case raises instead).
+    Each iteration is one join + one aggregate on the edge list;
+    ``localCheckpoint`` truncates the lineage so plan size stays
+    constant across iterations (without it the DAG doubles every loop
+    and the driver chokes long before the data does).
     """
     edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
              .unionByName(pairs.select(F.col(b_col).alias("src"),
                                        F.col(a_col).alias("dst"))))
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("comp", F.col("id")))
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (edges.join(labels, edges.dst == labels.id)
                         .groupBy("src").agg(F.min("comp").alias("nmin")))
@@ -233,7 +235,13 @@ def dup_groups(pairs: DataFrame, a_col: str = "a_id",
                    .filter(F.col("u.comp") != F.col("l.comp")).count())
         labels = updated
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dup_groups did not converge in {max_iters} iterations — "
+            "component diameter exceeds max_iters; raise max_iters "
+            "(returning here would silently split real dup clusters)")
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("comp").alias("group_id"))
 
@@ -245,9 +253,17 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
     SimHash: per word, take ``xxhash64``; for each of 64 bit
     positions accumulate +1/-1 by bit value; the sign vector is the
     document signature. Banded into 8 bytes for candidate generation
-    (pairs within Hamming distance 7 must agree on ≥1 of 8 bytes);
-    exact popcount verification on candidates.
+    (pigeonhole: pairs within Hamming distance 7 must agree on ≥1 of
+    8 bytes); exact popcount verification on candidates.
+
+    ``max_hamming`` is capped at 7 — beyond that the byte banding no
+    longer guarantees candidacy (a distance-8 pair can differ in all
+    8 bytes) and results would silently lose recall.
     """
+    if max_hamming > 7:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the recall guarantee of "
+            "8-byte banding (max 7); use more/narrower bands for larger radii")
     ws = (docs.select(F.col(id_col).alias("doc_id"),
                       F.explode(F.split(F.lower(text_col), r"(?U)\s+")).alias("w"))
           .filter(F.length("w") > 0)

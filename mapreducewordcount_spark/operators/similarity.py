@@ -126,8 +126,10 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                       F.col(vec_col).alias("c_vec"))
     n = corpus.count()
     step = max(1, n // n_lists)
+    # orderBy before limit: a bare limit keeps an engine-chosen subset
+    # when the filter matches more than n_lists rows — not deterministic
     cent = (corpus.filter(F.pmod(F.col(id_col), F.lit(step)) == 0)
-            .limit(n_lists)
+            .orderBy(id_col).limit(n_lists)
             .select(F.col(id_col).alias("list_id"),
                     F.col(vec_col).alias("cent_vec")))
 

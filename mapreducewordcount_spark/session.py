@@ -88,7 +88,11 @@ def _ship_package(spark: SparkSession) -> None:
     zip_path = os.path.join(tempfile.gettempdir(),
                             f"mapreducewordcount_spark-{__spark_pkg_version()}.zip")
     if not os.path.exists(zip_path):
-        tmp = zip_path + ".tmp"
+        # unique temp name per process: a shared fixed ".tmp" lets two
+        # concurrent sessions interleave writes and publish a corrupt zip
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(zip_path),
+                                   suffix=".zip.tmp")
+        os.close(fd)
         with zipfile.ZipFile(tmp, "w") as zf:
             for root, _dirs, files in os.walk(pkg_dir):
                 for f in files:

@@ -107,11 +107,14 @@ def stream_deduped_docs(docs: DataFrame, watermark: str = "1 hour",
                         id_col: str = "fp") -> DataFrame:
     """Streaming exact dedup: first-seen wins within the watermark.
 
-    ``dropDuplicates`` on a stream keeps per-key state; the watermark
-    bounds it — a duplicate arriving later than the watermark horizon
-    is NOT deduped (documented trade-off; at ingest scale the horizon
-    is set to the upstream's max delivery delay). This is the
-    streaming twin of ``operators.dedup.exact_dedup``: same md5
+    Uses ``dropDuplicatesWithinWatermark`` — plain ``dropDuplicates``
+    on a non-time subset IGNORES the watermark for state cleanup
+    (every fingerprint ever seen stays in the state store forever);
+    the WithinWatermark variant evicts a key's state once the
+    watermark passes it, bounding state at the cost that a duplicate
+    arriving later than the horizon is NOT deduped (documented
+    trade-off; set the horizon to the upstream's max delivery delay).
+    Streaming twin of ``operators.dedup.exact_dedup``: same md5
     fingerprint, state is 16-byte digests not documents.
     """
     from mapreducewordcount_spark.functions.text_metrics import fingerprint_md5
@@ -119,7 +122,7 @@ def stream_deduped_docs(docs: DataFrame, watermark: str = "1 hour",
     return (docs
             .withColumn(id_col, fingerprint_md5("text"))
             .withWatermark("ts", watermark)
-            .dropDuplicates([id_col]))
+            .dropDuplicatesWithinWatermark([id_col]))
 
 
 def start_wordcount_to_reference_sink(lines: DataFrame, out_dir: str, m: int,

@@ -49,7 +49,7 @@ def test_simhash_finds_planted_near_dups(spark):
     df = spark.createDataFrame(
         [(0, base), (1, corrupted), (2, different)], "doc_id long, text string")
     pairs = {(r.a_id, r.b_id) for r in
-             dd.simhash_pairs(df, max_hamming=12).collect()}
+             dd.simhash_pairs(df, max_hamming=7).collect()}
     assert (0, 1) in pairs
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
@@ -61,6 +61,24 @@ def test_exact_dedup_finds_planted_copies(spark):
         "doc_id long, text string")
     rows = {r.keep_id: r.n_copies for r in dd.exact_dedup(df).collect()}
     assert rows == {0: 2, 2: 1}
+
+
+def test_simhash_rejects_radius_beyond_banding_guarantee(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max 7"):
+        dd.simhash_pairs(df, max_hamming=8)
+
+
+def test_dup_groups_raises_instead_of_silently_splitting(spark):
+    """A chain longer than max_iters must raise, not return partial
+    (wrong) groups."""
+    chain = spark.createDataFrame([(i, i + 1) for i in range(10)],
+                                  "a_id long, b_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.dup_groups(chain, max_iters=2)
+    # and with enough iterations the same chain is one group
+    got = {r.doc_id: r.group_id for r in dd.dup_groups(chain).collect()}
+    assert set(got.values()) == {0}
 
 
 def test_dup_groups_transitive_closure(spark):

@@ -46,6 +46,13 @@ def test_parity_mode_spark(spark, text, expected):
     assert got == expected
 
 
+def test_parity_mode_null_text_yields_no_tokens(spark):
+    """NULL text must produce zero tokens, not the literal 'none'."""
+    df = spark.createDataFrame([(None,), ("real words",)], "value string")
+    got = [r.word for r in tokenize_parity(df).collect()]
+    assert got == ["real", "words"]
+
+
 NATIVE_GOLDENS = [
     # native mode: whitespace split, ends-strip, lower — no contraction split
     ("Don't stop", ["don't", "stop"]),

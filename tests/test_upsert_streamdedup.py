@@ -48,6 +48,24 @@ def test_scd2_closes_and_opens_versions(spark):
     assert by_version[(2, "w1")] == (TS(2024, 1, 1), None)           # untouched
 
 
+def test_scd2_multiple_updates_one_batch_single_open_version(spark):
+    """Two updates for one key in a batch: the earlier one must close
+    at the later one's timestamp — exactly one open version remains."""
+    history = spark.createDataFrame(
+        [(1, "v1", TS(2024, 1, 1), None)],
+        "id long, val string, valid_from timestamp, valid_to timestamp")
+    updates = spark.createDataFrame(
+        [(1, "v2", TS(2024, 3, 1)), (1, "v3", TS(2024, 6, 1))],
+        "id long, val string, ts timestamp")
+    rows = scd2_apply(history, updates, key="id", ts_col="ts").collect()
+    by_version = {(r.id, r.val): (r.valid_from, r.valid_to) for r in rows}
+    assert by_version[(1, "v1")] == (TS(2024, 1, 1), TS(2024, 3, 1))
+    assert by_version[(1, "v2")] == (TS(2024, 3, 1), TS(2024, 6, 1))
+    assert by_version[(1, "v3")] == (TS(2024, 6, 1), None)
+    open_rows = [k for k, (_, vt) in by_version.items() if vt is None]
+    assert open_rows == [(1, "v3")]
+
+
 def test_stream_dedup_first_seen_wins(spark, tmp_path):
     import json
 
