@@ -36,11 +36,27 @@ def _build_parser() -> argparse.ArgumentParser:
                      help="local parallelism (maps to local[n])")
     run.add_argument("--mode", choices=("native", "parity"), default=None,
                      help="tokenizer mode")
+
+    stream = sub.add_parser(
+        "stream", help="run the word-count pipeline as a streaming job "
+        "(counts refresh as new files land in the input dir)")
+    stream.add_argument("--input", required=True)
+    stream.add_argument("--output", required=True)
+    stream.add_argument("-m", "--reduce-tasks", type=int, default=4)
+    stream.add_argument("--checkpoint", default=None,
+                        help="checkpoint dir (default: <output>.checkpoint — "
+                        "a sibling, NOT inside the output dir, which each "
+                        "micro-batch overwrites)")
+    stream.add_argument("--once", action="store_true",
+                        help="process available input then exit "
+                        "(default: run until interrupted)")
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
+    if args.cmd == "stream":
+        return _run_stream(args)
     if args.cmd != "run":  # pragma: no cover - argparse enforces
         return 2
 
@@ -76,6 +92,38 @@ def main(argv: list[str] | None = None) -> int:
     write_wordcount_output(counts, output_dir, m=m)
     rename_to_reference_layout(output_dir, m=m)
     print(f"wrote {m} bucket files to {output_dir}")
+    return 0
+
+
+def _run_stream(args) -> int:
+    from pyspark.sql import types as T
+
+    from mapreducewordcount_spark.session import get_spark
+    from mapreducewordcount_spark.streaming.jobs import (
+        start_wordcount_to_reference_sink,
+    )
+
+    spark = get_spark("mapreducewordcount_spark-stream")
+    lines = (spark.readStream
+             .schema(T.StructType([T.StructField("value", T.StringType())]))
+             .option("pathGlobFilter", "*.txt")
+             .text(args.input))
+    # sibling path: the reference sink overwrites the output dir every
+    # micro-batch, which would destroy a checkpoint nested inside it
+    ckpt = args.checkpoint or args.output.rstrip("/") + ".checkpoint"
+    q = start_wordcount_to_reference_sink(
+        lines, args.output, m=args.reduce_tasks, checkpoint_dir=ckpt)
+    if args.once:
+        q.processAllAvailable()
+        q.stop()
+        print(f"processed available input; {args.reduce_tasks} bucket "
+              f"files in {args.output}")
+        return 0
+    print(f"streaming {args.input} -> {args.output} (ctrl-c to stop)")
+    try:
+        q.awaitTermination()
+    except KeyboardInterrupt:  # pragma: no cover - interactive path
+        q.stop()
     return 0
 
 

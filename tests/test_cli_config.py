@@ -67,3 +67,19 @@ def test_cli_run_produces_reference_layout(spark, tmp_path):
 
 def test_cli_requires_input_or_config(capsys):
     assert main(["run", "--input", "/tmp/x"]) == 2
+
+
+def test_cli_stream_once(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.txt").write_text("stream me stream\n")
+    out = tmp_path / "out"
+    rc = main(["stream", "--input", str(src), "--output", str(out),
+               "-m", "4", "--once"])
+    assert rc == 0
+    merged = {}
+    for b in range(4):
+        for ln in (out / f"out-{b}").read_text().splitlines():
+            w, c = ln.rsplit(" ", 1)
+            merged[w] = int(c)
+    assert merged == {"stream": 2, "me": 1}
