@@ -60,6 +60,34 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+# --- Q6: forecasting revenue change (pure scan+filter+agg) ------------------
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pushdown showcase: every predicate reaches the parquet scan
+    (min/max row-group pruning at scale), no join, no shuffle beyond
+    the single scalar aggregate."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (l.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.05)
+        & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_rows")))
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.05
+  AND l_quantity < 24
+"""
+
+
 # --- Q3-style: top revenue orders (3-way join + top-k) ----------------------
 
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,6 +373,7 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01
 
 QUERIES = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
+    "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL),
     "q3_top_orders": QuerySpec(q3_top_orders, Q3_SQL),
     "q5_region_revenue": QuerySpec(q5_region_revenue, Q5_SQL),
     "top_customers": QuerySpec(top_customers, TOP_CUSTOMERS_SQL),

@@ -41,6 +41,17 @@ def test_q1_column_pruning(spark):
                   "l_returnflag", "l_linestatus", "l_shipdate"}
 
 
+def test_q6_all_predicates_pushed(spark):
+    from mapreducewordcount_spark.queries.tpch import q6_forecast_revenue
+
+    df = q6_forecast_revenue(spark, SF_ORACLE)
+    assert has_pushed_filters(df, "GreaterThanOrEqual(l_shipdate",
+                              "LessThan(l_shipdate",
+                              "GreaterThanOrEqual(l_discount",
+                              "LessThanOrEqual(l_discount",
+                              "LessThan(l_quantity")
+
+
 def test_q5_broadcasts_dimensions(spark):
     df = q5_region_revenue(spark, SF_ORACLE)
     assert has_broadcast_hash_join(df)
