@@ -81,14 +81,28 @@ def quality_score(col: Column | str) -> Column:
     length band, stopword presence, low punctuation density) used to
     pre-filter web text for LLM training. Fixed weights; the value is
     a ranking signal, not a calibrated probability.
+
+    The three word-derived signals are computed from ONE tokenizer
+    evaluation via the let-binding trick (see ``shingles``) — naively
+    composing ``n_words``/``avg_word_len``/``stopword_ratio`` would
+    tokenize the document three times per row.
     """
-    nw = n_words(col).cast("double")
-    awl = avg_word_len(col)
-    sr = stopword_ratio(col)
+    stops = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+
+    def word_signals(w: Column) -> Column:
+        nw = F.size(w).cast("double")
+        total_len = F.aggregate(w, F.lit(0).cast("long"),
+                                lambda acc, x: acc + F.length(x))
+        awl = F.when(nw > 0, total_len.cast("double") / nw).otherwise(0.0)
+        n_stop = F.size(F.filter(w, lambda x: F.array_contains(stops, x)))
+        sr = F.when(nw > 0, n_stop.cast("double") / nw).otherwise(0.0)
+        return F.struct(nw.alias("nw"), awl.alias("awl"), sr.alias("sr"))
+
+    sig = F.transform(F.array(words(col)), word_signals)[0]
     pr = punct_ratio(col)
-    len_ok = F.when((nw >= 10) & (nw <= 100000), 1.0).otherwise(0.0)
-    wl_ok = F.when((awl >= 2.0) & (awl <= 12.0), 1.0).otherwise(0.0)
-    stop_ok = F.when(sr >= 0.01, 1.0).otherwise(0.0)
+    len_ok = F.when((sig["nw"] >= 10) & (sig["nw"] <= 100000), 1.0).otherwise(0.0)
+    wl_ok = F.when((sig["awl"] >= 2.0) & (sig["awl"] <= 12.0), 1.0).otherwise(0.0)
+    stop_ok = F.when(sig["sr"] >= 0.01, 1.0).otherwise(0.0)
     punct_ok = F.when(pr <= 0.2, 1.0).otherwise(0.0)
     return (0.3 * len_ok + 0.2 * wl_ok + 0.3 * stop_ok + 0.2 * punct_ok)
 
