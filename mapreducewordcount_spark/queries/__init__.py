@@ -34,6 +34,7 @@ def all_queries() -> dict[str, QuerySpec]:
         analytics,
         analytics2,
         analytics3,
+        curation,
         dedup_queries,
         text_queries,
         tpch,
@@ -42,6 +43,6 @@ def all_queries() -> dict[str, QuerySpec]:
 
     out: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, tpch, analytics, analytics2, analytics3,
-                text_queries, dedup_queries):
+                text_queries, dedup_queries, curation):
         out.update(mod.QUERIES)
     return out
