@@ -54,12 +54,16 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (e.withColumn("k", k)
             .groupBy("k")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.avg("value"), 4).alias("avg_value")))
+                 # round(sum,2)/count: order-independent avg of 2dp
+                 # values (see queries/tpch.py float discipline note)
+                 F.round(F.round(F.sum("value"), 2) / F.count(F.lit(1)), 4)
+                 .alias("avg_value")))
 
 
 EVENTS_JSON_SQL = """
 SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
-       count(*) AS n, round(avg(value), 4) AS avg_value
+       count(*) AS n,
+       round(round(sum(value), 2) / count(*), 4) AS avg_value
 FROM events GROUP BY 1
 """
 

@@ -50,12 +50,15 @@ def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     long = p.unpivot("p_brand", ["p_size", "p_retailprice"],
                      "measure", "value")
     return (long.groupBy("p_brand", "measure")
-            .agg(F.round(F.avg("value"), 4).alias("avg_value"),
+            # round(sum,2)/count: order-independent avg of 2dp values
+            .agg(F.round(F.round(F.sum("value"), 2) / F.count(F.lit(1)), 4)
+                 .alias("avg_value"),
                  F.count(F.lit(1)).alias("n")))
 
 
 UNPIVOT_SQL = """
-SELECT p_brand, measure, round(avg(value), 4) AS avg_value, count(*) AS n
+SELECT p_brand, measure,
+       round(round(sum(value), 2) / count(*), 4) AS avg_value, count(*) AS n
 FROM (
   SELECT p_brand, 'p_size' AS measure, p_size::DOUBLE AS value FROM part
   UNION ALL

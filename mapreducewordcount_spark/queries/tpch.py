@@ -11,7 +11,17 @@ Float discipline for the correctness gate: money aggregates rounded
 to 2dp, averages to 4dp, on both the Spark and the oracle side —
 summation order across engines differs in the last ulp, rounding
 re-converges the values.
+
+Averages of 2dp money use ``round(sum, 2) / count``: the true sum is
+an exact multiple of 0.01, so rounding the sum first recovers it
+bit-identically regardless of summation order, and the division +
+final round are then deterministic. A naive ``round(avg, 4)`` is
+fragile — 2dp money averaged over integer counts frequently lands
+EXACTLY on 4dp rounding boundaries, where last-ulp summation noise
+(which varies with partition count!) flips the rounded digit; caught
+by a gate simulation under a different shuffle-partition setting.
 """
+
 
 from __future__ import annotations
 
@@ -20,6 +30,12 @@ from pyspark.sql import functions as F
 
 from mapreducewordcount_spark.queries import QuerySpec
 from mapreducewordcount_spark.sources.tables import load_table
+
+
+def _stable_avg(sum_col, count_col, digits: int = 4):
+    """Order-independent avg of 2dp-money: round the sum to cents
+    first (exact), then divide and round."""
+    return F.round(F.round(sum_col, 2) / count_col, digits)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -38,9 +54,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
                  F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
                  F.round(F.sum(charge), 2).alias("sum_charge"),
-                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 _stable_avg(F.sum("l_quantity"), F.count(F.lit(1))).alias("avg_qty"),
+                 _stable_avg(F.sum("l_extendedprice"), F.count(F.lit(1))).alias("avg_price"),
+                 _stable_avg(F.sum("l_discount"), F.count(F.lit(1))).alias("avg_disc"),
                  F.count(F.lit(1)).alias("count_order")))
 
 
@@ -50,9 +66,9 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice), 2) AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       round(round(sum(l_quantity), 2) / count(*), 4) AS avg_qty,
+       round(round(sum(l_extendedprice), 2) / count(*), 4) AS avg_price,
+       round(round(sum(l_discount), 2) / count(*), 4) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-06-30'
@@ -194,14 +210,15 @@ def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     return (p.groupBy("p_brand")
             .agg(F.count(F.lit(1)).alias("n_parts"),
-                 F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+                 _stable_avg(F.sum("p_retailprice"),
+                             F.count(F.lit(1))).alias("avg_price"),
                  F.max("p_size").alias("max_size"),
                  F.count_distinct(F.col("p_type")).alias("n_types")))
 
 
 PART_BRAND_STATS_SQL = """
 SELECT p_brand, count(*) AS n_parts,
-       round(avg(p_retailprice), 4) AS avg_price,
+       round(round(sum(p_retailprice), 2) / count(*), 4) AS avg_price,
        max(p_size) AS max_size,
        CAST(count(DISTINCT p_type) AS BIGINT) AS n_types
 FROM part GROUP BY p_brand
