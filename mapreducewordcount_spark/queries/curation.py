@@ -31,6 +31,9 @@ from mapreducewordcount_spark.sources.tables import load_table, spread
 
 QUALITY_MIN = 0.5
 
+# interpolated from the canonical list so the oracle can't drift
+_STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in tm.EN_STOPWORDS) + "]"
+
 
 def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
@@ -84,9 +87,7 @@ m AS (
               THEN list_sum(list_transform(words, x -> strlen(x)))::DOUBLE / len(words)
               ELSE 0.0 END AS awl,
          CASE WHEN len(words) > 0
-              THEN len(list_filter(words, x -> list_contains(
-                     ['the','a','an','and','or','of','to','in','is','it',
-                      'that','for','on','as','with','was','at','by','be'], x)))::DOUBLE
+              THEN len(list_filter(words, x -> list_contains({_STOPS_SQL}, x)))::DOUBLE
                    / len(words)
               ELSE 0.0 END AS sr,
          CASE WHEN strlen(regexp_replace(text, '\\s+', '', 'g')) > 0
