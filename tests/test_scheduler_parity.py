@@ -46,6 +46,18 @@ def test_empty_directory_yields_empty_result_and_m_outputs(spark, tmp_path):
     assert all((out / f).read_text() == "" for f in files)
 
 
+def test_zero_byte_and_blank_files_contribute_nothing(spark, tmp_path):
+    """FIXTURES.md §F1: a zero-line file must flow through cleanly
+    (the reference's LPT balancer handled size-0 files; Spark's scan
+    produces zero rows for them)."""
+    (tmp_path / "empty.txt").write_text("")
+    (tmp_path / "blank.txt").write_text("\n\n\n")
+    (tmp_path / "real.txt").write_text("word\n")
+    got = {r.word: r["count"] for r in
+           word_counts(read_corpus(spark, str(tmp_path))).collect()}
+    assert got == {"word": 1}
+
+
 def test_mixed_extensions_only_txt_counted(spark, tmp_path):
     """Non-.txt exclusion (reference tests/test_task_manager.py:150-162)."""
     (tmp_path / "a.txt").write_text("yes\n")
