@@ -116,9 +116,14 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     formulation pushes |docs|×|shingles| rows through a 64-column min
     aggregation; this touches each doc once in place).
     """
+    sh = _doc_shingles(docs, id_col, text_col, n)
+    return _signatures_from_shingles(sh, num_hashes)
+
+
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """(doc_id, shingles) → (doc_id, signature array<long>)."""
     p = (1 << 31) - 1  # Mersenne prime
     coeffs = _permutation_coeffs(num_hashes)
-    sh = _doc_shingles(docs, id_col, text_col, n)
     base = F.transform("shingles",
                        lambda s: F.pmod(F.xxhash64(s), F.lit(p)))
     # 64 parallel array_min(transform(...)) expressions: pays a one-time
@@ -161,9 +166,17 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
 
     Scale: shuffle ~ docs × bands small keys; hot buckets (boilerplate
     docs) are bounded by the exact-verify join which AQE skew-splits.
+
+    The shingle arrays and signatures are materialized once
+    (``localCheckpoint``): the candidate self-join and the two verify
+    joins each reference them, and without materialization Catalyst
+    re-derives the whole tokenize→shingle→hash chain per reference —
+    the corpus was being tokenized four times (seen in the plan).
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    sh = _doc_shingles(docs, id_col, text_col, n).localCheckpoint(eager=False)
+    sig = (_signatures_from_shingles(sh, num_hashes)
+           .localCheckpoint(eager=False))
     banded = sig.select(
         "doc_id",
         F.posexplode(F.array(*[
@@ -178,7 +191,6 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                   .select(F.col("a.doc_id").alias("a_id"),
                           F.col("b.doc_id").alias("b_id"))
                   .distinct())
-    sh = _doc_shingles(docs, id_col, text_col, n)
     a_sh = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_shingles"))
     b_sh = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_shingles"))
     # candidates ≪ corpus: broadcast the candidate pair list into both
