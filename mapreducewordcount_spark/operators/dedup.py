@@ -69,7 +69,9 @@ def shingle_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     Exact but quadratic in docs-per-hot-shingle: at real scale run
     ``minhash_lsh_pairs`` and keep this as the verifier/oracle.
     """
-    sh = _doc_shingles(docs, id_col, text_col, n)
+    # materialized once: sizes, and both sides of the self-join,
+    # otherwise re-tokenize the corpus per reference
+    sh = _doc_shingles(docs, id_col, text_col, n).localCheckpoint(eager=False)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
     a, b = exploded.alias("a"), exploded.alias("b")
@@ -289,6 +291,7 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
         [F.shiftleft(F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long"))
                      .otherwise(F.lit(0).cast("long")), i)
          for i in range(64)]).alias("simhash"))
+    sim = sim.localCheckpoint(eager=False)  # self-joined below
     bytes_df = sim.select(
         "doc_id", "simhash",
         F.posexplode(F.array(*[
@@ -320,10 +323,26 @@ def embedding_dup_pairs(embeddings: DataFrame, id_col: str = "vec_id",
     """
     from mapreducewordcount_spark.functions.vectors import cosine
 
-    a = embeddings.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
-    b = embeddings.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    from mapreducewordcount_spark.functions.vectors import dot, norm
+
+    # norms precomputed per vector (not per pair): same expression →
+    # bit-identical cosine, but the pair stage runs ONE array
+    # aggregate (the dot) instead of three
+    n_par = embeddings.sparkSession.sparkContext.defaultParallelism
+    v = embeddings.repartition(n_par) \
+        .select(F.col(id_col).alias("id"),
+                F.col(vec_col).alias("vec"),
+                norm(vec_col).alias("nrm")) \
+        .localCheckpoint(eager=False)
+    a = v.select(F.col("id").alias("a_id"), F.col("vec").alias("a_vec"),
+                 F.col("nrm").alias("a_n"))
+    b = v.select(F.col("id").alias("b_id"), F.col("vec").alias("b_vec"),
+                 F.col("nrm").alias("b_n"))
+    cos = F.when((F.col("a_n") > 0) & (F.col("b_n") > 0),
+                 dot("a_vec", "b_vec") / (F.col("a_n") * F.col("b_n"))) \
+        .otherwise(F.lit(0.0))
     return (a.join(b, F.col("a_id") < F.col("b_id"))
-            .withColumn("cos", cosine("a_vec", "b_vec"))
+            .withColumn("cos", cos)
             .filter(F.col("cos") >= threshold)
             .select("a_id", "b_id", F.round("cos", 4).alias("cos")))
 
@@ -343,22 +362,29 @@ def embedding_dup_pairs_lsh(embeddings: DataFrame, id_col: str = "vec_id",
     (measured in tests; cosine-close pairs agree on most signs, so
     recall concentrates exactly where the threshold matters).
     """
-    from mapreducewordcount_spark.functions.vectors import cosine, hyperplane_bits
+    from mapreducewordcount_spark.functions.vectors import dot, hyperplane_bits, norm
     from mapreducewordcount_spark.operators.similarity import _fixed_planes
 
     planes = _fixed_planes(dim, n_planes)
-    sig = embeddings.select(F.col(id_col).alias("id"),
-                            F.col(vec_col).alias("vec"),
-                            hyperplane_bits(vec_col, planes).alias("bits"))
+    n_par = embeddings.sparkSession.sparkContext.defaultParallelism
+    sig = embeddings.repartition(n_par) \
+        .select(F.col(id_col).alias("id"),
+                F.col(vec_col).alias("vec"),
+                norm(vec_col).alias("nrm"),
+                hyperplane_bits(vec_col, planes).alias("bits")) \
+        .localCheckpoint(eager=False)  # self-joined below
     a = sig.select(F.col("id").alias("a_id"), F.col("vec").alias("a_vec"),
-                   F.col("bits").alias("a_bits"))
+                   F.col("nrm").alias("a_n"), F.col("bits").alias("a_bits"))
     b = sig.select(F.col("id").alias("b_id"), F.col("vec").alias("b_vec"),
-                   F.col("bits").alias("b_bits"))
+                   F.col("nrm").alias("b_n"), F.col("bits").alias("b_bits"))
     mismatches = sum([
         F.when(F.substring("a_bits", i, 1) != F.substring("b_bits", i, 1), 1)
         .otherwise(0) for i in range(1, n_planes + 1)])
+    cos = F.when((F.col("a_n") > 0) & (F.col("b_n") > 0),
+                 dot("a_vec", "b_vec") / (F.col("a_n") * F.col("b_n"))) \
+        .otherwise(F.lit(0.0))
     return (a.join(b, F.col("a_id") < F.col("b_id"))
             .filter(mismatches <= hamming_radius)
-            .withColumn("cos", cosine("a_vec", "b_vec"))
+            .withColumn("cos", cos)
             .filter(F.col("cos") >= threshold)
             .select("a_id", "b_id", F.round("cos", 4).alias("cos")))

@@ -32,14 +32,23 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     queries); the corpus side streams through without a shuffle.
     Ties break on neighbor id for determinism.
     """
+    from mapreducewordcount_spark.functions.vectors import dot, norm
+
+    # per-vector norms precomputed (same expression → bit-identical
+    # cosine); the per-pair stage runs one dot, not three aggregates
     q = queries.select(F.col(query_id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_vec"))
+                       F.col(vec_col).alias("q_vec"),
+                       norm(vec_col).alias("q_n"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("c_vec"))
+                      F.col(vec_col).alias("c_vec"),
+                      norm(vec_col).alias("c_n"))
+    cos = F.when((F.col("q_n") > 0) & (F.col("c_n") > 0),
+                 dot("q_vec", "c_vec") / (F.col("q_n") * F.col("c_n"))) \
+        .otherwise(F.lit(0.0))
     w = (Window.partitionBy("query_id")
          .orderBy(F.col("cos").desc(), F.col("neighbor_id")))
     return (c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-            .withColumn("cos", F.round(cosine("q_vec", "c_vec"), 6))
+            .withColumn("cos", F.round(cos, 6))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "cos"))
