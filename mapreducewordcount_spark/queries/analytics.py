@@ -131,6 +131,44 @@ ASOF JOIN o1 ON e.user_id = o1.o_custkey AND e.ts >= o1.o_orderdate
 """
 
 
+# --- range (point-in-interval) join -----------------------------------------
+
+def events_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase event: how many of the same user's events fall in
+    the hour starting at the purchase (purchase itself included).
+
+    The range join runs through the bucketed composition
+    (``operators/rangejoin.py``) — an equi-join on (user, time
+    bucket), never a nested-loop — with timestamps as epoch seconds.
+    """
+    from mapreducewordcount_spark.operators.rangejoin import point_in_interval_join
+
+    e = _t(spark, sf_dir, "events")
+    points = e.select(F.col("event_id"), F.col("user_id").alias("p_user"),
+                      F.col("ts").cast("double").alias("t"))
+    intervals = (e.filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("i_user"),
+                         F.col("ts").cast("double").alias("t_start"),
+                         (F.col("ts").cast("double") + 3600.0).alias("t_end")))
+    joined = point_in_interval_join(
+        points, intervals, point_key="p_user", interval_key="i_user",
+        point_col="t", start_col="t_start", end_col="t_end",
+        bucket_width=3600.0)
+    return (joined.groupBy("purchase_id")
+            .agg(F.count(F.lit(1)).alias("n_events_within_hour")))
+
+
+EVENTS_AFTER_PURCHASE_SQL = """
+SELECT p.event_id AS purchase_id, count(*) AS n_events_within_hour
+FROM events p JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+"""
+
+
 # --- text analysis ----------------------------------------------------------
 
 def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,6 +304,8 @@ QUERIES = {
     "events_json_stats": QuerySpec(events_json_stats, EVENTS_JSON_SQL),
     "events_sessions": QuerySpec(events_sessions, EVENTS_SESSIONS_SQL),
     "events_asof_orders": QuerySpec(events_asof_orders, EVENTS_ASOF_SQL),
+    "events_after_purchase": QuerySpec(events_after_purchase,
+                                       EVENTS_AFTER_PURCHASE_SQL),
     "doc_stats": QuerySpec(doc_stats, DOC_STATS_SQL),
     "doc_language_id": QuerySpec(doc_language_id, DOC_LANGUAGE_SQL),
     "doc_quality": QuerySpec(doc_quality, DOC_QUALITY_SQL),
