@@ -352,19 +352,37 @@ def embedding_dup_pairs_lsh(embeddings: DataFrame, id_col: str = "vec_id",
                             threshold: float = 0.45, dim: int = 64,
                             n_planes: int = 8,
                             hamming_radius: int = 3) -> DataFrame:
-    """Scale path for semantic near-dups: LSH-pruned candidate pairs.
+    """Scale path for semantic near-dups: banded-LSH candidate pairs.
 
-    Both sides get a sign-random-projection bit string (fixed seeds);
-    a pair is a candidate only if its signatures agree on all but
-    ``hamming_radius`` of ``n_planes`` bits, which prunes the O(n²)
-    join to near-bucket pairs before the exact cosine verify. Output
-    contract matches ``embedding_dup_pairs`` up to LSH recall
-    (measured in tests; cosine-close pairs agree on most signs, so
-    recall concentrates exactly where the threshold matters).
+    Every vector gets a sign-random-projection bit string (fixed
+    seeds); a pair is emitted iff its signatures agree on all but
+    ``hamming_radius`` of ``n_planes`` bits AND exact cosine clears
+    ``threshold``. Output contract matches ``embedding_dup_pairs`` up
+    to LSH recall (measured in tests; cosine-close pairs agree on
+    most signs, so recall concentrates where the threshold matters).
+
+    Candidate generation is an **equi-join on banded signature keys**,
+    the same pigeonhole construction as ``simhash_pairs``: the bit
+    string is cut into ``hamming_radius + 1`` equal bands, and any
+    pair within the radius must agree exactly on at least one whole
+    band (``hamming_radius`` flipped bits can dirty at most that many
+    bands). Shuffle cost is O(vectors × bands) short keys — the pair
+    space is never enumerated, unlike a ``a_id < b_id`` theta-join,
+    which Spark can only execute as a broadcast-nested-loop over all
+    O(n²)/2 pairs (the plan shape round 1 shipped; pinned away in
+    tests/test_plans.py). The exact mismatch-count + cosine checks on
+    the surviving candidates make the banding a pure recall guarantee,
+    not an output change.
     """
     from mapreducewordcount_spark.functions.vectors import dot, hyperplane_bits, norm
     from mapreducewordcount_spark.operators.similarity import _fixed_planes
 
+    bands = hamming_radius + 1
+    if n_planes % bands:
+        raise ValueError(
+            f"n_planes={n_planes} must divide into hamming_radius+1={bands} "
+            "equal bands — unequal bands void the pigeonhole recall guarantee")
+    width = n_planes // bands
     planes = _fixed_planes(dim, n_planes)
     n_par = embeddings.sparkSession.sparkContext.defaultParallelism
     sig = embeddings.repartition(n_par) \
@@ -372,18 +390,32 @@ def embedding_dup_pairs_lsh(embeddings: DataFrame, id_col: str = "vec_id",
                 F.col(vec_col).alias("vec"),
                 norm(vec_col).alias("nrm"),
                 hyperplane_bits(vec_col, planes).alias("bits")) \
-        .localCheckpoint(eager=False)  # self-joined below
-    a = sig.select(F.col("id").alias("a_id"), F.col("vec").alias("a_vec"),
-                   F.col("nrm").alias("a_n"), F.col("bits").alias("a_bits"))
-    b = sig.select(F.col("id").alias("b_id"), F.col("vec").alias("b_vec"),
-                   F.col("nrm").alias("b_n"), F.col("bits").alias("b_bits"))
+        .localCheckpoint(eager=False)  # banded + joined twice below
+    banded = sig.select(
+        "id",
+        F.posexplode(F.array(*[
+            F.substring("bits", b * width + 1, width) for b in range(bands)
+        ])).alias("band", "band_bits"))
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                         & (F.col("a.band_bits") == F.col("b.band_bits"))
+                         & (F.col("a.id") < F.col("b.id")))
+                  .select(F.col("a.id").alias("a_id"),
+                          F.col("b.id").alias("b_id"))
+                  .distinct())
+    a_sig = sig.select(F.col("id").alias("a_id"), F.col("vec").alias("a_vec"),
+                       F.col("nrm").alias("a_n"), F.col("bits").alias("a_bits"))
+    b_sig = sig.select(F.col("id").alias("b_id"), F.col("vec").alias("b_vec"),
+                       F.col("nrm").alias("b_n"), F.col("bits").alias("b_bits"))
     mismatches = sum([
         F.when(F.substring("a_bits", i, 1) != F.substring("b_bits", i, 1), 1)
         .otherwise(0) for i in range(1, n_planes + 1)])
     cos = F.when((F.col("a_n") > 0) & (F.col("b_n") > 0),
                  dot("a_vec", "b_vec") / (F.col("a_n") * F.col("b_n"))) \
         .otherwise(F.lit(0.0))
-    return (a.join(b, F.col("a_id") < F.col("b_id"))
+    # survivors ≪ corpus: broadcast the pair list into both verify
+    # joins so the (larger) vector table never shuffles
+    return (F.broadcast(candidates).join(a_sig, "a_id").join(b_sig, "b_id")
             .filter(mismatches <= hamming_radius)
             .withColumn("cos", cos)
             .filter(F.col("cos") >= threshold)

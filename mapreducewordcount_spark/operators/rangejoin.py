@@ -37,13 +37,30 @@ def point_in_interval_join(points: DataFrame, intervals: DataFrame,
     the same unit (cast timestamps with ``.cast('double')`` — epoch
     seconds). Intervals longer than ``bucket_width`` are rejected at
     runtime (they would need >2 buckets).
+
+    ``how``: ``'inner'`` or ``'left'`` (point rows with no matching
+    interval kept with null interval columns). Other join types raise
+    — the exact predicate is applied as a post-join filter, so e.g. a
+    naive ``'left'`` pass-through would silently drop the unmatched
+    rows (null predicate) and degenerate to inner; ``'left'`` is
+    instead built as inner ∪ (points ⟕anti matched).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"how={how!r} not supported: the exact range predicate is a "
+            "post-join filter, which silently degenerates outer joins to "
+            "inner; use 'inner' or 'left'")
     w = float(bucket_width)
 
     def bucket(col: Column) -> Column:
         return F.floor(col / F.lit(w)).cast("long")
 
     p = points.withColumn("__bp", bucket(F.col(point_col)))
+    if how == "left":
+        # row identity for the unmatched re-attach; ids must not shift
+        # between the inner and anti branches, so pin the frame
+        p = (p.withColumn("__pid", F.monotonically_increasing_id())
+             .localCheckpoint(eager=False))
     too_long = F.col(end_col) - F.col(start_col) > w
     # the length guard lives INSIDE the exploded expression — a
     # separate validation column would be pruned away unevaluated
@@ -53,9 +70,17 @@ def point_in_interval_join(points: DataFrame, intervals: DataFrame,
         .otherwise(F.array_distinct(F.array(bucket(F.col(start_col)),
                                             bucket(F.col(end_col)))))
     iv = intervals.withColumn("__bi", F.explode(covered))
-    joined = p.join(iv, (F.col(point_key) == F.col(interval_key))
-                    & (F.col("__bp") == F.col("__bi")), how)
-    return (joined
-            .filter((F.col(point_col) >= F.col(start_col))
-                    & (F.col(point_col) < F.col(end_col)))
-            .drop("__bp", "__bi"))
+    matched = (p.join(iv, (F.col(point_key) == F.col(interval_key))
+                      & (F.col("__bp") == F.col("__bi")), "inner")
+               .filter((F.col(point_col) >= F.col(start_col))
+                       & (F.col(point_col) < F.col(end_col))))
+    if how == "inner":
+        return matched.drop("__bp", "__bi")
+    unmatched = p.join(matched.select("__pid"), "__pid", "left_anti")
+    for c in iv.columns:
+        if c != "__bi":
+            unmatched = unmatched.withColumn(
+                c, F.lit(None).cast(dict(iv.dtypes)[c]))
+    return matched.unionByName(unmatched.withColumn("__bi", F.lit(None)
+                                                    .cast("long"))) \
+        .drop("__bp", "__bi", "__pid")

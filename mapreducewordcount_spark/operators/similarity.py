@@ -107,60 +107,85 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "neighbor_id", "rank", "cos"))
 
 
-def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-             id_col: str = "vec_id", vec_col: str = "embedding",
-             query_id_col: str = "query_id", n_lists: int = 16,
-             n_probe: int = 4) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: centroid routing.
+def _nearest_lists(df: DataFrame, cent: DataFrame, vec: str, out: str,
+                   take: int) -> DataFrame:
+    """Attach the ``take`` nearest list_ids to each row (broadcast
+    centroids, one argmax over ``n_lists`` cosines per row)."""
+    scored = (df.join(F.broadcast(cent), how="cross")
+              .withColumn("__d", cosine(vec, "cent_vec"))
+              .withColumn("__r", F.row_number().over(
+                  Window.partitionBy(out)
+                  .orderBy(F.col("__d").desc(), F.col("list_id"))))
+              .filter(F.col("__r") <= take))
+    return scored.drop("cent_vec", "__d", "__r")
 
-    The index structure of FAISS-style IVF expressed as DataFrames:
 
-    1. **Centroids**: a deterministic corpus sample (every
-       ``|corpus|/n_lists``-th vector by id — at scale, k-means
-       centroids; the routing algebra is identical).
-    2. **Assign**: each corpus vector joins its nearest centroid
-       (broadcast centroids, one argmax over ``n_lists`` cosines) —
-       this is the write-time partitioning step; production would
-       persist partitioned by ``list_id``.
-    3. **Probe**: each query scores only vectors in its ``n_probe``
-       nearest lists — a broadcast semi-filterable join that touches
-       ``n_probe/n_lists`` of the corpus instead of all of it.
-    4. **Re-rank**: exact cosine on the candidates.
+def ivf_build(corpus: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              n_lists: int = 16) -> tuple[DataFrame, DataFrame]:
+    """IVF write-time step: centroids + list assignment.
+
+    Returns ``(assigned, centroids)`` where ``assigned`` is the
+    corpus with a ``list_id`` column (each vector's nearest centroid)
+    and ``centroids`` is the small ``(list_id, cent_vec)`` routing
+    table. This is the FAISS-style index-build: run ONCE per corpus,
+    persist ``assigned`` partitioned by ``list_id`` (and the tiny
+    ``centroids`` anywhere); ``ivf_probe`` then serves any number of
+    query batches against it. Fully lazy — no driver-side action.
+
+    Centroids are a deterministic pseudo-random corpus sample: the
+    ``n_lists`` smallest vectors by ``xxhash64(id)`` (hash order ≈
+    uniform sample, stable across runs/retries; ``orderBy.limit``
+    compiles to a per-partition top-k heap, not a global sort). At
+    scale these would be k-means centroids — the routing algebra is
+    identical, the sample just trades recall for build cost.
+    """
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec"))
+    cent = (c.orderBy(F.xxhash64("neighbor_id"), "neighbor_id")
+            .limit(n_lists)
+            .select(F.col("neighbor_id").alias("list_id"),
+                    F.col("c_vec").alias("cent_vec")))
+    assigned = _nearest_lists(c, cent, "c_vec", "neighbor_id", 1)
+    return assigned, cent
+
+
+def ivf_probe(assigned: DataFrame, centroids: DataFrame,
+              queries: DataFrame, k: int = 5,
+              vec_col: str = "embedding", query_id_col: str = "query_id",
+              n_probe: int = 4) -> DataFrame:
+    """IVF read-time step: route each query to its ``n_probe`` nearest
+    lists, exact-cosine re-rank only the vectors in those lists — a
+    broadcast-routed equi-join on ``list_id`` touching ~n_probe/n_lists
+    of the corpus instead of all of it.
 
     Same output contract as ``cosine_topk``; recall vs brute force is
     pinned in tests. Clustered real embeddings do far better than the
     near-random test vectors (which are ANN's adversarial case).
     """
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("c_vec"))
-    n = corpus.count()
-    step = max(1, n // n_lists)
-    # orderBy before limit: a bare limit keeps an engine-chosen subset
-    # when the filter matches more than n_lists rows — not deterministic
-    cent = (corpus.filter(F.pmod(F.col(id_col), F.lit(step)) == 0)
-            .orderBy(id_col).limit(n_lists)
-            .select(F.col(id_col).alias("list_id"),
-                    F.col(vec_col).alias("cent_vec")))
-
-    def nearest_lists(df, vec, out, take):
-        scored = (df.join(F.broadcast(cent), how="cross")
-                  .withColumn("__d", cosine(vec, "cent_vec"))
-                  .withColumn("__r", F.row_number().over(
-                      Window.partitionBy(out)
-                      .orderBy(F.col("__d").desc(), F.col("list_id"))))
-                  .filter(F.col("__r") <= take))
-        return scored.drop("cent_vec", "__d", "__r")
-
-    assigned = nearest_lists(c, "c_vec", "neighbor_id", 1)
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"))
-    probed = nearest_lists(q, "q_vec", "query_id", n_probe)
-
+    probed = _nearest_lists(q, centroids, "q_vec", "query_id", n_probe)
     w = (Window.partitionBy("query_id")
          .orderBy(F.col("cos").desc(), F.col("neighbor_id")))
-    return (assigned.join(probed, "list_id")
+    return (assigned.join(F.broadcast(probed), "list_id")
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .withColumn("cos", F.round(cosine("q_vec", "c_vec"), 6))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "cos"))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id", n_lists: int = 16,
+             n_probe: int = 4) -> DataFrame:
+    """One-shot IVF: ``ivf_build`` + ``ivf_probe`` composed.
+
+    Convenience for ad-hoc use; anything serving repeated query
+    batches should call ``ivf_build`` once, persist the result, and
+    ``ivf_probe`` against it.
+    """
+    assigned, cent = ivf_build(corpus, id_col, vec_col, n_lists)
+    return ivf_probe(assigned, cent, queries, k, vec_col, query_id_col,
+                     n_probe)

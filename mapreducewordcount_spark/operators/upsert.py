@@ -27,10 +27,23 @@ from pyspark.sql import functions as F
 
 
 def merge_upsert(target: DataFrame, updates: DataFrame,
-                 key: str | list[str]) -> DataFrame:
+                 key: str | list[str],
+                 version_col: str | None = None) -> DataFrame:
     """Last-writer-wins merge: rows from ``updates`` replace same-key
-    rows in ``target``; unmatched update rows are inserts."""
+    rows in ``target``; unmatched update rows are inserts.
+
+    When the update batch can carry several rows for one key, pass
+    ``version_col`` (a timestamp/sequence column): only the latest row
+    per key survives (ties break arbitrarily-but-deterministically on
+    the version value ordering). Without it the batch is unioned
+    as-is, so callers must supply one row per key — otherwise every
+    batch row survives and the merged output holds duplicate keys.
+    """
     keys = [key] if isinstance(key, str) else list(key)
+    if version_col is not None:
+        w = Window.partitionBy(*keys).orderBy(F.col(version_col).desc())
+        updates = (updates.withColumn("__rn", F.row_number().over(w))
+                   .filter(F.col("__rn") == 1).drop("__rn"))
     anti_side = updates.select(*keys).distinct()
     kept = target.join(anti_side, on=keys, how="left_anti")
     return kept.unionByName(updates)

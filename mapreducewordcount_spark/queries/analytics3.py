@@ -23,10 +23,19 @@ from mapreducewordcount_spark.sources.tables import load_table
 
 
 def above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers whose account balance exceeds their nation's average."""
+    """Customers whose account balance exceeds their nation's average.
+
+    The threshold is a *strict* compare against a float aggregate, so
+    the average is computed as ``round(sum, 2) / count`` on BOTH
+    engines (the ``_stable_avg`` discipline from tpch.py): 2dp money
+    sums round to an order-independent value, whereas a raw ``avg``
+    carries summation-order last-ulp noise that varies with partition
+    count and can flip membership at the boundary.
+    """
     c = load_table(spark, sf_dir, "customer")
     nat_avg = (c.groupBy("c_nationkey")
-               .agg(F.avg("c_acctbal").alias("nat_avg")))
+               .agg((F.round(F.sum("c_acctbal"), 2)
+                     / F.count(F.lit(1))).alias("nat_avg")))
     return (c.join(F.broadcast(nat_avg), "c_nationkey")
             .filter(F.col("c_acctbal") > F.col("nat_avg"))
             .groupBy("c_nationkey")
@@ -37,7 +46,8 @@ def above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 ABOVE_AVG_SQL = """
 SELECT c_nationkey, count(*) AS n_above, round(max(c_acctbal), 2) AS max_bal
 FROM customer c
-WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+WHERE c_acctbal > (SELECT round(sum(c2.c_acctbal), 2) / count(*)
+                   FROM customer c2
                    WHERE c2.c_nationkey = c.c_nationkey)
 GROUP BY c_nationkey
 """

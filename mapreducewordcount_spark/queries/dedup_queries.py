@@ -186,7 +186,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, queries, k=5)
 
 
+# ann_lsh_topk / ann_ivf_topk lead: they were the registry tail in
+# round 1 and never reached the driver gate (see queries/__init__.py).
 QUERIES = {
+    "ann_lsh_topk": QuerySpec(ann_lsh_topk, None),
+    "ann_ivf_topk": QuerySpec(ann_ivf_topk, None),
+    "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_COSINE_SQL),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_pairs": QuerySpec(dedup_ngram_pairs, DEDUP_PAIRS_SQL),
     "dedup_minhash_pairs": QuerySpec(dedup_minhash_pairs, DEDUP_PAIRS_SQL),
@@ -194,7 +199,4 @@ QUERIES = {
     "dedup_groups": QuerySpec(dedup_groups, DEDUP_GROUPS_SQL),
     "dedup_embedding_pairs": QuerySpec(dedup_embedding_pairs, DEDUP_EMBEDDING_SQL),
     "dedup_embedding_pairs_lsh": QuerySpec(dedup_embedding_pairs_lsh, None),
-    "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_COSINE_SQL),
-    "ann_lsh_topk": QuerySpec(ann_lsh_topk, None),
-    "ann_ivf_topk": QuerySpec(ann_ivf_topk, None),
 }

@@ -47,11 +47,14 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
         F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
         lambda a, b: F.concat_ws(" ", a, b))
+    # top-k via TakeOrderedAndProject (per-partition heaps), rank
+    # derived on the 25-row cut — not a partition-less window over the
+    # full bigram table (see word_count_topk)
+    top = (docs.select(F.explode(bigrams).alias("bigram"))
+           .groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+           .orderBy(F.col("n").desc(), F.col("bigram")).limit(25))
     w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
-    return (docs.select(F.explode(bigrams).alias("bigram"))
-            .groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 25)
+    return (top.withColumn("rank", F.row_number().over(w))
             .select("rank", "bigram", "n"))
 
 
@@ -94,18 +97,23 @@ def doc_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothing). Two aggregations + one broadcast join of the
     vocabulary-sized df table; ln() is IEEE-identical across engines
     so the oracle rounds at 4dp safely.
+
+    N enters as a broadcast 1-row aggregate crossed into the plan —
+    not a driver-side ``docs.count()``, which would run an extra job
+    (and an extra corpus scan) before the query even starts.
     """
     dw = _doc_words(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar fold into the plan
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     tf = dw.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df_tbl = (tf.groupBy("word")
               .agg(F.count(F.lit(1)).alias("df")))
     w = (Window.partitionBy("doc_id")
          .orderBy(F.col("tfidf").desc(), F.col("word")))
     return (tf.join(F.broadcast(df_tbl), "word")
+            .crossJoin(F.broadcast(n_docs))
             .withColumn("tfidf", F.round(
-                F.col("tf") * (F.log((F.lit(float(n_docs + 1)))
+                F.col("tf") * (F.log((F.col("n_docs") + F.lit(1)).cast("double")
                                      / (F.col("df") + 1)) + 1), 4))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 3)

@@ -75,11 +75,20 @@ GROUP BY 1
 
 
 def word_count_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-20 words (rank + count), deterministic tie-break."""
+    """Global top-20 words (rank + count), deterministic tie-break.
+
+    ``orderBy().limit(k)`` compiles to ``TakeOrderedAndProject`` —
+    each partition keeps a k-row heap and only k rows per partition
+    reach the driver-side merge. The rank window then runs over the
+    already-cut 20-row result (single tiny partition), never over the
+    full vocabulary; a partition-less window BEFORE the cut would
+    sort the whole corpus vocabulary on one task (the degenerate plan
+    SCALE.md warns about, pinned away in tests/test_plans.py).
+    """
     counts = word_count(spark, sf_dir)
+    top = counts.orderBy(F.col("cnt").desc(), F.col("word")).limit(20)
     w = Window.orderBy(F.col("cnt").desc(), F.col("word"))
-    return (counts.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 20)
+    return (top.withColumn("rank", F.row_number().over(w))
             .select("rank", "word", "cnt"))
 
 

@@ -50,6 +50,27 @@ def test_oversized_interval_raises(spark):
                                bucket_width=100.0).collect()
 
 
+def test_left_join_keeps_unmatched_points(spark):
+    points, intervals = _dfs(spark)
+    rows = point_in_interval_join(points, intervals, "k", "ik", "t", "s", "e",
+                                  bucket_width=100.0, how="left").collect()
+    got = {(r.pid, r.iid) for r in rows}
+    # matched pairs identical to inner; unmatched points (5: no key-20
+    # interval, 6: t beyond every interval) survive with null iid —
+    # a naive 'left' pass-through drops them at the exact-predicate
+    # filter (null predicate) and silently degenerates to inner
+    assert got == {(1, 100), (2, 100), (3, 101), (4, 101),
+                   (5, None), (6, None)}
+    assert len(rows) == 6
+
+
+def test_unsupported_join_type_raises(spark):
+    points, intervals = _dfs(spark)
+    with pytest.raises(ValueError, match="how"):
+        point_in_interval_join(points, intervals, "k", "ik", "t", "s", "e",
+                               bucket_width=100.0, how="full")
+
+
 def test_plan_is_equi_join_not_nested_loop(spark):
     from mapreducewordcount_spark.plans import explain_str
 

@@ -57,3 +57,35 @@ def test_open_table_formats_gated(spark):
     # not shipped in this image; the gate must answer False, not raise
     assert sio.open_table_format_available(spark, "delta") is False
     assert sio.open_table_format_available(spark, "iceberg") is False
+
+
+def test_events_ts_precision_contract_vs_duckdb(spark):
+    """events.ts is parquet TIMESTAMP(NANOS) and the raw values DO
+    carry sub-µs components; the engine truncates to µs
+    (``timestamp_micros(ts div 1000)``, sources/tables.py) and the
+    DuckDB oracle must land on the SAME µs values or every
+    boundary-sensitive comparison (as-of ``<=``, sessionize gaps,
+    hourly window edges) can diverge. This DuckDB build maps NANOS
+    parquet columns to µs TIMESTAMP by truncation — assert that
+    equivalence over the whole table so a DuckDB behavior change
+    (e.g. native TIMESTAMP_NS reads) fails loudly here instead of as
+    a silent oracle hash mismatch.
+    """
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF_ORACLE
+
+    path = f"{SF_ORACLE}/events.parquet"
+    raw_ns = pq.read_table(path, columns=["event_id", "ts"])
+    ns_by_id = dict(zip(raw_ns["event_id"].to_pylist(),
+                        raw_ns["ts"].cast("int64").to_pylist()))
+    assert any(v % 1000 for v in ns_by_id.values()), \
+        "testdata lost its sub-µs components; revisit this contract"
+    con = duckdb.connect()
+    duck = con.execute(
+        f"SELECT event_id, epoch_us(ts) FROM '{path}'").fetchall()
+    assert len(duck) == len(ns_by_id)
+    for event_id, us in duck:
+        assert us == ns_by_id[event_id] // 1000, \
+            f"duckdb µs {us} != trunc(ns/1000) for event {event_id}"

@@ -35,6 +35,22 @@ def test_merge_upsert_composite_key(spark):
     assert got == {(1, "x"): 1.0, (1, "y"): 9.0}
 
 
+def test_merge_upsert_multi_row_batch_last_writer_wins(spark):
+    """A batch carrying several rows for one key must collapse to the
+    latest version when ``version_col`` is given — without it every
+    batch row survives the union (documented caller contract)."""
+    target = spark.createDataFrame([(1, "a", TS(2024, 1, 1))],
+                                   "id long, name string, ts timestamp")
+    updates = spark.createDataFrame(
+        [(1, "mid", TS(2024, 3, 1)), (1, "new", TS(2024, 6, 1)),
+         (2, "ins", TS(2024, 2, 1))],
+        "id long, name string, ts timestamp")
+    rows = merge_upsert(target, updates, "id", version_col="ts").collect()
+    assert len(rows) == 2
+    got = {r.id: r.name for r in rows}
+    assert got == {1: "new", 2: "ins"}
+
+
 def test_scd2_closes_and_opens_versions(spark):
     history = spark.createDataFrame(
         [(1, "v1", TS(2024, 1, 1), None), (2, "w1", TS(2024, 1, 1), None)],
