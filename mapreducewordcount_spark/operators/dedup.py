@@ -71,7 +71,7 @@ def shingle_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     """
     # materialized once: sizes, and both sides of the self-join,
     # otherwise re-tokenize the corpus per reference
-    sh = _doc_shingles(docs, id_col, text_col, n).localCheckpoint(eager=False)
+    sh = _doc_shingles(docs, id_col, text_col, n).persist()
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
     a, b = exploded.alias("a"), exploded.alias("b")
@@ -170,15 +170,22 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     docs) are bounded by the exact-verify join which AQE skew-splits.
 
     The shingle arrays and signatures are materialized once
-    (``localCheckpoint``): the candidate self-join and the two verify
-    joins each reference them, and without materialization Catalyst
+    (``persist``): the candidate self-join and the two verify joins
+    each reference them, and without materialization Catalyst
     re-derives the whole tokenize→shingle→hash chain per reference —
     the corpus was being tokenized four times (seen in the plan).
+    ``persist`` (not ``localCheckpoint(eager=False)``): lazy local
+    checkpoints finish materializing missing partitions in a cleanup
+    job AFTER the SQL execution completes, when its metric
+    accumulators are already unregistered — every such task logs a
+    benign-but-noisy "non-existent accumulator" ERROR (seen in the
+    round-1 bench tail); persisted blocks materialize inside the live
+    execution and read back clean.
     """
     rows = num_hashes // bands
-    sh = _doc_shingles(docs, id_col, text_col, n).localCheckpoint(eager=False)
+    sh = _doc_shingles(docs, id_col, text_col, n).persist()
     sig = (_signatures_from_shingles(sh, num_hashes)
-           .localCheckpoint(eager=False))
+           .persist())
     banded = sig.select(
         "doc_id",
         F.posexplode(F.array(*[
@@ -291,7 +298,7 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
         [F.shiftleft(F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long"))
                      .otherwise(F.lit(0).cast("long")), i)
          for i in range(64)]).alias("simhash"))
-    sim = sim.localCheckpoint(eager=False)  # self-joined below
+    sim = sim.persist()  # self-joined below
     bytes_df = sim.select(
         "doc_id", "simhash",
         F.posexplode(F.array(*[
@@ -333,7 +340,7 @@ def embedding_dup_pairs(embeddings: DataFrame, id_col: str = "vec_id",
         .select(F.col(id_col).alias("id"),
                 F.col(vec_col).alias("vec"),
                 norm(vec_col).alias("nrm")) \
-        .localCheckpoint(eager=False)
+        .persist()
     a = v.select(F.col("id").alias("a_id"), F.col("vec").alias("a_vec"),
                  F.col("nrm").alias("a_n"))
     b = v.select(F.col("id").alias("b_id"), F.col("vec").alias("b_vec"),
@@ -390,7 +397,7 @@ def embedding_dup_pairs_lsh(embeddings: DataFrame, id_col: str = "vec_id",
                 F.col(vec_col).alias("vec"),
                 norm(vec_col).alias("nrm"),
                 hyperplane_bits(vec_col, planes).alias("bits")) \
-        .localCheckpoint(eager=False)  # banded + joined twice below
+        .persist()  # banded + joined twice below
     banded = sig.select(
         "id",
         F.posexplode(F.array(*[

@@ -60,7 +60,7 @@ def point_in_interval_join(points: DataFrame, intervals: DataFrame,
         # row identity for the unmatched re-attach; ids must not shift
         # between the inner and anti branches, so pin the frame
         p = (p.withColumn("__pid", F.monotonically_increasing_id())
-             .localCheckpoint(eager=False))
+             .localCheckpoint(eager=True))
     too_long = F.col(end_col) - F.col(start_col) > w
     # the length guard lives INSIDE the exploded expression — a
     # separate validation column would be pruned away unevaluated
