@@ -77,9 +77,28 @@ def tokenize_expr(col: Column | str) -> Column:
 # golden cases in FIXTURES.md §F2 ("Don't" -> ["Do", "n't"],
 # "Smith's" -> ["Smith", "'s"]).
 _CONTRACTION_RE = re.compile(r"(?i)(?<=\w)(n't|'ll|'re|'ve|'s|'m|'d)$")
-# A token is a word-ish run (letters/digits/marks with internal
-# ./'/-) or a run of anything else (punctuation cluster).
-_TOKEN_RE = re.compile(r"[^\W_]+(?:[.'\-][^\W_]+)*[.']?|[^\s\w]+|_+", re.UNICODE)
+# Fixed-word splits from the Treebank rules (CONTRACTIONS2/3 in the
+# published tokenizer.sed cascade): measured against a rule-faithful
+# reference port over the Gutenberg corpus, these four families were
+# the largest source of divergence (see
+# tests/test_tokenizer_parity_delta.py).
+_WORD_SPLITS = {
+    "cannot": ("can", "not"), "d'ye": ("d", "'ye"),
+    "gimme": ("gim", "me"), "gonna": ("gon", "na"),
+    "gotta": ("got", "ta"), "lemme": ("lem", "me"),
+    "mor'n": ("mor", "'n"), "wanna": ("wan", "na"),
+}
+# A token is a comma-grouped number ("1,000" / "1,000.50" — Treebank
+# keeps these whole: its comma rule only splits before non-digits), a
+# word-ish run (letters/digits/marks with internal ./'/-; this also
+# covers dotted tokens like "O.K." and "1.E.1"), or a run of anything
+# else (punctuation cluster). The comma form must be listed first but
+# stay narrow: a bare \d+ alternative would steal the lead digits
+# from dotted tokens.
+_TOKEN_RE = re.compile(
+    r"\d+(?:,\d+)+(?:\.\d+)?|[^\W_]+(?:[.'\-/][^\W_]+)*[.']?|[^\s\w]+|_+",
+    re.UNICODE)
+_TRAILING_PUNCT_RE = re.compile(r"[.']+$")
 
 
 def treebank_lite_tokenize(text: str) -> list[str]:
@@ -88,17 +107,44 @@ def treebank_lite_tokenize(text: str) -> list[str]:
     Covers the pinned golden semantics (FIXTURES.md §F2): contraction
     and possessive suffixes split into their own tokens, punctuation
     runs become standalone tokens, digits and internal-period tokens
-    (``O.K.``) survive as units.
+    (``O.K.``) survive as units. The corpus-measured divergence vs a
+    rule-faithful Treebank reference port is pinned in
+    tests/test_tokenizer_parity_delta.py.
     """
     out: list[str] = []
     for raw in text.split():
         for tok in _TOKEN_RE.findall(raw):
-            m = _CONTRACTION_RE.search(tok)
-            if m and m.start() > 0:
-                out.append(tok[: m.start()])
-                out.append(m.group(0))
+            # peel sentence-final ./' off the candidate before the
+            # contraction check ("didn't." must still split — real
+            # Treebank splits the final period first); the peeled runs
+            # are their own tokens, stripped to nothing downstream
+            m_tp = _TRAILING_PUNCT_RE.search(tok)
+            trailing = ""
+            core = tok
+            if m_tp and m_tp.start() > 0:
+                core, trailing = tok[: m_tp.start()], m_tp.group(0)
+            split = _WORD_SPLITS.get(core.lower())
+            if (core.lower() in ("tis", "twas") and out
+                    and out[-1].endswith("'")):
+                # "'Tis"/"'Twas": the apostrophe was emitted as its own
+                # punctuation token just before; Treebank's rule makes
+                # ["'t", "is"] — emit ["T", "is"]-style halves, which
+                # normalize identically (the apostrophe strips away)
+                out.append(core[:1])
+                out.append(core[1:])
+            elif split is not None:
+                a_len = len(split[0])
+                out.append(core[:a_len])
+                out.append(core[a_len:])
             else:
-                out.append(tok)
+                m = _CONTRACTION_RE.search(core)
+                if m and m.start() > 0:
+                    out.append(core[: m.start()])
+                    out.append(m.group(0))
+                else:
+                    out.append(core)
+            if trailing:
+                out.append(trailing)
     return out
 
 

@@ -65,6 +65,55 @@ def test_cli_run_produces_reference_layout(spark, tmp_path):
     assert (out / "out-1").read_text() == ""
 
 
+def test_cli_reference_corpus_byte_parity(spark, tmp_path):
+    """BASELINE.md gate row 4 as a committed test: full CLI run over
+    the reference's own corpus (config-schema N=6 / M=4, parity
+    tokenizer) and the merged ``out-*`` bytes equal the single-process
+    Counter-oracle rendering byte-for-byte — the engine's complete
+    output contract (tokenization, bucketing, per-bucket code-point
+    sort, '{word} {count}' lines, flat file names) in one assert.
+    """
+    import string
+    import textwrap
+    from collections import Counter
+
+    from mapreducewordcount_spark.functions.tokenize import treebank_lite_tokenize
+
+    corpus = "/root/reference/files/inputs"
+    if not os.path.isdir(corpus):
+        import pytest
+        pytest.skip("reference corpus not present")
+    out = tmp_path / "out"
+    cfg = tmp_path / "config.yaml"
+    cfg.write_text(textwrap.dedent(f"""\
+        mapreduce:
+          num_map_tasks: 6
+          num_reduce_tasks: 4
+        directories:
+          input: "{corpus}"
+          output: "{out}"
+        """))
+    rc = main(["run", "--config", str(cfg), "--mode", "parity"])
+    assert rc == 0
+
+    counts: Counter = Counter()
+    for name in sorted(os.listdir(corpus)):
+        if name.endswith(".txt"):
+            with open(os.path.join(corpus, name), encoding="utf-8") as f:
+                for line in f:
+                    for tok in treebank_lite_tokenize(line):
+                        w = tok.strip(string.punctuation).lower()
+                        if w:
+                            counts[w] += 1
+    expected = b""
+    for b in range(4):
+        bucket_words = sorted(w for w in counts if ord(w[0]) % 4 == b)
+        expected += "".join(f"{w} {counts[w]}\n" for w in bucket_words) \
+            .encode("utf-8")
+    got = b"".join((out / f"out-{b}").read_bytes() for b in range(4))
+    assert got == expected
+
+
 def test_cli_requires_input_or_config(capsys):
     assert main(["run", "--input", "/tmp/x"]) == 2
 
