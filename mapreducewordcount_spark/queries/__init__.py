@@ -34,6 +34,7 @@ def all_queries() -> dict[str, QuerySpec]:
         analytics,
         analytics2,
         analytics3,
+        bucketed_join,
         curation,
         dedup_queries,
         text_queries,
@@ -50,6 +51,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # and individually well-covered — carry the tail risk.
     out: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries, tpch,
-                analytics, analytics2, analytics3, text_queries):
+                bucketed_join, analytics, analytics2, analytics3,
+                text_queries):
         out.update(mod.QUERIES)
     return out

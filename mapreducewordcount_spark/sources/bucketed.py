@@ -25,6 +25,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 def write_bucketed(df: DataFrame, table: str, keys: list[str],
                    n_buckets: int, sort: bool = True) -> None:
+    spark = df.sparkSession
+    # ``mode("overwrite")`` only replaces tables the CURRENT catalog
+    # knows about; a warehouse directory left by a previous session
+    # (catalog entry gone, files still on disk) fails the write with
+    # LOCATION_ALREADY_EXISTS. Drop both the entry and the location.
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    loc = spark._jvm.org.apache.hadoop.fs.Path(warehouse, table.lower())
+    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(loc, True)
     w = (df.write.mode("overwrite")
          .bucketBy(n_buckets, keys[0], *keys[1:])
          .format("parquet"))
