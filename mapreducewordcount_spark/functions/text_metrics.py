@@ -178,3 +178,45 @@ def fingerprint_winnow(col: Column | str, n: int = 3, keep: int = 4) -> Column:
     """
     hashed = F.transform(shingles(col, n), lambda s: F.md5(s))
     return F.concat_ws("|", F.slice(F.array_sort(hashed), 1, keep))
+
+
+def winnow_select(col: Column | str, n: int = 3, w: int = 4) -> Column:
+    """True positional winnowing (the MOSS fingerprint scheme,
+    Schleimer/Wilkerson/Aiken SIGMOD'03): md5 every positional word
+    n-gram, slide a ``w``-hash window over the sequence, select each
+    window's minimum, return the sorted distinct selections.
+
+    Unlike :func:`fingerprint_winnow` (global bottom-k), the window
+    minima are position-LOCAL, which buys the winnowing guarantee:
+    any shared run of at least ``w + n - 1`` words between two
+    documents shares at least one selected fingerprint — so an
+    equi-join on selected hashes is a complete candidate generator
+    for that match length, the same scalable bucket-join shape as
+    MinHash LSH (no pairwise comparison to find candidates).
+
+    Documents shorter than a full window still select their global
+    minimum (``slice`` clamps past the end); empty docs select
+    nothing. Pure column expressions: codegen'd end-to-end, and both
+    HOF levels are let-bound (``transform(array(x), v -> ...)``) so
+    tokenize and the hash array each evaluate once per row, not once
+    per element.
+    """
+    no_hashes = F.array().cast("array<string>")
+
+    def over_hashes(h: Column) -> Column:
+        m = F.size(h) - (w - 1)  # number of full windows
+        widx = (F.when(m > 0, F.sequence(F.lit(1), m))
+                .otherwise(F.when(F.size(h) > 0, F.array(F.lit(1)))
+                           .otherwise(F.array().cast("array<int>"))))
+        return F.transform(widx, lambda i: F.array_min(F.slice(h, i, w)))
+
+    def build(ws: Column) -> Column:
+        k = F.size(ws) - (n - 1)  # number of shingles
+        idx = (F.when(k > 0, F.sequence(F.lit(1), k))
+               .otherwise(F.array().cast("array<int>")))
+        hashes = F.transform(
+            idx, lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, n))))
+        sel = F.transform(F.array(hashes), over_hashes)[0]
+        return F.array_sort(F.array_distinct(sel))
+
+    return F.coalesce(F.transform(F.array(words(col)), build)[0], no_hashes)

@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mapreducewordcount_spark.functions.text_metrics import fingerprint_md5, shingles
+from mapreducewordcount_spark.functions.text_metrics import (
+    fingerprint_md5,
+    shingles,
+    winnow_select,
+)
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
@@ -427,3 +431,41 @@ def embedding_dup_pairs_lsh(embeddings: DataFrame, id_col: str = "vec_id",
             .withColumn("cos", cos)
             .filter(F.col("cos") >= threshold)
             .select("a_id", "b_id", F.round("cos", 4).alias("cos")))
+
+
+def winnow_fingerprint_docs(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 3,
+                            w: int = 4) -> DataFrame:
+    """(doc_id, selected array<string>) via positional winnowing —
+    see functions/text_metrics.winnow_select for the guarantee."""
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    return (spread
+            .select(F.col(id_col).alias("doc_id"),
+                    winnow_select(text_col, n, w).alias("selected")))
+
+
+def winnow_pairs(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 3, w: int = 4,
+                 min_shared: int = 3) -> DataFrame:
+    """Candidate near-dup pairs by shared winnowing fingerprints
+    (a_id < b_id, n_shared >= min_shared).
+
+    The winnowing guarantee makes the fingerprint equi-join a
+    COMPLETE candidate generator for any shared word run of length
+    >= w + n - 1: no pairwise scan ever happens, candidates stream
+    out of a hash join on the selected-hash key — the same
+    bucket-join shape as ``minhash_lsh_pairs``/``simhash_pairs``, and
+    the reason this scales where ``shingle_jaccard_pairs`` cannot.
+    Hot fingerprints (boilerplate runs shared by many docs) fan out
+    quadratically within their bucket only; drop-list them upstream
+    the way a production pipeline drops stop-shingles.
+    """
+    fp = winnow_fingerprint_docs(docs, id_col, text_col, n, w).persist()
+    exploded = fp.select("doc_id", F.explode("selected").alias("h"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (a.join(b, (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("a_id"),
+                     F.col("b.doc_id").alias("b_id"))
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))

@@ -36,6 +36,7 @@ def all_queries() -> dict[str, QuerySpec]:
         analytics3,
         bucketed_join,
         curation,
+        tpch2,
         dedup_queries,
         text_queries,
         tpch,
@@ -51,7 +52,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # and individually well-covered — carry the tail risk.
     out: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries, tpch,
-                bucketed_join, analytics, analytics2, analytics3,
+                tpch2, bucketed_join, analytics, analytics2, analytics3,
                 text_queries):
         out.update(mod.QUERIES)
     return out

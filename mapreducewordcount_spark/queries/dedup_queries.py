@@ -103,6 +103,62 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """
 
 
+_WINNOW_SEL_CTE = r"""
+h AS (
+  SELECT doc_id,
+         [md5(array_to_string(words[i:i+2], ' '))
+          for i in range(1, greatest(len(words) - 2, 0) + 1)] AS hashes
+  FROM w
+),
+sel AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           CASE WHEN len(hashes) = 0 THEN CAST([] AS VARCHAR[])
+                WHEN len(hashes) < 4 THEN [list_aggregate(hashes, 'min')]
+                ELSE [list_aggregate(hashes[i:i+3], 'min')
+                      for i in range(1, len(hashes) - 3 + 1)]
+           END)) AS selected
+  FROM h
+)
+"""
+
+
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc positional-winnowing fingerprints (MOSS scheme):
+    selected-hash count + the sorted selection joined to one string
+    (gate-hashable rendering of the array)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = dd.winnow_fingerprint_docs(docs)
+    return fp.select("doc_id",
+                     F.size("selected").alias("n_selected"),
+                     F.concat_ws("|", F.col("selected")).alias("fp"))
+
+
+DOC_WINNOW_SQL = f"""
+WITH {_WORDS_CTE}, {_WINNOW_SEL_CTE}
+SELECT doc_id, CAST(len(selected) AS INT) AS n_selected,
+       array_to_string(selected, '|') AS fp
+FROM sel
+"""
+
+
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs by shared winnowing fingerprints —
+    complete for shared runs >= w+n-1 = 6 words, generated by a hash
+    equi-join (the scalable bucket shape), never a pairwise scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.winnow_pairs(docs, min_shared=3)
+
+
+WINNOW_PAIRS_SQL = f"""
+WITH {_WORDS_CTE}, {_WINNOW_SEL_CTE},
+e AS (SELECT doc_id, unnest(selected) AS h FROM sel)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 3
+"""
+
+
 def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → connected components (doc_id, group_id)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -197,6 +253,9 @@ QUERIES = {
     "dedup_minhash_pairs": QuerySpec(dedup_minhash_pairs, DEDUP_PAIRS_SQL),
     "dedup_simhash_pairs": QuerySpec(dedup_simhash_pairs, None),
     "dedup_groups": QuerySpec(dedup_groups, DEDUP_GROUPS_SQL),
+    "doc_winnow_fingerprints": QuerySpec(doc_winnow_fingerprints,
+                                         DOC_WINNOW_SQL),
+    "dedup_winnow_pairs": QuerySpec(dedup_winnow_pairs, WINNOW_PAIRS_SQL),
     "dedup_embedding_pairs": QuerySpec(dedup_embedding_pairs, DEDUP_EMBEDDING_SQL),
     "dedup_embedding_pairs_lsh": QuerySpec(dedup_embedding_pairs_lsh, None),
 }

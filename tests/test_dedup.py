@@ -115,3 +115,66 @@ def test_embedding_lsh_recall_vs_exact(spark):
     # pairs at cos >= 0.45 agree on most hyperplane signs; radius 3/8
     # keeps most of them while pruning the quadratic join
     assert recall >= 0.5, f"embedding LSH recall collapsed: {recall}"
+
+
+def _winnow_one(spark, text, n=3, w=4):
+    from mapreducewordcount_spark.functions.text_metrics import winnow_select
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return df.select(winnow_select("text", n, w).alias("s")).head()["s"]
+
+
+def test_winnow_guarantee_shared_run(spark):
+    """The winnowing guarantee: two docs sharing a run of
+    >= w + n - 1 = 6 words share at least one selected fingerprint,
+    whatever surrounds the run."""
+    run = "alpha beta gamma delta epsilon zeta"
+    a = _winnow_one(spark, f"one two three {run} four five")
+    b = _winnow_one(spark, f"{run} completely different tail words here")
+    assert set(a) & set(b), "shared 6-word run must share a fingerprint"
+
+
+def test_winnow_short_doc_selects_global_min(spark):
+    # 4 words -> 2 shingles < w windows: still selects the min hash
+    sel = _winnow_one(spark, "just four tiny words")
+    assert len(sel) == 1
+
+
+def test_winnow_empty_and_subshingle_docs(spark):
+    assert _winnow_one(spark, "") == []
+    assert _winnow_one(spark, "two words") == []  # shorter than n
+
+
+def test_winnow_selection_is_subset_and_deterministic(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    sel1 = _winnow_one(spark, text)
+    sel2 = _winnow_one(spark, text)
+    assert sel1 == sel2
+    assert sel1 == sorted(set(sel1))
+
+
+def test_winnow_pairs_candidate_join_is_equi(spark, docs):
+    """Candidate generation must plan as a hash/sort-merge equi-join
+    on the fingerprint — never a nested loop (the r1 embedding-LSH
+    failure mode)."""
+    from mapreducewordcount_spark.plans import explain_str
+
+    plan = explain_str(dd.winnow_pairs(docs))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winnow_pairs_rank_near_dups_first(spark):
+    """Planted: doc B = doc A with one word changed shares many
+    fingerprints; unrelated doc shares none."""
+    base = ("the training corpus needs careful deduplication before "
+            "any large model consumes it for many epochs")
+    rows = [(1, base),
+            (2, base.replace("careful", "rigorous")),
+            (3, "entirely unrelated text about cooking pasta dishes "
+                "with garlic butter and fresh basil leaves")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.a_id, r.b_id): r.n_shared
+             for r in dd.winnow_pairs(df, min_shared=1).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
