@@ -121,8 +121,8 @@ def _nearest_lists(df: DataFrame, cent: DataFrame, vec: str, out: str,
 
 
 def ivf_build(corpus: DataFrame, id_col: str = "vec_id",
-              vec_col: str = "embedding",
-              n_lists: int = 16) -> tuple[DataFrame, DataFrame]:
+              vec_col: str = "embedding", n_lists: int = 16,
+              kmeans_iters: int = 0) -> tuple[DataFrame, DataFrame]:
     """IVF write-time step: centroids + list assignment.
 
     Returns ``(assigned, centroids)`` where ``assigned`` is the
@@ -131,14 +131,23 @@ def ivf_build(corpus: DataFrame, id_col: str = "vec_id",
     table. This is the FAISS-style index-build: run ONCE per corpus,
     persist ``assigned`` partitioned by ``list_id`` (and the tiny
     ``centroids`` anywhere); ``ivf_probe`` then serves any number of
-    query batches against it. Fully lazy — no driver-side action.
+    query batches against it.
 
-    Centroids are a deterministic pseudo-random corpus sample: the
-    ``n_lists`` smallest vectors by ``xxhash64(id)`` (hash order ≈
-    uniform sample, stable across runs/retries; ``orderBy.limit``
-    compiles to a per-partition top-k heap, not a global sort). At
-    scale these would be k-means centroids — the routing algebra is
-    identical, the sample just trades recall for build cost.
+    Seed centroids are a deterministic pseudo-random corpus sample:
+    the ``n_lists`` smallest vectors by ``xxhash64(id)`` (hash order
+    ≈ uniform sample, stable across runs/retries; ``orderBy.limit``
+    compiles to a per-partition top-k heap, not a global sort).
+
+    ``kmeans_iters > 0`` runs that many Lloyd refinement rounds:
+    assign → per-list mean → reassign. The mean is ``dim`` parallel
+    ``avg`` aggregates (one codegen'd pass, map-side partial — no
+    explode, the shuffle carries ``n_lists × dim`` partial sums per
+    task, not vectors). Each round collects the new centroids to the
+    driver: ``n_lists`` tiny rows, the deliberate lineage cut that
+    keeps round N's plan independent of round N-1 (and exactly what
+    write-time index builds do — FAISS trains centroids centrally
+    too). Empty lists keep their previous centroid. With
+    ``kmeans_iters=0`` the build stays fully lazy.
     """
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("c_vec"))
@@ -146,6 +155,21 @@ def ivf_build(corpus: DataFrame, id_col: str = "vec_id",
             .limit(n_lists)
             .select(F.col("neighbor_id").alias("list_id"),
                     F.col("c_vec").alias("cent_vec")))
+    if kmeans_iters > 0:
+        first = corpus.select(vec_col).first()
+        dim = len(first[0]) if first else 0
+        for _ in range(kmeans_iters if dim else 0):
+            assigned = _nearest_lists(c, cent, "c_vec", "neighbor_id", 1)
+            means = (assigned.groupBy("list_id")
+                     .agg(F.array(*[F.avg(F.col("c_vec")[i])
+                                    for i in range(dim)])
+                          .cast("array<float>").alias("new_vec")))
+            cent = (cent.join(means, "list_id", "left")
+                    .select("list_id",
+                            F.coalesce("new_vec", "cent_vec")
+                            .alias("cent_vec")))
+            cent = corpus.sparkSession.createDataFrame(cent.collect(),
+                                                       cent.schema)
     assigned = _nearest_lists(c, cent, "c_vec", "neighbor_id", 1)
     return assigned, cent
 
@@ -179,13 +203,17 @@ def ivf_probe(assigned: DataFrame, centroids: DataFrame,
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", n_lists: int = 16,
-             n_probe: int = 4) -> DataFrame:
+             n_probe: int = 4, kmeans_iters: int = 2) -> DataFrame:
     """One-shot IVF: ``ivf_build`` + ``ivf_probe`` composed.
 
     Convenience for ad-hoc use; anything serving repeated query
     batches should call ``ivf_build`` once, persist the result, and
-    ``ivf_probe`` against it.
+    ``ivf_probe`` against it. Two Lloyd rounds by default: measured
+    on the test embeddings they lift recall@5 over the raw sampled
+    centroids (see test_ivf_kmeans_improves_recall) at a build cost
+    of 2 extra passes — write-time, amortized across query batches.
     """
-    assigned, cent = ivf_build(corpus, id_col, vec_col, n_lists)
+    assigned, cent = ivf_build(corpus, id_col, vec_col, n_lists,
+                               kmeans_iters)
     return ivf_probe(assigned, cent, queries, k, vec_col, query_id_col,
                      n_probe)

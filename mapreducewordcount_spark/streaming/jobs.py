@@ -155,3 +155,57 @@ def start_wordcount_to_reference_sink(lines: DataFrame, out_dir: str, m: int,
     return (counts.writeStream.outputMode("complete")
             .option("checkpointLocation", checkpoint_dir)
             .foreachBatch(sink).start())
+
+
+def stream_enrich_events(events: DataFrame, users: DataFrame) -> DataFrame:
+    """Stream-static join: enrich a live event stream against a
+    batch dimension table.
+
+    The static side is re-read per micro-batch planning cycle (so
+    slowly-changing dims pick up updates) and joins map-side when
+    small enough to broadcast — no streaming state at all, which is
+    why this is the FIRST choice for enrichment at 100 TB: reserve
+    stream-stream joins for when both sides are genuinely unbounded.
+    """
+    return (events.join(F.broadcast(users), "user_id")
+            .select("event_id", "user_id", "event_type", "value", "segment"))
+
+
+def stream_purchase_attribution(clicks: DataFrame, purchases: DataFrame,
+                                horizon: str = "1 hour",
+                                watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the
+    same user's clicks in the preceding ``horizon``.
+
+    Both sides are unbounded, so Spark must buffer rows in the state
+    store until the other side can no longer produce a match. The
+    two ingredients that BOUND that state (without them it grows
+    forever and the job dies at scale):
+
+    1. watermarks on both sides — how late either stream can be;
+    2. a time-range join condition (click in
+       [purchase_ts - horizon, purchase_ts]) — how long a buffered
+       row stays joinable.
+
+    Spark derives each side's eviction point from watermark + range;
+    state is O(events within horizon + watermark), independent of
+    stream length. Inner join: a purchase with no click in the
+    horizon silently drops (use left-outer + watermark for
+    "unattributed" rows; emitted only after the horizon closes).
+    """
+    c = (clicks.select(F.col("user_id").alias("c_user"),
+                       F.col("ts").alias("click_ts"),
+                       F.col("event_id").alias("click_id"))
+         .withWatermark("click_ts", watermark))
+    p = (purchases.select(F.col("user_id").alias("p_user"),
+                          F.col("ts").alias("purchase_ts"),
+                          F.col("event_id").alias("purchase_id"),
+                          "value")
+         .withWatermark("purchase_ts", watermark))
+    cond = ((F.col("c_user") == F.col("p_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts")
+               >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")))
+    return (p.join(c, cond)
+            .select(F.col("p_user").alias("user_id"), "purchase_id",
+                    "click_id", "purchase_ts", "click_ts", "value"))

@@ -89,3 +89,40 @@ def test_asof_backward_semantics(spark):
         left_time="ts", right_time="otime", right_cols=["oid"],
         how="left").collect()}
     assert left_join == {1: 101, 2: 100, 3: None, 4: None}
+
+
+def test_ivf_kmeans_improves_recall(spark, emb):
+    """Lloyd rounds must not hurt recall vs the raw sampled
+    centroids (on near-random vectors the lift is modest but the
+    refined centroids cover the space at least as well), and the
+    refined build must stay deterministic across runs."""
+    from mapreducewordcount_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, _queries(emb), k=5).collect()}
+
+    def recall(iters):
+        approx = {(r.query_id, r.neighbor_id)
+                  for r in ivf_topk(emb, _queries(emb), k=5,
+                                    kmeans_iters=iters).collect()}
+        return len(exact & approx) / len(exact)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0 - 0.05, f"k-means degraded recall: {r0} -> {r2}"
+    assert recall(2) == r2, "k-means build must be deterministic"
+
+
+def test_ivf_kmeans_empty_list_keeps_centroid(spark):
+    """A centroid whose list goes empty after reassignment must
+    survive with its previous vector, not vanish (n_lists is part of
+    the index contract)."""
+    from mapreducewordcount_spark.operators.similarity import ivf_build
+
+    rows = [(i, [float(i % 2)] * 4) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned, cent = ivf_build(df, n_lists=4, kmeans_iters=3)
+    assert cent.count() == 4
+    assert assigned.select("neighbor_id").distinct().count() == 20

@@ -123,3 +123,49 @@ def test_stream_sessions_bounded_state_runs(spark, events_stream_dir):
     assert rows, "session stream produced no rows"
     n_users = len({r.user_id for r in rows})
     assert n_users == 150  # all users sessionized
+
+
+def test_stream_static_enrichment(spark, events_stream_dir):
+    """Stream-static join: every streamed event picks up its user's
+    segment from the batch dimension; no state, no watermark needed."""
+    from mapreducewordcount_spark.streaming.jobs import stream_enrich_events
+
+    stream = _read_events_stream(spark, events_stream_dir)
+    users = spark.range(0, 200).select(
+        F.col("id").alias("user_id"),
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("segment"))
+    _run_stream(stream_enrich_events(stream, users), "enrich_stream", "append")
+    rows = spark.sql("SELECT * FROM enrich_stream").collect()
+    from mapreducewordcount_spark.sources.tables import load_table
+    assert len(rows) == load_table(spark, SF_ORACLE, "events").count()
+    assert all((r.segment == "even") == (r.user_id % 2 == 0) for r in rows)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_stream_dir):
+    """Stream-stream interval join result equals the identical batch
+    join over the same rows (inner join: every match emitted once the
+    source drains)."""
+    from mapreducewordcount_spark.streaming.jobs import stream_purchase_attribution
+
+    stream = _read_events_stream(spark, events_stream_dir)
+    clicks_s = stream.filter(F.col("event_type") == "click")
+    purchases_s = stream.filter(F.col("event_type") == "purchase")
+    _run_stream(stream_purchase_attribution(clicks_s, purchases_s),
+                "attr_stream", "append")
+    got = {(r.user_id, r.purchase_id, r.click_id)
+           for r in spark.sql("SELECT * FROM attr_stream").collect()}
+
+    from mapreducewordcount_spark.sources.tables import load_table
+    ev = load_table(spark, SF_ORACLE, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"))
+    want = {(r.p_user, r.purchase_id, r.click_id) for r in p.join(
+        c, (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts")
+           - F.expr("INTERVAL 1 hour"))).collect()}
+    assert got == want and got, "stream-stream join must match batch join"
