@@ -37,6 +37,7 @@ def all_queries() -> dict[str, QuerySpec]:
         bucketed_join,
         curation,
         tpch2,
+        tpch3,
         dedup_queries,
         text_queries,
         tpch,
@@ -52,7 +53,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # and individually well-covered — carry the tail risk.
     out: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries, tpch,
-                tpch2, bucketed_join, analytics, analytics2, analytics3,
-                text_queries):
+                tpch2, tpch3, bucketed_join, analytics, analytics2,
+                analytics3, text_queries):
         out.update(mod.QUERIES)
     return out
