@@ -14,3 +14,11 @@ from mapreducewordcount_spark.functions.tokenize import (  # noqa: F401
     tokenize_parity,
 )
 from mapreducewordcount_spark.functions.buckets import bucket_expr  # noqa: F401
+from mapreducewordcount_spark.functions.pii import (  # noqa: F401
+    pii_counts,
+    scrub_pii,
+)
+from mapreducewordcount_spark.functions.sampling import (  # noqa: F401
+    hash_bernoulli,
+    stratified_hash_sample,
+)

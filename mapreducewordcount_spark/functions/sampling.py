@@ -1,0 +1,52 @@
+"""Deterministic content-hash sampling.
+
+``rand()``-based sampling is non-reproducible across reruns, engines,
+and partition layouts — useless for a training-data pipeline that
+must be re-derivable. The standard fix: hash a stable key and keep
+rows whose digest falls below a threshold. Same rows selected on any
+engine, any partitioning, any day; rates compose (a 25% sample of a
+50% sample is the 12.5% sample); and it needs no shuffle, no state,
+no seed bookkeeping — it is a pure row-local predicate that pipelines
+into the scan.
+
+Granularity note: thresholds are expressed as a 2-hex-digit prefix
+bound (1/256 steps ≈ 0.4%). Widen the prefix for finer rates; the
+comparison stays a plain string compare either way (hex digits sort
+lexicographically by value).
+
+Reference parity note: no counterpart in the reference engine
+(SURVEY.md §2.5 extension surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def hash_bernoulli(key: Column | str, threshold_hex: str) -> Column:
+    """True for rows whose md5(key) 2-hex-digit prefix is below
+    ``threshold_hex`` — a deterministic Bernoulli(threshold/256)
+    selection on the key's content."""
+    if not (len(threshold_hex) == 2
+            and all(c in "0123456789abcdef" for c in threshold_hex)):
+        raise ValueError(f"threshold_hex must be 2 lowercase hex digits, "
+                         f"got {threshold_hex!r}")
+    k = F.col(key) if isinstance(key, str) else key
+    return F.substring(F.md5(k.cast("string")), 1, 2) < F.lit(threshold_hex)
+
+
+def stratified_hash_sample(strata_col: Column | str,
+                           key: Column | str,
+                           rates: dict[str, str],
+                           default_hex: str = "00") -> Column:
+    """Per-stratum deterministic sampling predicate: ``rates`` maps a
+    stratum value to its 2-hex-digit threshold; unlisted strata use
+    ``default_hex`` ('00' = drop). The predicate is row-local — at
+    100 TB this is a scan-side filter, never a shuffle."""
+    s = F.col(strata_col) if isinstance(strata_col, str) else strata_col
+    pred = hash_bernoulli(key, default_hex) if default_hex != "00" \
+        else F.lit(False)
+    for value, thresh in rates.items():
+        pred = F.when(s == value, hash_bernoulli(key, thresh)).otherwise(pred)
+    return pred

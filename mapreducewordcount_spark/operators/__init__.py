@@ -3,3 +3,7 @@ from mapreducewordcount_spark.operators.wordcount import (  # noqa: F401
     wordcount_pipeline,
     write_wordcount_output,
 )
+from mapreducewordcount_spark.operators.decontam import (  # noqa: F401
+    contamination_report,
+    decontaminate,
+)

@@ -39,6 +39,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpch2,
         tpch3,
         dedup_queries,
+        pipeline_queries,
         text_queries,
         tpch,
         wordcount_queries,
@@ -52,8 +53,8 @@ def all_queries() -> dict[str, QuerySpec]:
     # reference word-count family; the analytics batches — all cheap
     # and individually well-covered — carry the tail risk.
     out: dict[str, QuerySpec] = {}
-    for mod in (wordcount_queries, curation, dedup_queries, tpch,
-                tpch2, tpch3, bucketed_join, analytics, analytics2,
-                analytics3, text_queries):
+    for mod in (wordcount_queries, curation, dedup_queries,
+                pipeline_queries, tpch, tpch2, tpch3, bucketed_join,
+                analytics, analytics2, analytics3, text_queries):
         out.update(mod.QUERIES)
     return out

@@ -1,0 +1,160 @@
+"""Training-data pipeline queries: decontamination, PII scrubbing,
+deterministic sampling — the corpus-hygiene passes that run before
+any LLM training job, expressed over the ``documents`` table.
+
+Reference parity note: the reference engine (/root/reference/src/)
+has no document pipeline; SURVEY.md §2.5 claims this extension
+surface.
+
+Oracle discipline: everything here is integer counts, string
+equality, or length arithmetic — no floats anywhere, so the only
+cross-engine risks are regex dialect (patterns restricted to the
+Java∩RE2 subset, see functions/pii.py) and tokenizer parity (the
+words/shingles CTEs mirror functions/tokenize.py, shared with
+queries/dedup_queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducewordcount_spark.functions.pii import (
+    PII_PATTERNS,
+    pii_counts,
+    scrub_pii,
+)
+from mapreducewordcount_spark.functions.sampling import stratified_hash_sample
+from mapreducewordcount_spark.operators.decontam import contamination_report
+from mapreducewordcount_spark.queries import QuerySpec
+from mapreducewordcount_spark.queries.dedup_queries import (
+    _SHINGLES_CTE,
+    _WORDS_CTE,
+)
+from mapreducewordcount_spark.sources.tables import load_table, spread
+
+
+# --- decontamination --------------------------------------------------------
+
+def decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 20th document plays the benchmark/eval corpus; the rest
+    are training docs. Report each training doc sharing ≥1 distinct
+    3-gram with any eval doc, with its distinct-hit count."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return contamination_report(train, eval_docs, "doc_id", "text", n=3)
+
+
+DECONTAM_SQL = f"""
+WITH {_WORDS_CTE}, {_SHINGLES_CTE},
+ev AS (SELECT DISTINCT unnest(shingles) AS ngram FROM sh
+       WHERE doc_id % 20 = 0),
+tr AS (SELECT doc_id, unnest(shingles) AS ngram FROM sh
+       WHERE doc_id % 20 <> 0)
+SELECT doc_id, count(*) AS n_hits
+FROM tr JOIN ev USING (ngram)
+GROUP BY 1
+"""
+
+
+# --- PII scrubbing ----------------------------------------------------------
+
+#: deterministic PII planted into the synthetic corpus (which has
+#: none) so the scrub query exercises every pattern with nonzero,
+#: doc-varying counts. Built identically in Spark and the oracle.
+def _planted(doc_id, text):
+    return F.concat(
+        text,
+        F.lit(" contact user"), doc_id.cast("string"),
+        F.lit("@example.com from 10.0.0."), (doc_id % 200).cast("string"),
+        F.when(doc_id % 3 == 0, F.lit(" call 555-123-4567"))
+        .otherwise(F.lit("")),
+        F.when(doc_id % 5 == 0, F.lit(" ssn 123-45-6789"))
+        .otherwise(F.lit("")))
+
+
+_PLANTED_SQL = """
+  text || ' contact user' || CAST(doc_id AS VARCHAR)
+       || '@example.com from 10.0.0.' || CAST(doc_id % 200 AS VARCHAR)
+       || CASE WHEN doc_id % 3 = 0 THEN ' call 555-123-4567' ELSE '' END
+       || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+"""
+
+
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: documents, match counts per PII class, and total
+    characters redacted (planted-text length minus scrubbed length —
+    pure row-local expressions, aggregated once)."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = _planted(F.col("doc_id"), F.col("text"))
+    counts = pii_counts(planted)
+    return (docs
+            .select("source",
+                    counts.alias("c"),
+                    (F.length(planted) - F.length(scrub_pii(planted)))
+                    .alias("delta"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("c.n_email").alias("n_email"),
+                 F.sum("c.n_ipv4").alias("n_ipv4"),
+                 F.sum("c.n_phone").alias("n_phone"),
+                 F.sum("c.n_ssn").alias("n_ssn"),
+                 F.sum("delta").alias("chars_redacted")))
+
+
+def _pii_sql() -> str:
+    # the same patterns, verbatim, via RE2; counts from
+    # regexp_extract_all, scrubbing via global regexp_replace
+    # CAST every sum: DuckDB sums integers into HUGEINT, which does
+    # not hash like the BIGINT the Spark side produces
+    count_cols = ", ".join(
+        f"CAST(sum(len(regexp_extract_all(planted, '{pat}')))"
+        f" AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS)
+    scrub = "planted"
+    for _, pat, token in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
+    return f"""
+WITH p AS (SELECT source, {_PLANTED_SQL} AS planted FROM documents)
+SELECT source, count(*) AS n_docs, {count_cols},
+       CAST(sum(length(planted) - length({scrub})) AS BIGINT)
+         AS chars_redacted
+FROM p GROUP BY source
+"""
+
+
+# --- deterministic sampling -------------------------------------------------
+
+#: per-language sampling thresholds (md5 2-hex-digit prefix bound):
+#: half the English, a quarter of the German, an eighth of the rest.
+_RATES = {"en": "80", "de": "40"}
+_DEFAULT = "20"
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic stratified sample itself — selected doc_ids
+    with their stratum. Reproducible on any engine: the oracle
+    reproduces the exact row set from the same md5 predicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = stratified_hash_sample("lang", "doc_id", _RATES,
+                                  default_hex=_DEFAULT)
+    return docs.filter(keep).select("doc_id", "lang", "source")
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      CASE lang WHEN 'en' THEN '{_RATES["en"]}'
+                WHEN 'de' THEN '{_RATES["de"]}'
+                ELSE '{_DEFAULT}' END
+"""
+
+
+QUERIES = {
+    "decontam_report": QuerySpec(decontam_report, DECONTAM_SQL),
+    "pii_scrub_stats": QuerySpec(pii_scrub_stats, _pii_sql()),
+    "stratified_sample_docs": QuerySpec(stratified_sample_docs,
+                                        STRATIFIED_SAMPLE_SQL),
+}
