@@ -100,8 +100,29 @@ QUALIFY rank <= 20
 """
 
 
+def word_count_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew path, gate-checked: two-phase salted aggregation —
+    count on ``(word, salt)`` (the hot word spreads over 8 reducers,
+    map-side combine still applies), then re-sum on ``word``. Same
+    answer as ``wc_word_count`` by construction, so it shares that
+    oracle. The salt hashes the deterministic doc_id so stage retries
+    reproduce identical counts (the invariant functions/buckets.py
+    documents); grouping on the (word, salt) COLUMN PAIR rather than
+    a concatenated string key sidesteps the separator-collision
+    hazard for words that contain the separator."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id",
+                        F.explode(tokenize_expr("text")).alias("word"))
+    phase1 = (words
+              .withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(8)))
+              .groupBy("word", "salt")
+              .agg(F.count(F.lit(1)).alias("n")))
+    return phase1.groupBy("word").agg(F.sum("n").alias("cnt"))
+
+
 QUERIES = {
     "wc_word_count": QuerySpec(word_count, WORD_COUNT_SQL),
     "wc_bucket_hist": QuerySpec(word_count_buckets, WORD_COUNT_BUCKETS_SQL),
     "wc_top20": QuerySpec(word_count_topk, WORD_COUNT_TOPK_SQL),
+    "wc_word_count_salted": QuerySpec(word_count_salted, WORD_COUNT_SQL),
 }

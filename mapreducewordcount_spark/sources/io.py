@@ -42,6 +42,45 @@ def write_parquet(df: DataFrame, path: str,
     w.parquet(path)
 
 
+def compact_parquet(spark: SparkSession, path: str,
+                    target_bytes: int = 128 * 1024 * 1024,
+                    sort_by: list[str] | None = None) -> int:
+    """Rewrite a parquet dataset into ~``target_bytes`` files; returns
+    the output file count.
+
+    The small-files problem is the tax every streaming/incremental
+    sink pays: thousands of KB-sized files turn listing and scan
+    planning into the bottleneck long before I/O does. The rewrite
+    sizes the file count from the dataset's actual on-disk bytes,
+    then either round-robins (``repartition(n)``, uniform sizes) or
+    range-partitions on ``sort_by`` (globally clustered output —
+    min/max pruning works on the sort keys afterwards).
+
+    Written via a temp directory + atomic rename so a crashed compact
+    never leaves the dataset half-replaced; the rename is the commit
+    point. (Lakehouse formats do this transactionally — see
+    ``open_table_format_available`` — this is the plain-parquet
+    equivalent.)
+    """
+    import os
+    import shutil
+
+    size = sum(os.path.getsize(os.path.join(root, f))
+               for root, _dirs, files in os.walk(path)
+               for f in files if f.endswith(".parquet"))
+    n = max(1, -(-size // target_bytes))  # ceil division
+    df = spark.read.parquet(path)
+    df = (df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
+          if sort_by else df.repartition(n))
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    df.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".__compact_old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+
+
 def open_table_format_available(spark: SparkSession, fmt: str = "delta") -> bool:
     """True when a lakehouse table format's classes are on the classpath."""
     classes = {"delta": "org.apache.spark.sql.delta.catalog.DeltaCatalog",

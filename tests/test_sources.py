@@ -89,3 +89,46 @@ def test_events_ts_precision_contract_vs_duckdb(spark):
     for event_id, us in duck:
         assert us == ns_by_id[event_id] // 1000, \
             f"duckdb µs {us} != trunc(ns/1000) for event {event_id}"
+
+
+def test_compact_parquet_shrinks_file_count(spark, tmp_path):
+    from mapreducewordcount_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "frag")
+    # 64 tiny files (a streaming sink's typical droppings)
+    spark.range(10_000).repartition(64).write.parquet(path)
+    import os
+    before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert before == 64
+    n = compact_parquet(spark, path, target_bytes=10 * 1024 * 1024)
+    after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert after == n < before
+    assert (spark.read.parquet(path).agg({"id": "sum"}).collect()[0][0]
+            == sum(range(10_000)))
+
+
+def test_compact_parquet_range_clusters(spark, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mapreducewordcount_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "frag2")
+    spark.range(50_000).repartition(32).write.parquet(path)
+    compact_parquet(spark, path, target_bytes=120 * 1024, sort_by=["id"])
+    files = [os.path.join(path, f) for f in os.listdir(path)
+             if f.endswith(".parquet")]
+    assert len(files) >= 2
+    # range partitioning → per-file id ranges are pairwise disjoint,
+    # which is what makes parquet min/max pruning effective post-compact
+    spans = []
+    for f in files:
+        t = pq.read_table(f, columns=["id"])["id"].to_pylist()
+        if t:
+            spans.append((min(t), max(t)))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+    total = sum(pq.read_table(f).num_rows for f in files)
+    assert total == 50_000
