@@ -23,6 +23,7 @@ identical either way.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -209,3 +210,72 @@ def stream_purchase_attribution(clicks: DataFrame, purchases: DataFrame,
     return (p.join(c, cond)
             .select(F.col("p_user").alias("user_id"), "purchase_id",
                     "click_id", "purchase_ts", "click_ts", "value"))
+
+
+
+def stream_hygiene(docs: DataFrame, eval_docs: DataFrame, n: int = 3,
+                   max_literal_ngrams: int = 100_000) -> DataFrame:
+    """Streaming corpus hygiene: PII scrub + eval-set decontamination
+    on documents as they arrive — with ZERO streaming state.
+
+    Scrubbing is stateless row-local regex. Decontamination against a
+    static eval corpus does not need a join at all in streaming form:
+    the eval n-gram set is finite and known at plan time, so the
+    membership test becomes a row-local array predicate —
+    ``NOT arrays_overlap(shingles(text), <eval n-grams>)``. No
+    shuffle, no state store, no watermark; a doc is checked entirely
+    inside its own row. (The batch operator in operators/decontam.py
+    keeps the join formulation because batch wants the per-doc hit
+    REPORT; streaming hygiene only needs the keep/drop bit.)
+
+    The eval set ships either as a plan literal (small sets — it is
+    one array allocated once per codegen'd task) or, above
+    ``max_literal_ngrams``, as an Arrow-batched pandas UDF over a
+    SparkContext broadcast variable, which is the 100 TB form: the
+    driver serializes the set once per executor, not per task, and
+    batches amortize the Python hop. The UDF consumes the raw text
+    attribute and shingles Python-side (mirroring
+    ``text_metrics.words``): a Python UDF whose argument embeds a
+    higher-order-function lambda is not reliably extracted into
+    ArrowEvalPython (observed: extraction silently skipped after any
+    streaming query ran on the session → runtime
+    "Cannot evaluate expression" from the interpreted Filter), and a
+    plain-attribute input is also one Arrow hop instead of
+    JVM-shingle + transfer.
+    """
+    from mapreducewordcount_spark.functions.pii import scrub_pii
+    from mapreducewordcount_spark.functions.text_metrics import shingles
+    from mapreducewordcount_spark.operators.decontam import eval_ngram_set
+
+    ngrams = [r.ngram for r in eval_ngram_set(eval_docs, "text", n).collect()]
+    if len(ngrams) <= max_literal_ngrams:
+        clean = ~F.arrays_overlap(
+            shingles("text", n),
+            F.array(*[F.lit(g) for g in ngrams]).cast("array<string>"))
+    else:
+        import re
+        import string
+
+        bc = docs.sparkSession.sparkContext.broadcast(frozenset(ngrams))
+        ws_re = re.compile(r"\s+", re.UNICODE)
+        ends_re = re.compile(
+            "^[{p}]+|[{p}]+$".format(p=re.escape(string.punctuation)))
+
+        @F.pandas_udf("boolean")
+        def misses_eval(texts: pd.Series) -> pd.Series:
+            ev = bc.value
+
+            def check(text: str) -> bool:
+                toks = [t for t in (ends_re.sub("", w).lower()
+                                    for w in ws_re.split(text or "")) if t]
+                return not any(" ".join(toks[i:i + n]) in ev
+                               for i in range(len(toks) - n + 1))
+
+            return texts.map(check)
+
+        clean = misses_eval(F.col("text"))
+    return (docs
+            .withColumn("__keep", clean)
+            .filter(F.col("__keep"))
+            .drop("__keep")
+            .withColumn("text", scrub_pii("text")))

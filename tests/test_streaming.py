@@ -169,3 +169,65 @@ def test_stream_stream_interval_join_matches_batch(spark, events_stream_dir):
         & (F.col("click_ts") >= F.col("purchase_ts")
            - F.expr("INTERVAL 1 hour"))).collect()}
     assert got == want and got, "stream-stream join must match batch join"
+
+
+def test_stream_hygiene_scrubs_and_decontaminates(spark, tmp_path):
+    """stream_hygiene drops eval-overlapping docs and scrubs PII in
+    the survivors — all with zero streaming state (append mode with
+    no watermark only works for stateless plans, so the mode itself
+    asserts statelessness)."""
+    import json
+
+    from mapreducewordcount_spark.streaming.jobs import stream_hygiene
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "the quick brown fox jumps today"},  # contaminated
+        {"doc_id": 2, "text": "mail me at a@b.io please now ok"},
+        {"doc_id": 3, "text": "totally unrelated clean words here"},
+    ]
+    (src / "d.json").write_text(
+        "\n".join(json.dumps(r) for r in rows) + "\n")
+    docs = (spark.readStream
+            .schema(T.StructType([T.StructField("doc_id", T.LongType()),
+                                  T.StructField("text", T.StringType())]))
+            .json(str(src)))
+    eval_docs = spark.createDataFrame(
+        [(99, "the quick brown fox sat quietly")], "doc_id long, text string")
+
+    out = stream_hygiene(docs, eval_docs, n=3)
+    q = (out.writeStream.format("memory").queryName("hygiene_stream")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.doc_id: r.text
+           for r in spark.sql("SELECT * FROM hygiene_stream").collect()}
+    assert set(got) == {2, 3}              # doc 1 shares 'the quick brown' ...
+    assert got[2] == "mail me at <EMAIL> please now ok"
+    assert got[3] == "totally unrelated clean words here"
+
+
+def test_stream_hygiene_udf_path_matches_literal_path(spark):
+    """Forcing the broadcast-UDF membership path (max_literal_ngrams=0)
+    must select exactly the same documents as the literal-array path."""
+    from mapreducewordcount_spark.streaming.jobs import stream_hygiene
+
+    docs = spark.createDataFrame(
+        [(i, f"prefix {w} common tail words here") for i, w in
+         enumerate(["alpha beta gamma", "delta epsilon zeta",
+                    "eta theta iota", "alpha beta delta"])],
+        "doc_id long, text string")
+    eval_docs = spark.createDataFrame(
+        [(0, "x alpha beta gamma y")], "doc_id long, text string")
+    # batch frames run through the same code path (nothing in
+    # stream_hygiene is streaming-specific)
+    lit_ids = sorted(r.doc_id for r in
+                     stream_hygiene(docs, eval_docs, n=3).collect())
+    udf_ids = sorted(r.doc_id for r in
+                     stream_hygiene(docs, eval_docs, n=3,
+                                    max_literal_ngrams=0).collect())
+    assert lit_ids == udf_ids
+    assert 0 not in lit_ids  # 'alpha beta gamma' overlaps eval
