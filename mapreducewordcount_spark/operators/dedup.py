@@ -96,6 +96,74 @@ def shingle_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
             .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard")))
 
 
+def prefix_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", n: int = 3,
+                         threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard pairs at scale: prefix filtering
+    (the AllPairs/PPJoin family), NOT a quadratic self-join.
+
+    Same output contract as ``shingle_jaccard_pairs`` (it computes the
+    same math, so the two must agree row-for-row — pinned in tests),
+    but candidate generation only joins on *prefix* shingles:
+
+    1. order every document's shingle set by ascending global document
+       frequency (rarest first; ties on the shingle string so the
+       order is one total order shared by all docs);
+    2. keep each doc's first ``|S| - ceil(t·|S|) + 1`` shingles (the
+       prefix). Two sets with Jaccard ≥ t must share at least one
+       prefix element under a common total order — pigeonhole: a pair
+       that disagrees on every prefix element has too few elements
+       left to reach the required overlap;
+    3. equi-join prefixes on the shingle (plus the length filter
+       ``t·|A| ≤ |B| ≤ |A|/t`` both ways), then verify exact Jaccard
+       on the candidates only.
+
+    Scale shape: the join input is the rarest fraction of each set, so
+    hot boilerplate shingles (high df) are systematically *excluded*
+    from candidate keys — the opposite of the naive exploded join,
+    where they dominate the shuffle. Shuffle cost ≈ O(docs × prefix),
+    verify cost O(candidates). ``ceil`` is taken with a 1e-9 slack so
+    float noise in ``t·|S|`` can only lengthen a prefix (more
+    candidates), never shorten it (missed pairs).
+    """
+    t = float(threshold)
+    if not 0.0 < t <= 1.0:
+        raise ValueError(f"threshold={t} must be in (0, 1]")
+    sh = _doc_shingles(docs, id_col, text_col, n).persist()
+    tok = sh.select("doc_id", F.size("shingles").alias("sz"),
+                    F.explode("shingles").alias("e"))
+    df_freq = tok.groupBy("e").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "e")
+    p_len = F.col("sz") - F.ceil(F.col("sz") * t - 1e-9) + 1
+    prefix = (tok.join(df_freq, "e")
+              .withColumn("pos", F.row_number().over(w))
+              .filter(F.col("pos") <= p_len)
+              .select("doc_id", "sz", "e"))
+    a = prefix.select(F.col("doc_id").alias("a_id"),
+                      F.col("sz").alias("a_sz"), "e")
+    b = prefix.select(F.col("doc_id").alias("b_id"),
+                      F.col("sz").alias("b_sz"), "e")
+    cand = (a.join(b, "e")
+            .filter((F.col("a_id") < F.col("b_id"))
+                    & (F.col("b_sz") >= F.ceil(F.col("a_sz") * t - 1e-9))
+                    & (F.col("a_sz") >= F.ceil(F.col("b_sz") * t - 1e-9)))
+            .select("a_id", "b_id")
+            .distinct())
+    av = sh.select(F.col("doc_id").alias("a_id"),
+                   F.col("shingles").alias("a_el"))
+    bv = sh.select(F.col("doc_id").alias("b_id"),
+                   F.col("shingles").alias("b_el"))
+    inter = F.size(F.array_intersect("a_el", "b_el"))
+    # survivors ≪ corpus: broadcast the pair list into the verify
+    # joins so the shingle table never shuffles again
+    return (F.broadcast(cand).join(av, "a_id").join(bv, "b_id")
+            .withColumn("jaccard",
+                        inter.cast("double")
+                        / (F.size("a_el") + F.size("b_el") - inter))
+            .filter(F.col("jaccard") >= t)
+            .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard")))
+
+
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
                        num_hashes: int = 64) -> DataFrame:

@@ -80,6 +80,14 @@ WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
 """
 
 
+def dedup_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs via prefix filtering (AllPairs/PPJoin
+    family): same result set as ``dedup_ngram_pairs`` — the same
+    DuckDB oracle — from a subquadratic candidate join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.prefix_jaccard_pairs(docs, threshold=0.5)
+
+
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dd.minhash_lsh_pairs(docs, threshold=0.5)
@@ -250,6 +258,7 @@ QUERIES = {
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_COSINE_SQL),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_pairs": QuerySpec(dedup_ngram_pairs, DEDUP_PAIRS_SQL),
+    "dedup_prefix_pairs": QuerySpec(dedup_prefix_pairs, DEDUP_PAIRS_SQL),
     "dedup_minhash_pairs": QuerySpec(dedup_minhash_pairs, DEDUP_PAIRS_SQL),
     "dedup_simhash_pairs": QuerySpec(dedup_simhash_pairs, None),
     "dedup_groups": QuerySpec(dedup_groups, DEDUP_GROUPS_SQL),

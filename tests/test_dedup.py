@@ -178,3 +178,51 @@ def test_winnow_pairs_rank_near_dups_first(spark):
              for r in dd.winnow_pairs(df, min_shared=1).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_prefix_jaccard_matches_exact_quadratic(spark, docs):
+    """prefix_jaccard_pairs is exact: identical rows (ids AND jaccard
+    values) to the quadratic all-pairs operator — the prefix filter is
+    a complete candidate generator, never a recall trade."""
+    exact = {(r.a_id, r.b_id): r.jaccard for r in
+             dd.shingle_jaccard_pairs(docs, threshold=0.5).collect()}
+    pf = {(r.a_id, r.b_id): r.jaccard for r in
+          dd.prefix_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert exact and pf == exact
+
+
+def test_prefix_jaccard_threshold_one_is_set_equality(spark):
+    rows = [(1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),        # identical set
+            (3, "alpha beta gamma delta epsilon"),  # superset: j < 1
+            (4, "unrelated words entirely here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.a_id, r.b_id, r.jaccard)
+           for r in dd.prefix_jaccard_pairs(df, n=3, threshold=1.0).collect()}
+    assert got == {(1, 2, 1.0)}
+
+
+def test_prefix_jaccard_rejects_bad_threshold(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError):
+            dd.prefix_jaccard_pairs(df, threshold=bad)
+
+
+def test_prefix_jaccard_agrees_with_quadratic_on_random_corpus(spark):
+    """Property-style sweep on a constructed corpus with heavy shingle
+    sharing and mixed sizes, across thresholds (float-ceil edges)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(3, 40))))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.1, 0.3, 0.5, 0.8):
+        exact = {(r.a_id, r.b_id): r.jaccard for r in
+                 dd.shingle_jaccard_pairs(df, threshold=t).collect()}
+        pf = {(r.a_id, r.b_id): r.jaccard for r in
+              dd.prefix_jaccard_pairs(df, threshold=t).collect()}
+        assert pf == exact, f"mismatch at threshold {t}"

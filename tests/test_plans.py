@@ -116,3 +116,18 @@ def test_topk_plans_use_take_ordered_not_global_window(spark):
         # heap-based cut appearing in the plan IS the fix; the rank
         # window above it only ever sees k rows
         assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_prefix_jaccard_candidates_are_equi_join(spark):
+    """prefix_jaccard_pairs' candidate stage must join on the shingle
+    key (hash/SMJ), never fall back to a nested-loop pair scan — the
+    length filters ride the equi-join as post-conditions."""
+    from mapreducewordcount_spark.operators.dedup import prefix_jaccard_pairs
+    from mapreducewordcount_spark.plans import explain_str
+    from mapreducewordcount_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    plan = explain_str(prefix_jaccard_pairs(docs, threshold=0.5))
+    assert "BroadcastNestedLoopJoin" not in plan, \
+        "prefix-filter candidate generation fell back to a pair scan"
+    assert "CartesianProduct" not in plan
