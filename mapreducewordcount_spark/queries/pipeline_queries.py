@@ -152,9 +152,66 @@ WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
 """
 
 
+def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-length deciles — the mixture/curriculum
+    stratification pass of a training pipeline — computed through the
+    grouped-Arrow custom-operator path (``applyInPandas``).
+
+    The decile math is exact ``ntile(10)`` over the total order
+    ``(n_tokens, doc_id)``, so the DuckDB window oracle pins the
+    entire Arrow round-trip (shuffle on group key → pandas → typed
+    return) to an integer-exact, order-independent contract; see
+    ``operators/grouped.py`` for why the verifiable instance matters.
+    """
+    from mapreducewordcount_spark.functions import text_metrics as tm
+    from mapreducewordcount_spark.operators.grouped import grouped_ntile
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    base = d.select("doc_id",
+                    tm.language_id("text").alias("pred_lang"),
+                    tm.token_count("text").alias("n_tokens"))
+    return grouped_ntile(base, ["pred_lang"], ["n_tokens", "doc_id"],
+                         k=10, out_col="decile")
+
+
+# lang CASE mirrors queries/analytics.py DOC_LANGUAGE_SQL (same
+# argmax-with-alphabetic-tiebreak), token regex = text_metrics.TOKEN_REGEX
+DOC_LENGTH_DECILES_SQL = f"""
+WITH {_WORDS_CTE},
+scored AS (
+  SELECT doc_id,
+         len(list_filter(words, x -> list_contains(['the','and','of','to','is','that','with'], x))) AS s_en,
+         len(list_filter(words, x -> list_contains(['el','la','de','que','los','por','una'], x))) AS s_es,
+         len(list_filter(words, x -> list_contains(['le','la','les','des','est','dans','pour'], x))) AS s_fr,
+         len(list_filter(words, x -> list_contains(['der','die','das','und','ist','nicht','mit'], x))) AS s_de
+  FROM w
+),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+              WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+              WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+              WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+              ELSE 'de' END AS pred_lang
+  FROM scored
+),
+tok AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) AS n_tokens
+  FROM documents
+)
+SELECT l.doc_id, l.pred_lang, t.n_tokens,
+       CAST(ntile(10) OVER (PARTITION BY l.pred_lang
+                            ORDER BY t.n_tokens, l.doc_id) AS INT) AS decile
+FROM lang l JOIN tok t USING (doc_id)
+"""
+
+
 QUERIES = {
     "decontam_report": QuerySpec(decontam_report, DECONTAM_SQL),
     "pii_scrub_stats": QuerySpec(pii_scrub_stats, _pii_sql()),
     "stratified_sample_docs": QuerySpec(stratified_sample_docs,
                                         STRATIFIED_SAMPLE_SQL),
+    "doc_length_deciles": QuerySpec(doc_length_deciles,
+                                    DOC_LENGTH_DECILES_SQL),
 }
