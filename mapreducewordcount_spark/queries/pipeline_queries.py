@@ -207,6 +207,65 @@ FROM lang l JOIN tok t USING (doc_id)
 """
 
 
+def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal plumbing, end-to-end in the hard gate: text
+    bytes play opaque media payloads (this container ships no codecs,
+    and the gate tables carry no binary columns), flowing through the
+    REAL pipeline — binary column + typed metadata, byte-budget
+    repartition (``size_bucketed``), Arrow-batched ``mapInPandas``
+    feature extraction with the deterministic fake decoder.
+
+    The fake decoder derives features from sha256(payload), which the
+    DuckDB oracle replicates byte-for-byte — so the gate pins the
+    Arrow binary round-trip and batch iteration, exactly the parts
+    that stay when a real codec replaces ``_fake_decode``.
+    """
+    from mapreducewordcount_spark.operators.multimodal import (
+        extract_image_features,
+        size_bucketed,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(F.col("doc_id").alias("media_id"),
+                     F.encode("text", "UTF-8").alias("payload"),
+                     F.lit("txt").alias("format"))
+    return extract_image_features(size_bucketed(media), fake=True)
+
+
+def _hexbyte_sql(pos: int) -> str:
+    """SQL for byte ``pos`` (0-based) of the sha256 hex digest ``d``."""
+    c1, c2 = 2 * pos + 1, 2 * pos + 2
+    hx = "'0123456789abcdef'"
+    return (f"(instr({hx}, substr(d, {c1}, 1)) - 1) * 16"
+            f" + (instr({hx}, substr(d, {c2}, 1)) - 1)")
+
+
+MEDIA_FEATURES_SQL = f"""
+WITH h AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) AS n_bytes,
+         sha256(text) AS d
+  FROM documents
+),
+b AS (
+  SELECT media_id, n_bytes,
+         {_hexbyte_sql(0)} AS h0,
+         {_hexbyte_sql(1)} AS h1,
+         {_hexbyte_sql(2)} AS h2,
+         {_hexbyte_sql(3)} AS h3,
+         {_hexbyte_sql(4)} AS h4
+  FROM h
+)
+SELECT media_id, CAST(n_bytes AS INT) AS n_bytes, 'txt' AS format,
+       CAST(16 + h0 % 64 AS INT) AS width,
+       CAST(16 + h1 % 64 AS INT) AS height,
+       round(h2 / 255.0, 6) AS mean_r,
+       round(h3 / 255.0, 6) AS mean_g,
+       round(h4 / 255.0, 6) AS mean_b
+FROM b
+"""
+
+
 QUERIES = {
     "decontam_report": QuerySpec(decontam_report, DECONTAM_SQL),
     "pii_scrub_stats": QuerySpec(pii_scrub_stats, _pii_sql()),
@@ -214,4 +273,6 @@ QUERIES = {
                                         STRATIFIED_SAMPLE_SQL),
     "doc_length_deciles": QuerySpec(doc_length_deciles,
                                     DOC_LENGTH_DECILES_SQL),
+    "media_image_features": QuerySpec(media_image_features,
+                                      MEDIA_FEATURES_SQL),
 }
