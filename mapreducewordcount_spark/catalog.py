@@ -1,0 +1,34 @@
+"""SQL entry point: register the engine's tables and query with SQL.
+
+The reference exposes exactly one hard-coded job; this engine is also
+a general SQL surface — ``open_catalog`` registers every testdata
+table as a temp view (through ``sources.tables.load_table``, so the
+events nanos→µs timestamp contract and session hardening apply
+identically to SQL and DataFrame users), after which any
+``spark.sql(...)`` runs through the same Catalyst/Tungsten pipeline
+as the DataFrame queries. ``sql`` is a convenience wrapper that
+scopes the views.
+
+At scale nothing changes: temp views are metadata only — the SQL
+planner sees the same parquet relations, pushdowns and pruning
+included.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreducewordcount_spark.sources.tables import TABLES, load_table
+
+
+def open_catalog(spark: SparkSession, sf_dir: str,
+                 tables: tuple[str, ...] = TABLES) -> None:
+    """Register ``tables`` from ``sf_dir`` as temp views."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Run one SQL query against the ``sf_dir`` tables."""
+    open_catalog(spark, sf_dir)
+    return spark.sql(query)
