@@ -185,8 +185,58 @@ GROUP BY key
 """
 
 
+def nation_balance_reconciliation(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """FULL OUTER join shape: reconcile two filtered per-nation
+    aggregates (deeply-negative-balance customers vs negative-balance
+    suppliers; thresholds asymmetric so all three presence classes
+    genuinely occur at sf0.01).
+
+    The rare-balance filters make one-sided nations genuinely occur,
+    so the outer join's null-coalescing path is exercised, not just
+    its syntax. Null counts are coalesced to 0 and presence is
+    flagged — the standard two-ledger reconciliation shape.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cust = (c.filter(F.col("c_acctbal") < -900)
+            .groupBy(F.col("c_nationkey").alias("nationkey"))
+            .agg(F.count(F.lit(1)).alias("n_cust")))
+    supp = (s.filter(F.col("s_acctbal") < 0)
+            .groupBy(F.col("s_nationkey").alias("nationkey"))
+            .agg(F.count(F.lit(1)).alias("n_supp")))
+    return (cust.join(supp, "nationkey", "full_outer")
+            .select("nationkey",
+                    F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+                    F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+                    F.when(F.col("n_cust").isNull(), "supp_only")
+                    .when(F.col("n_supp").isNull(), "cust_only")
+                    .otherwise("both").alias("presence")))
+
+
+NATION_RECON_SQL = """
+WITH cust AS (
+  SELECT c_nationkey AS nationkey, count(*) AS n_cust
+  FROM customer WHERE c_acctbal < -900 GROUP BY 1
+),
+supp AS (
+  SELECT s_nationkey AS nationkey, count(*) AS n_supp
+  FROM supplier WHERE s_acctbal < 0 GROUP BY 1
+)
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       COALESCE(n_cust, 0) AS n_cust,
+       COALESCE(n_supp, 0) AS n_supp,
+       CASE WHEN n_cust IS NULL THEN 'supp_only'
+            WHEN n_supp IS NULL THEN 'cust_only'
+            ELSE 'both' END AS presence
+FROM cust c FULL OUTER JOIN supp s USING (nationkey)
+"""
+
+
 QUERIES = {
     "above_avg_customers": QuerySpec(above_avg_customers, ABOVE_AVG_SQL),
+    "nation_balance_reconciliation": QuerySpec(nation_balance_reconciliation,
+                                               NATION_RECON_SQL),
     "sketch_stats": QuerySpec(sketch_stats, None),
     "acctbal_histogram": QuerySpec(acctbal_histogram, ACCTBAL_HISTOGRAM_SQL),
     "events_props_keys": QuerySpec(events_props_keys, EVENTS_PROPS_KEYS_SQL),
