@@ -18,14 +18,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mapreducewordcount_spark.sources.tables import TABLES, load_table
+from mapreducewordcount_spark.sources.tables import TABLES, register_views
 
 
 def open_catalog(spark: SparkSession, sf_dir: str,
                  tables: tuple[str, ...] = TABLES) -> None:
-    """Register ``tables`` from ``sf_dir`` as temp views."""
-    for name in tables:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    """Register ``tables`` from ``sf_dir`` as temp views
+    (delegates to ``sources.tables.register_views``)."""
+    register_views(spark, sf_dir, tables)
 
 
 def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
