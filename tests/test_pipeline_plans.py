@@ -63,3 +63,30 @@ def test_salted_join_is_hash_join_on_composite_key(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "__salt" in plan  # the composite key actually carries the salt
+
+
+def test_doc_length_deciles_single_group_exchange(spark):
+    """The grouped-Arrow path must cost exactly its contract: one
+    exchange hash-partitioned on the group key feeding FlatMapGroups
+    (plus the deliberate spread() of the compact source), nothing
+    else — no extra shuffle sneaks between the repartition and the
+    groupBy."""
+    plan = explain_str(
+        pipeline_queries.doc_length_deciles(spark, SF_ORACLE))
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges <= 2, \
+        f"expected spread + group-key exchanges only, got {n_exchanges}:\n{plan}"
+    assert "hashpartitioning(pred_lang" in plan
+
+
+def test_media_features_is_map_only_after_repartition(spark):
+    """Multimodal extraction is map-shaped: one byte-budget
+    round-robin/hash repartition, then mapInPandas — no joins, no
+    aggregates, no second exchange."""
+    plan = explain_str(
+        pipeline_queries.media_image_features(spark, SF_ORACLE))
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange ") == 1, plan
+    for op in ("Join", "HashAggregate", "Sort "):
+        assert op not in plan, f"unexpected {op} in map-only plan:\n{plan}"
