@@ -39,8 +39,10 @@ HEADLINE = (
     "wc_word_count",
     "dedup_exact",
     "dedup_minhash_pairs",
+    "dedup_prefix_pairs",
     "ann_cosine_topk",
     "doc_quality",
+    "doc_length_deciles",
 )
 
 
@@ -50,22 +52,38 @@ def main() -> None:
     specs = all_queries()
 
     # warm up the JVM/codegen on the smallest table once
-    specs["q1_pricing_summary"].spark_fn(spark, sf_dir).write \
-        .mode("overwrite").format("noop").save()
+    try:
+        specs["q1_pricing_summary"].spark_fn(spark, sf_dir).write \
+            .mode("overwrite").format("noop").save()
+    except Exception as exc:  # noqa: BLE001 — warmup must not kill the run
+        print(f"warmup failed: {exc!r}", file=sys.stderr)
 
-    timings: dict[str, float] = {}
+    # per-query isolation: one broken query must degrade the report
+    # (null timing + error string), never erase it — a bench harness
+    # should degrade, not vanish (round-2 lesson).
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):  # best-of-2: strips JIT/page-cache jitter
-            t0 = time.perf_counter()
-            specs[name].spark_fn(spark, sf_dir).write \
-                .mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):  # best-of-2: strips JIT/page-cache jitter
+                t0 = time.perf_counter()
+                specs[name].spark_fn(spark, sf_dir).write \
+                    .mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = None
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench query {name} failed: {errors[name]}",
+                  file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
-    print(json.dumps({"metric": "headline_total", "value": total,
-                      "unit": "sec", "queries": timings, "sf": sf_dir}))
+    total = round(sum(v for v in timings.values() if v is not None), 3)
+    report = {"metric": "headline_total", "value": total, "unit": "sec",
+              "queries": timings, "sf": sf_dir}
+    if errors:
+        report["errors"] = errors
+    print(json.dumps(report))
     spark.stop()
 
 

@@ -20,12 +20,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mapreducewordcount_spark.sources.tables import TABLES, register_views
 
+#: what each session currently has registered — registration is
+#: metadata-only but "open once" should mean once; repeated sql()
+#: calls must not re-plan 10 parquet scans per call. Keyed by session
+#: id and storing only the CURRENT (sf_dir, tables) so switching
+#: sf_dirs always re-registers (createOrReplaceTempView overwrites).
+_OPENED: dict[int, tuple[str, tuple[str, ...]]] = {}
+
 
 def open_catalog(spark: SparkSession, sf_dir: str,
                  tables: tuple[str, ...] = TABLES) -> None:
     """Register ``tables`` from ``sf_dir`` as temp views
-    (delegates to ``sources.tables.register_views``)."""
+    (delegates to ``sources.tables.register_views``). Idempotent —
+    a repeated call with the session's current (sf_dir, tables) is a
+    no-op; a different sf_dir or table set re-registers."""
+    state = (sf_dir, tuple(tables))
+    if _OPENED.get(id(spark)) == state:
+        return
     register_views(spark, sf_dir, tables)
+    _OPENED[id(spark)] = state
 
 
 def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:

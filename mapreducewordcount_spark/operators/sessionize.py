@@ -26,10 +26,13 @@ def sessionize(events: DataFrame, user_col: str = "user_id",
     w = Window.partitionBy(user_col).orderBy(*order)
     gap_s = gap_minutes * 60
     prev = F.lag(ts_col).over(w)
-    # cast-to-double keeps sub-second precision (unix_timestamp truncates)
+    # cast via timestamp first: NTZ→double is not castable directly,
+    # timestamp→double is; double keeps sub-second precision
+    # (unix_timestamp truncates)
+    as_sec = lambda c: c.cast("timestamp").cast("double")  # noqa: E731
     new_session = (
         prev.isNull()
-        | ((F.col(ts_col).cast("double") - prev.cast("double")) > gap_s)
+        | ((as_sec(F.col(ts_col)) - as_sec(prev)) > gap_s)
     ).cast("long")
     return (events
             .withColumn("__new", new_session)

@@ -40,27 +40,50 @@ def all_queries() -> dict[str, QuerySpec]:
         tpch3,
         dedup_queries,
         pipeline_queries,
+        pipeline2,
         text_queries,
         tpch,
         wordcount_queries,
     )
 
     # Order matters: the driver gate walks this dict in insertion
-    # order, and round 1 showed it stops after ~50 entries (the last 3
-    # registered queries got no CORRECTNESS row despite being in the
-    # registry). The first 50 entries are therefore chosen to cover
-    # every operator FAMILY exactly once: reference word-count,
-    # composed curation, the full dedup/ANN ladder, corpus hygiene +
-    # grouped-Arrow + multimodal, TPC-H core shapes (batch 1),
-    # bucketed fact⋈fact, the events family (as-of, sessionize,
-    # windows, JSON), and the text family (TF-IDF, bigrams). The tail
-    # carries family-redundant variants only: analytics2/3 (r1
-    # hash-green with recorded CORRECTNESS_r01 rows) and TPC-H
-    # batches 2/3 (same join/agg/subquery shapes as batch 1; each is
-    # oracle-checked locally in tests/test_oracle.py).
-    out: dict[str, QuerySpec] = {}
+    # order and records rows for the first ~50 entries only; the tail
+    # is covered locally by tests/test_oracle.py's full-registry
+    # sweep. The gate window is ROTATED per round so every query gets
+    # a hash-green driver row across rounds:
+    #   r1+r2 window — word-count, curation, dedup/ANN ladder,
+    #   hygiene + grouped-Arrow + multimodal, TPC-H batch 1, bucketed
+    #   join, events family, text family (all hash-green in
+    #   CORRECTNESS_r01/r02);
+    #   r3 window (below) — the never-driver-checked TPC-H batches
+    #   2/3 and nation_balance_reconciliation, the r1-only
+    #   analytics2/3 families, the full events/doc analytics family
+    #   (regression-verifies the r2 events.ts fix), plus one
+    #   representative per already-green core family.
+    full: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries,
-                pipeline_queries, tpch, bucketed_join, analytics,
-                text_queries, analytics2, analytics3, tpch2, tpch3):
-        out.update(mod.QUERIES)
+                pipeline_queries, pipeline2, tpch, bucketed_join,
+                analytics, text_queries, analytics2, analytics3,
+                tpch2, tpch3):
+        full.update(mod.QUERIES)
+
+    gate_first = (
+        # TPC-H batch 2 (never driver-checked before r3)
+        *tpch2.QUERIES,
+        # TPC-H batch 3 (never driver-checked before r3)
+        *tpch3.QUERIES,
+        # analytics3 — incl. nation_balance_reconciliation (never checked)
+        *analytics3.QUERIES,
+        # analytics2 — r1-green only, rotate back in
+        *analytics2.QUERIES,
+        # events + doc family — re-verify after the ts-encoding fix
+        *analytics.QUERIES,
+        # one representative per core family (r2-green, keep a live row)
+        "wc_word_count", "curate_corpus", "dedup_exact",
+        "dedup_minhash_pairs", "dedup_prefix_pairs", "ann_cosine_topk",
+        "doc_length_deciles", "media_image_features",
+        "bucketed_order_revenue",
+    )
+    out = {n: full[n] for n in gate_first}
+    out.update(full)  # remainder keeps its original relative order
     return out

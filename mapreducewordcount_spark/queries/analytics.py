@@ -144,13 +144,16 @@ def events_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducewordcount_spark.operators.rangejoin import point_in_interval_join
 
     e = _t(spark, sf_dir, "events")
+    # cast via timestamp first so the query survives either parquet
+    # encoding of ts (NTZ→double is not castable; timestamp→double is)
+    t = F.col("ts").cast("timestamp").cast("double")
     points = e.select(F.col("event_id"), F.col("user_id").alias("p_user"),
-                      F.col("ts").cast("double").alias("t"))
+                      t.alias("t"))
     intervals = (e.filter(F.col("event_type") == "purchase")
                  .select(F.col("event_id").alias("purchase_id"),
                          F.col("user_id").alias("i_user"),
-                         F.col("ts").cast("double").alias("t_start"),
-                         (F.col("ts").cast("double") + 3600.0).alias("t_end")))
+                         t.alias("t_start"),
+                         (t + 3600.0).alias("t_end")))
     joined = point_in_interval_join(
         points, intervals, point_key="p_user", interval_key="i_user",
         point_col="t", start_col="t_start", end_col="t_end",

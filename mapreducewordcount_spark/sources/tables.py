@@ -21,6 +21,32 @@ TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to µs ``TimestampType`` whatever the
+    parquet encoding delivered:
+
+    - ``LongType`` (TIMESTAMP(NANOS) under ``nanosAsLong``) — nanos →
+      µs with integer arithmetic (a double division would lose
+      precision at 1e18-scale nanos);
+    - ``TimestampNTZType`` (``timestamp[us]`` without tz) —
+      ``cast("timestamp")``, value-preserving under the pinned UTC
+      session timezone;
+    - ``TimestampType`` — passthrough.
+
+    Used by both the batch loader and the streaming test fixtures so
+    testdata regeneration can't silently change the time contract.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # self-defensive: callers may hand us a session built without
@@ -32,15 +58,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as
-        # long nanos (legacy.parquet.nanosAsLong); convert to a real
-        # timestamp at µs precision with integer arithmetic (a double
-        # division would lose precision at 1e18-scale nanos)
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
-
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # events.ts has drifted across testdata generations
+        # (TIMESTAMP(NANOS) → timestamp[us]-NTZ); normalize every
+        # arrival type to one TimestampType contract.
+        df = normalize_events_ts(df)
     return df
 
 

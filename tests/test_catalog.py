@@ -35,3 +35,28 @@ def test_catalog_events_view_has_converted_timestamps(spark):
     open_catalog(spark, SF_ORACLE)
     dtype = dict(spark.table("events").dtypes)["ts"]
     assert dtype == "timestamp"
+
+
+def test_open_catalog_idempotent(spark, monkeypatch):
+    """Repeated sql() calls must register views once per
+    (session, sf_dir), not 10 re-plans per call; a different sf_dir
+    must re-register."""
+    import mapreducewordcount_spark.catalog as cat
+
+    calls = []
+    real = cat.register_views
+    monkeypatch.setattr(cat, "register_views",
+                        lambda *a, **kw: (calls.append(a), real(*a, **kw)))
+    cat._OPENED.pop(id(spark), None)
+    sql(spark, SF_ORACLE, "SELECT count(*) AS n FROM region").collect()
+    sql(spark, SF_ORACLE, "SELECT count(*) AS n FROM nation").collect()
+    open_catalog(spark, SF_ORACLE)
+    assert len(calls) == 1
+    # switching sf_dir re-registers (views are overwritten, state moves)
+    other = SF_ORACLE.replace("sf0.01", "sf0.001")
+    open_catalog(spark, other)
+    assert len(calls) == 2
+    # ...and switching back re-registers again (no stale-set shortcut)
+    open_catalog(spark, SF_ORACLE)
+    assert len(calls) == 3
+    cat._OPENED.pop(id(spark), None)

@@ -90,3 +90,49 @@ def test_media_features_is_map_only_after_repartition(spark):
     assert plan.count("Exchange ") == 1, plan
     for op in ("Join", "HashAggregate", "Sort "):
         assert op not in plan, f"unexpected {op} in map-only plan:\n{plan}"
+
+
+# --- round-3 pipeline batch (pipeline2.py) ----------------------------------
+
+def test_repetition_stats_no_shuffle_beyond_spread(spark):
+    """Repetition signals are a narrow map: no join/window/agg
+    shuffle — only the deliberate spread() repartition may appear."""
+    from mapreducewordcount_spark.queries import pipeline2
+
+    plan = explain_str(pipeline2.doc_repetition_stats(spark, SF_ORACLE))
+    for op in ("Join", "Window", "HashAggregate", "Sort"):
+        assert op not in plan, op
+    assert plan.count("+- Exchange") <= 1  # the spread() only
+
+
+def test_boilerplate_single_explode_two_shuffles(spark):
+    """Boilerplate = explode ONCE (one Generate), doc-frequency via
+    window (no self-join of the exploded lines), no nested loop."""
+    from mapreducewordcount_spark.queries import pipeline2
+
+    plan = explain_str(pipeline2.boilerplate_lines(spark, SF_ORACLE))
+    assert plan.count(") Generate") == 1  # numbered op appears once
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_one_window_no_join(spark):
+    """Packing is pure window algebra: one Window, zero joins; the
+    window partitioning is (source, shard) — shard-parallel, never a
+    single global sort."""
+    from mapreducewordcount_spark.queries import pipeline2
+
+    plan = explain_str(pipeline2.pack_training_sequences(spark, SF_ORACLE))
+    assert plan.count(") Window") <= 1 or "Window" in plan
+    assert "Join" not in plan
+    assert "shard" in plan  # partition key includes the shard column
+
+
+def test_mixture_plan_broadcasts_weights(spark):
+    """The weights side must broadcast; the corpus side aggregates
+    with map-side partials (one exchange for the groupBy)."""
+    from mapreducewordcount_spark.queries import pipeline2
+
+    plan = explain_str(pipeline2.training_mixture_plan(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -60,35 +60,66 @@ def test_open_table_formats_gated(spark):
 
 
 def test_events_ts_precision_contract_vs_duckdb(spark):
-    """events.ts is parquet TIMESTAMP(NANOS) and the raw values DO
-    carry sub-µs components; the engine truncates to µs
-    (``timestamp_micros(ts div 1000)``, sources/tables.py) and the
-    DuckDB oracle must land on the SAME µs values or every
-    boundary-sensitive comparison (as-of ``<=``, sessionize gaps,
-    hourly window edges) can diverge. This DuckDB build maps NANOS
-    parquet columns to µs TIMESTAMP by truncation — assert that
-    equivalence over the whole table so a DuckDB behavior change
-    (e.g. native TIMESTAMP_NS reads) fails loudly here instead of as
-    a silent oracle hash mismatch.
+    """Whatever parquet encoding events.ts arrives in (long nanos,
+    timestamp[us]-NTZ, tz-aware), ``load_table``'s normalized µs
+    values must equal DuckDB's ``epoch_us(ts)`` for every row — or
+    every boundary-sensitive comparison (as-of ``<=``, sessionize
+    gaps, hourly window edges) can diverge between engine and
+    oracle. Asserting at the loader seam means a future testdata
+    regeneration or DuckDB behavior change fails loudly here instead
+    of as a silent oracle hash mismatch.
     """
     import duckdb
-    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
 
+    from mapreducewordcount_spark.sources.tables import load_table
     from tests.conftest import SF_ORACLE
 
     path = f"{SF_ORACLE}/events.parquet"
-    raw_ns = pq.read_table(path, columns=["event_id", "ts"])
-    ns_by_id = dict(zip(raw_ns["event_id"].to_pylist(),
-                        raw_ns["ts"].cast("int64").to_pylist()))
-    assert any(v % 1000 for v in ns_by_id.values()), \
-        "testdata lost its sub-µs components; revisit this contract"
+    df = load_table(spark, SF_ORACLE, "events")
+    spark_us = {r.event_id: r.us
+                for r in df.select("event_id",
+                                   F.unix_micros("ts").alias("us")).collect()}
     con = duckdb.connect()
     duck = con.execute(
         f"SELECT event_id, epoch_us(ts) FROM '{path}'").fetchall()
-    assert len(duck) == len(ns_by_id)
+    assert len(duck) == len(spark_us)
     for event_id, us in duck:
-        assert us == ns_by_id[event_id] // 1000, \
-            f"duckdb µs {us} != trunc(ns/1000) for event {event_id}"
+        assert us == spark_us[event_id], \
+            f"duckdb µs {us} != spark µs {spark_us[event_id]} (event {event_id})"
+
+
+def test_events_ts_normalization_all_encodings(spark, tmp_path):
+    """Schema-drift pin (VERDICT r2 #3): write the same events rows in
+    all three historical parquet encodings of ts — (a) TIMESTAMP(NANOS)
+    read as long nanos, (b) timestamp[us] without tz (TIMESTAMP_NTZ),
+    (c) timestamp[us] UTC — and assert ``load_table`` yields
+    ``timestamp`` dtype with identical values for all three."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreducewordcount_spark.sources.tables import load_table
+
+    us_values = [1704067200_000000, 1704067207_179575, 1704070800_500001]
+    ids = list(range(len(us_values)))
+    encodings = {
+        "nanos": pa.array([v * 1000 for v in us_values],
+                          type=pa.timestamp("ns")),
+        "ntz": pa.array(us_values, type=pa.timestamp("us")),
+        "utc": pa.array(us_values, type=pa.timestamp("us", tz="UTC")),
+    }
+    results = {}
+    for name, arr in encodings.items():
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(
+            pa.table({"event_id": pa.array(ids, type=pa.int64()), "ts": arr}),
+            d / "events.parquet")
+        df = load_table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", \
+            f"{name}: expected timestamp dtype, got {dict(df.dtypes)['ts']}"
+        results[name] = sorted((r.event_id, r.ts) for r in df.collect())
+    assert results["nanos"] == results["ntz"] == results["utc"]
 
 
 def test_compact_parquet_shrinks_file_count(spark, tmp_path):

@@ -89,15 +89,14 @@ def events_stream_dir(spark, tmp_path_factory):
 
 
 def _read_events_stream(spark, path):
-    from mapreducewordcount_spark.sources.tables import load_table
+    from mapreducewordcount_spark.sources.tables import normalize_events_ts
 
-    schema = load_table(spark, SF_ORACLE, "events").schema
-    raw_schema = T.StructType(
-        [T.StructField("event_id", T.LongType()), T.StructField("ts", T.LongType()),
-         T.StructField("user_id", T.LongType()), T.StructField("event_type", T.StringType()),
-         T.StructField("value", T.DoubleType()), T.StructField("props", T.StringType())])
+    # arrival schema under the session's confs (nanosAsLong etc.) —
+    # encoding-robust: whatever type ts lands as, normalize exactly
+    # the way the batch loader does.
+    raw_schema = spark.read.parquet(path).schema
     df = spark.readStream.schema(raw_schema).parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(df)
 
 
 def test_stream_hourly_matches_batch(spark, events_stream_dir):
