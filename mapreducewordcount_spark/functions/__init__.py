@@ -22,3 +22,9 @@ from mapreducewordcount_spark.functions.sampling import (  # noqa: F401
     hash_bernoulli,
     stratified_hash_sample,
 )
+from mapreducewordcount_spark.functions.repetition import (  # noqa: F401
+    dup_line_char_fraction,
+    dup_line_fraction,
+    lines,
+    top_word_fraction,
+)

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from mapreducewordcount_spark.functions.text_metrics import words
 
 
-def _lines(col: Column | str) -> Column:
+def lines(col: Column | str) -> Column:
     """text → array of non-empty trimmed lines."""
     c = F.col(col) if isinstance(col, str) else col
     return F.filter(F.transform(F.split(c, r"\n"), F.trim),
@@ -31,7 +31,7 @@ def _lines(col: Column | str) -> Column:
 
 def dup_line_fraction(col: Column | str) -> Column:
     """1 − distinct_lines/lines; 0.0 for docs with no lines."""
-    ls = _lines(col)
+    ls = lines(col)
     n = F.size(ls)
     return F.when(n > 0,
                   1.0 - F.size(F.array_distinct(ls)).cast("double") / n
@@ -45,7 +45,7 @@ def dup_line_char_fraction(col: Column | str) -> Column:
     characters — i.e. total chars minus chars of one copy of each
     distinct line. 0.0 for docs with no lines.
     """
-    ls = _lines(col)
+    ls = lines(col)
     tot = F.aggregate(ls, F.lit(0).cast("long"),
                       lambda acc, x: acc + F.length(x))
     uniq = F.aggregate(F.array_distinct(ls), F.lit(0).cast("long"),

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mapreducewordcount_spark.functions.repetition import _lines
+from mapreducewordcount_spark.functions.repetition import lines
 
 
 def boilerplate_report(docs: DataFrame, min_docs: int = 3,
@@ -49,7 +49,7 @@ def boilerplate_report(docs: DataFrame, min_docs: int = 3,
     base = docs.select(id_col, group_col, text_col)
     per_doc_lines = (base
                      .select(id_col, group_col,
-                             F.explode(F.array_distinct(_lines(text_col)))
+                             F.explode(F.array_distinct(lines(text_col)))
                              .alias("line"))
                      .withColumn("line_key", F.xxhash64("line"))
                      .drop("line"))

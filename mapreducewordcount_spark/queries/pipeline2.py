@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreducewordcount_spark.functions.repetition import (
-    _lines,
+    lines,
     dup_line_char_fraction,
     dup_line_fraction,
     top_word_fraction,
@@ -184,10 +184,153 @@ FROM inv LEFT JOIN {_WEIGHTS_SQL} ON inv.lang = wt.lang
 """
 
 
+# --- unigram LM quality -----------------------------------------------------
+
+#: small on purpose: with the synthetic corpus's ~31-word vocabulary,
+#: a 16-word cap forces real truncation, so the OOV smoothing path is
+#: exercised instead of vacuously covered.
+LM_VMAX = 16
+
+
+def doc_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean per-token log-probability under a corpus unigram model
+    (Laplace smoothing, top-16 vocab). Build pass = one tiny groupBy;
+    apply pass = zero-shuffle literal-map fold."""
+    from mapreducewordcount_spark.operators.lmscore import (
+        build_unigram_model,
+        unigram_logprob,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    vocab, oov = build_unigram_model(docs, v_max=LM_VMAX)
+    return unigram_logprob(docs, vocab, oov)
+
+
+_W_CTE = r"""
+w AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(regexp_split_to_array(lower(text), '\s+'),
+                          x -> regexp_replace(x, '^[!-/:-@\[-`{-~]+|[!-/:-@\[-`{-~]+$', '', 'g')),
+           x -> x <> '') AS words
+  FROM documents
+)
+"""
+
+LM_QUALITY_SQL = rf"""
+WITH {_W_CTE},
+tok AS (
+  SELECT doc_id, i AS pos, words[i] AS word
+  FROM w, unnest(range(1, len(words) + 1)) AS t(i)
+),
+c AS (SELECT word, count(*) AS c FROM tok GROUP BY 1),
+v AS (SELECT word, c FROM c ORDER BY c DESC, word LIMIT {LM_VMAX}),
+p AS (
+  SELECT (SELECT COALESCE(sum(c), 0) FROM c)
+         + (SELECT count(*) FROM v) + 1 AS denom
+),
+lp AS (
+  SELECT t.doc_id, t.pos,
+         ln((CASE WHEN v.word IS NULL THEN 1 ELSE v.c + 1 END)
+            / (SELECT CAST(denom AS DOUBLE) FROM p)) AS logp
+  FROM tok t LEFT JOIN v USING (word)
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_words,
+         round(sum(logp ORDER BY pos) / count(*), 4) AS lm_score
+  FROM lp GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(a.n_words, 0) AS n_words,
+       COALESCE(a.lm_score, 0.0) AS lm_score
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# --- duplicate-span stats ---------------------------------------------------
+
+def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signal: fraction of each doc's word
+    5-gram occurrences whose 5-gram appears ≥2 times corpus-wide."""
+    from mapreducewordcount_spark.operators.dupspans import (
+        duplicate_span_stats,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return duplicate_span_stats(docs, n=5, min_count=2)
+
+
+DUP_SPANS_SQL = rf"""
+WITH {_W_CTE},
+g AS (
+  SELECT doc_id, list_aggregate(words[i:i+4], 'string_agg', ' ') AS ng
+  FROM w, unnest(range(1, len(words) - 3)) AS t(i)
+),
+df AS (SELECT ng, count(*) AS c FROM g GROUP BY 1),
+per AS (
+  SELECT g.doc_id, count(*) AS n_ngrams,
+         sum(CASE WHEN df.c >= 2 THEN 1 ELSE 0 END) AS n_dup_ngrams
+  FROM g JOIN df USING (ng)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(p.n_ngrams, 0) AS n_ngrams,
+       COALESCE(p.n_dup_ngrams, 0) AS n_dup_ngrams,
+       CASE WHEN COALESCE(p.n_ngrams, 0) > 0
+            THEN round(CAST(p.n_dup_ngrams AS DOUBLE) / p.n_ngrams, 6)
+            ELSE 0.0 END AS dup_fraction
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+# --- end-to-end dataset build (curate ∘ pack) -------------------------------
+
+def pack_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dataset-build pass in one query: curation keep/drop
+    decisions (quality + exact dup + near-dup components,
+    queries/curation.py) feed straight into shard-parallel sequence
+    packing — only kept documents are packed.
+
+    At scale this is exactly the two-job pipeline a training-data
+    build runs (curate → materialize keep list → pack); composing
+    them here keeps the whole lineage under one oracle."""
+    from mapreducewordcount_spark.queries.curation import curate_corpus
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    keep = curate_corpus(spark, sf_dir).filter(F.col("keep") == 1) \
+        .select("doc_id")
+    return pack_sequences(docs.join(keep, "doc_id"),
+                          budget_tokens=512, n_shards=4)
+
+
+def _pack_kept_sql() -> str:
+    from mapreducewordcount_spark.queries.curation import CURATE_SQL
+
+    return rf"""
+WITH kept AS (
+  SELECT doc_id FROM ({CURATE_SQL}) c WHERE c.keep = 1
+),
+d AS (
+  SELECT doc_id, source, doc_id % 4 AS shard,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+  FROM documents JOIN kept USING (doc_id)
+)
+SELECT doc_id, source, shard, n_tokens,
+       CAST(floor(COALESCE(sum(n_tokens) OVER (
+             PARTITION BY source, shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / 512.0) AS BIGINT) AS seq_id
+FROM d
+"""
+
+
 QUERIES = {
     "doc_repetition_stats": QuerySpec(doc_repetition_stats,
                                       DOC_REPETITION_SQL),
     "boilerplate_lines": QuerySpec(boilerplate_lines, BOILERPLATE_SQL),
     "pack_training_sequences": QuerySpec(pack_training_sequences, PACK_SQL),
     "training_mixture_plan": QuerySpec(training_mixture_plan, MIXTURE_SQL),
+    "doc_lm_quality": QuerySpec(doc_lm_quality, LM_QUALITY_SQL),
+    "doc_dup_spans": QuerySpec(doc_dup_spans, DUP_SPANS_SQL),
+    "pack_curated_corpus": QuerySpec(pack_curated_corpus, _pack_kept_sql()),
 }

@@ -100,3 +100,108 @@ def test_mixture_plan_planted(spark):
     assert plan["en"].sample_rate == 0.375
     assert plan["de"].tokens_target == 10 and plan["de"].sample_rate == 0.5
     assert plan["xx"].weight == 0.0 and plan["xx"].sample_rate == 0.0
+
+
+def test_unigram_model_and_score_planted(spark):
+    import math
+
+    from mapreducewordcount_spark.operators.lmscore import (
+        build_unigram_model,
+        unigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c")], "doc_id long, text string")
+    vocab, oov = build_unigram_model(docs, v_max=2)
+    # counts: a=3, b=1, c=1; top-2 with (count desc, word asc) tiebreak
+    # → {a, b}; V=2, total=5, denom=8
+    assert set(vocab) == {"a", "b"}
+    assert abs(vocab["a"] - math.log(4 / 8)) < 1e-12
+    assert abs(vocab["b"] - math.log(2 / 8)) < 1e-12
+    assert abs(oov - math.log(1 / 8)) < 1e-12
+    got = {r.doc_id: (r.n_words, r.lm_score)
+           for r in unigram_logprob(docs, vocab, oov).collect()}
+    want0 = round((2 * math.log(0.5) + math.log(0.25)) / 3, 4)
+    want1 = round((math.log(0.5) + math.log(0.125)) / 2, 4)
+    assert got[0] == (3, want0) and got[1] == (2, want1)
+    # empty doc scores 0.0, not NaN
+    empty = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    assert unigram_logprob(empty, vocab, oov).first().lm_score == 0.0
+
+
+def test_duplicate_span_stats_planted(spark):
+    from mapreducewordcount_spark.operators.dupspans import (
+        duplicate_span_stats,
+    )
+
+    shared = "one two three four five"
+    docs = spark.createDataFrame(
+        [(0, shared + " six"),          # 2 spans; "one..five" shared
+         (1, "zero " + shared),         # 2 spans; "one..five" shared
+         (2, "all words here differ totally now"),  # 2 spans, unique
+         (3, "short text")],            # 0 spans (under 5 words)
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_ngrams, r.n_dup_ngrams, r.dup_fraction)
+           for r in duplicate_span_stats(docs, n=5, min_count=2).collect()}
+    assert got[0] == (2, 1, 0.5)
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (2, 0, 0.0)
+    assert got[3] == (0, 0, 0.0)
+    # within-doc repetition counts too: the same 5-gram twice in ONE doc
+    rep = spark.createDataFrame(
+        [(0, shared + " " + shared)], "doc_id long, text string")
+    r = duplicate_span_stats(rep, n=5, min_count=2).first()
+    assert r.n_ngrams == 6 and r.n_dup_ngrams >= 2
+
+
+# --- property-based invariants ----------------------------------------------
+
+def test_pack_sequences_invariants_random(spark):
+    """Packing invariants on a randomized corpus (one Spark job):
+    (1) seq_id nondecreasing in doc order within (source, shard);
+    (2) exclusive-prefix semantics — a sequence's pre-last-doc total
+    is always under budget (overflow only via the final doc);
+    (3) every doc appears exactly once."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, f"s{rng.randrange(3)}", "w " * rng.randrange(0, 120))
+            for i in range(300)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+    budget = 100
+    out = sorted(
+        ((r.source, r.shard, r.doc_id, r.n_tokens, r.seq_id)
+         for r in pack_sequences(docs, budget_tokens=budget,
+                                 n_shards=4).collect()))
+    assert len(out) == 300
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for src, shard, did, tok, seq in out:
+        groups[(src, shard)].append((did, tok, seq))
+    for (src, shard), rows_ in groups.items():
+        prefix, prev_seq = 0, -1
+        for did, tok, seq in rows_:          # doc_id ascending
+            assert seq == prefix // budget, (src, shard, did)
+            assert seq >= prev_seq
+            prev_seq = seq
+            prefix += tok
+
+
+def test_repetition_fractions_bounded_random(spark):
+    """All three repetition signals are in [0, 1] on arbitrary text,
+    including pathological whitespace/newline-only inputs."""
+    import random
+
+    rng = random.Random(11)
+    alphabet = "ab \n\t.!"
+    rows = [(i, "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 80))))
+            for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = docs.select(
+        dup_line_fraction("text").alias("a"),
+        dup_line_char_fraction("text").alias("b"),
+        top_word_fraction("text").alias("c")).collect()
+    for r in got:
+        for v in (r.a, r.b, r.c):
+            assert 0.0 <= v <= 1.0, r

@@ -136,3 +136,25 @@ def test_mixture_plan_broadcasts_weights(spark):
     plan = explain_str(pipeline2.training_mixture_plan(spark, SF_ORACLE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_lm_quality_apply_is_map_side(spark):
+    """The unigram model applies as a literal-map fold: zero joins,
+    zero explode; only the deliberate spread() exchange."""
+    from mapreducewordcount_spark.queries import pipeline2
+
+    plan = explain_str(pipeline2.doc_lm_quality(spark, SF_ORACLE))
+    assert "Join" not in plan
+    assert ") Generate" not in plan
+    assert plan.count("+- Exchange") <= 1
+
+
+def test_dup_spans_single_explode_no_selfjoin(spark):
+    """Span counting explodes once and attaches corpus frequency via
+    window — never a self-join of the exploded spans."""
+    from mapreducewordcount_spark.queries import pipeline2
+
+    plan = explain_str(pipeline2.doc_dup_spans(spark, SF_ORACLE))
+    assert plan.count(") Generate") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
