@@ -90,3 +90,23 @@ def open_table_format_available(spark: SparkSession, fmt: str = "delta") -> bool
         return True
     except Exception:
         return False
+
+
+def sorted_layout(df: DataFrame, path: str, sort_cols: list[str],
+                  n_files: int = 8) -> None:
+    """Write parquet range-clustered on ``sort_cols`` for data skipping.
+
+    ``repartitionByRange`` + ``sortWithinPartitions`` gives each
+    output file a disjoint value range, so every file's parquet
+    min/max footer statistics become selective: a reader filtering on
+    the sort column skips whole files/row-groups without touching
+    their bytes. At 100 TB this is the difference between scanning a
+    day and scanning a year — the poor man's Z-order, and the right
+    layout whenever one column dominates the query predicates.
+    (Multi-dimensional skipping needs real Z-order/Hilbert curves in
+    a table format; single-column range layout is what plain parquet
+    can express, and this writer pins that contract.)
+    """
+    (df.repartitionByRange(n_files, *sort_cols)
+       .sortWithinPartitions(*sort_cols)
+       .write.mode("overwrite").parquet(path))

@@ -279,3 +279,33 @@ def stream_hygiene(docs: DataFrame, eval_docs: DataFrame, n: int = 3,
             .filter(F.col("__keep"))
             .drop("__keep")
             .withColumn("text", scrub_pii("text")))
+
+
+def stream_quality_filter(docs: DataFrame,
+                          min_quality: float = 0.5,
+                          max_dup_line_frac: float = 0.5,
+                          max_top_word_frac: float = 0.5) -> DataFrame:
+    """Streaming quality gate: heuristic quality score + Gopher-rule
+    repetition caps applied to documents as they arrive.
+
+    Every signal is a row-local column expression
+    (functions/text_metrics.quality_score, functions/repetition.*) —
+    no state store, no watermark, no shuffle: the filter rides the
+    same micro-batch map as the scan, so throughput is the codegen'd
+    expression cost and nothing else. The thresholds mirror the batch
+    curation defaults so a doc admitted by the stream is a doc the
+    batch pipeline would keep (the cross-corpus signals — exact/near
+    dup, boilerplate — remain batch-side by nature: their unit of
+    evidence spans documents).
+    """
+    from mapreducewordcount_spark.functions.repetition import (
+        dup_line_fraction,
+        top_word_fraction,
+    )
+    from mapreducewordcount_spark.functions.text_metrics import quality_score
+
+    return (docs
+            .withColumn("quality", F.round(quality_score("text"), 4))
+            .filter((F.col("quality") >= min_quality)
+                    & (dup_line_fraction("text") <= max_dup_line_frac)
+                    & (top_word_fraction("text") <= max_top_word_frac)))

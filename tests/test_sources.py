@@ -163,3 +163,56 @@ def test_compact_parquet_range_clusters(spark, tmp_path):
         assert hi1 < lo2
     total = sum(pq.read_table(f).num_rows for f in files)
     assert total == 50_000
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitionBy layout must show up as PartitionFilters
+    at the scan — directory-level pruning, zero bytes read from
+    non-matching partitions."""
+    from mapreducewordcount_spark.plans import explain_str
+    from mapreducewordcount_spark.sources.io import write_parquet
+    from mapreducewordcount_spark.sources.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    path = str(tmp_path / "events_by_type")
+    write_parquet(load_table(spark, SF_ORACLE, "events"), path,
+                  partition_by=["event_type"])
+    got = spark.read.parquet(path).filter("event_type = 'purchase'")
+    plan = explain_str(got)
+    assert "PartitionFilters" in plan and "purchase" in plan
+    # pruned read returns exactly the partition's rows
+    want = (load_table(spark, SF_ORACLE, "events")
+            .filter("event_type = 'purchase'").count())
+    assert got.count() == want
+
+
+def test_sorted_layout_files_have_disjoint_ranges(spark, tmp_path):
+    """sorted_layout must produce files whose min/max footer ranges
+    are non-overlapping on the sort column — the property parquet
+    data skipping depends on."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mapreducewordcount_spark.sources.io import sorted_layout
+
+    path = str(tmp_path / "orders_sorted")
+    df = spark.range(0, 10_000).selectExpr(
+        "id", "cast(id % 9973 as long) as k")
+    sorted_layout(df, path, ["k"], n_files=6)
+    ranges = []
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(path, f))
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(1)
+            assert col.path_in_schema == "k"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, f"overlapping file ranges: {ranges}"

@@ -230,3 +230,66 @@ def test_stream_hygiene_udf_path_matches_literal_path(spark):
                                     max_literal_ngrams=0).collect())
     assert lit_ids == udf_ids
     assert 0 not in lit_ids  # 'alpha beta gamma' overlaps eval
+
+
+def test_stream_quality_filter_matches_batch(spark, tmp_path_factory):
+    """The streaming quality gate must admit exactly the docs the
+    same thresholds admit in batch."""
+    import shutil
+
+    from mapreducewordcount_spark.functions.repetition import (
+        dup_line_fraction,
+        top_word_fraction,
+    )
+    from mapreducewordcount_spark.functions.text_metrics import quality_score
+    from mapreducewordcount_spark.streaming.jobs import stream_quality_filter
+
+    d = tmp_path_factory.mktemp("docs_stream")
+    shutil.copy(f"{SF_ORACLE}/documents.parquet", d / "documents.parquet")
+    schema = spark.read.parquet(str(d)).schema
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    q = (stream_quality_filter(stream)
+         .select("doc_id", "quality")
+         .writeStream.format("memory").queryName("quality_stream")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.doc_id, r.quality)
+           for r in spark.sql("SELECT * FROM quality_stream").collect()}
+
+    batch = spark.read.parquet(str(d))
+    want = {(r.doc_id, r.quality) for r in
+            (batch.withColumn("quality", F.round(quality_score("text"), 4))
+             .filter((F.col("quality") >= 0.5)
+                     & (dup_line_fraction("text") <= 0.5)
+                     & (top_word_fraction("text") <= 0.5))
+             .select("doc_id", "quality").collect())}
+    assert got == want and len(got) > 0
+
+
+def test_stream_quality_filter_drops_junk(spark, tmp_path):
+    """The drop path must actually fire: planted junk (repeated-line
+    spam, single-word spam, punctuation soup) is rejected while a
+    normal doc passes."""
+    from mapreducewordcount_spark.streaming.jobs import stream_quality_filter
+
+    d = tmp_path / "junk"
+    d.mkdir()
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and then "
+            "it naps for a while in the sun"),                    # keep
+        (1, "buy now\n" * 40),                                    # dup lines
+        (2, "spam " * 60),                                         # top-word
+        (3, "!!! ??? *** ### $$$ %%% ^^^ &&&"),                    # punct soup
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.mode("overwrite").parquet(str(d))
+    schema = spark.read.parquet(str(d)).schema
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    q = (stream_quality_filter(stream).select("doc_id")
+         .writeStream.format("memory").queryName("junk_stream")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {r.doc_id for r in spark.sql("SELECT * FROM junk_stream").collect()}
+    assert got == {0}, got
