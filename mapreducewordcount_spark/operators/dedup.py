@@ -135,10 +135,15 @@ def prefix_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     df_freq = tok.groupBy("e").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "e")
     p_len = F.col("sz") - F.ceil(F.col("sz") * t - 1e-9) + 1
+    # persist: the prefix frame feeds BOTH sides of the candidate
+    # self-join — without it Catalyst recomputes the df-join + window
+    # lineage twice (the round-1 "materialize frames referenced by
+    # multiple joins" lesson; measured −44% at sf0.1)
     prefix = (tok.join(df_freq, "e")
               .withColumn("pos", F.row_number().over(w))
               .filter(F.col("pos") <= p_len)
-              .select("doc_id", "sz", "e"))
+              .select("doc_id", "sz", "e")
+              .persist())
     a = prefix.select(F.col("doc_id").alias("a_id"),
                       F.col("sz").alias("a_sz"), "e")
     b = prefix.select(F.col("doc_id").alias("b_id"),
