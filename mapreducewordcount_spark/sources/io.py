@@ -82,11 +82,18 @@ def compact_parquet(spark: SparkSession, path: str,
 
 
 def open_table_format_available(spark: SparkSession, fmt: str = "delta") -> bool:
-    """True when a lakehouse table format's classes are on the classpath."""
-    classes = {"delta": "org.apache.spark.sql.delta.catalog.DeltaCatalog",
-               "iceberg": "org.apache.iceberg.spark.SparkCatalog"}
+    """True when an optional format is actually usable as a data source.
+
+    Probes Spark's DataSource registry (the same lookup
+    ``.format(fmt)`` does), not ``Class.forName`` — stray classes on
+    the classpath without their provider registration would
+    false-positive otherwise (observed: ``AvroFileFormat`` present
+    while the spark-avro module is not deployed).
+    """
     try:
-        spark.sparkContext._jvm.java.lang.Class.forName(classes[fmt])
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.spark.sql.execution.datasources.DataSource \
+            .lookupDataSource(fmt, spark._jsparkSession.sessionState().conf())
         return True
     except Exception:
         return False
@@ -110,3 +117,34 @@ def sorted_layout(df: DataFrame, path: str, sort_cols: list[str],
     (df.repartitionByRange(n_files, *sort_cols)
        .sortWithinPartitions(*sort_cols)
        .write.mode("overwrite").parquet(path))
+
+
+def read_binary_files(spark: SparkSession, path: str,
+                      glob: str | None = None) -> DataFrame:
+    """Ingest raw files as binary rows — the multimodal entry point.
+
+    Built-in ``binaryFile`` source: (path, modificationTime, length,
+    content). Output is renamed to the engine's media contract
+    (media_id, n_bytes, payload + source_path) so it feeds
+    ``operators/multimodal.extract_image_features`` directly.
+    ``media_id`` is ``xxhash64(path)`` — stable across re-ingestion,
+    independent of listing order.
+
+    Scale notes: the source parallelizes by files (one row per file;
+    ``maxPartitionBytes`` groups small files per task); pair it with
+    ``operators/multimodal.size_bucketed`` before decode so a task's
+    resident decoded set is byte-bounded. Filter with ``glob``
+    (``pathGlobFilter``) at the LISTING, not after — non-matching
+    files are never opened.
+    """
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    return df.select(
+        F.xxhash64("path").alias("media_id"),
+        F.col("path").alias("source_path"),
+        F.col("length").alias("n_bytes"),
+        F.col("content").alias("payload"))

@@ -131,3 +131,35 @@ def test_extract_image_features_with_real_decoder(spark):
         assert (got.mean_r, got.mean_g, got.mean_b) == (
             want["mean_r"], want["mean_g"], want["mean_b"])
         assert got.n_bytes == len(payload)
+
+
+def test_binary_file_ingestion_to_features_end_to_end(spark, tmp_path):
+    """The real multimodal ingestion path: image FILES on disk →
+    binaryFile source → decoder seam → feature rows. Uses the real
+    PNG decoder, so dims/means are actual pixel statistics."""
+    from mapreducewordcount_spark.operators.multimodal import png_decode
+    from mapreducewordcount_spark.sources.io import read_binary_files
+
+    d = tmp_path / "media"
+    d.mkdir()
+    payloads = {}
+    for i in range(4):
+        p = _make_png(3 + i, 2, lambda x, y, i=i: (i * 40 % 256,
+                                                   x * 90 % 256, 200))
+        (d / f"img{i}.png").write_bytes(p)
+        payloads[f"img{i}.png"] = p
+    (d / "notes.txt").write_text("not an image")  # must be glob-excluded
+
+    from pyspark.sql import functions as F
+
+    media = read_binary_files(spark, str(d), glob="*.png") \
+        .withColumn("format", F.lit("png"))
+    feats = extract_image_features(media, decoder=png_decode).collect()
+    assert len(feats) == 4
+    by_bytes = {r.n_bytes: r for r in feats}
+    for name, payload in payloads.items():
+        want = png_decode(payload)
+        got = by_bytes[len(payload)]
+        assert (got.width, got.height) == (want["width"], want["height"])
+        assert (got.mean_r, got.mean_g, got.mean_b) == (
+            want["mean_r"], want["mean_g"], want["mean_b"])

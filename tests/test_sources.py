@@ -57,6 +57,8 @@ def test_open_table_formats_gated(spark):
     # not shipped in this image; the gate must answer False, not raise
     assert sio.open_table_format_available(spark, "delta") is False
     assert sio.open_table_format_available(spark, "iceberg") is False
+    # avro is an external module since Spark 2.4; also absent here
+    assert sio.open_table_format_available(spark, "avro") is False
 
 
 def test_events_ts_precision_contract_vs_duckdb(spark):
