@@ -78,11 +78,12 @@ def all_queries() -> dict[str, QuerySpec]:
         *analytics2.QUERIES,
         # events + doc family — re-verify after the ts-encoding fix
         *analytics.QUERIES,
-        # one representative per core family (r2-green, keep a live row)
-        "wc_word_count", "curate_corpus", "dedup_exact",
-        "dedup_minhash_pairs", "dedup_prefix_pairs", "ann_cosine_topk",
-        "doc_length_deciles", "media_image_features",
-        "bucketed_order_revenue",
+        # round-3 operators: first-ever driver rows
+        "doc_repetition_stats", "boilerplate_lines",
+        "pack_training_sequences", "training_mixture_plan",
+        "doc_lm_quality", "doc_dup_spans",
+        # representatives of already-green core families (r2 rows exist)
+        "wc_word_count", "dedup_minhash_pairs", "media_image_features",
     )
     out = {n: full[n] for n in gate_first}
     out.update(full)  # remainder keeps its original relative order

@@ -18,9 +18,14 @@ def test_gate_window_rotation_round3():
     # the repaired events family must re-earn hash-green driver rows
     for q in ("events_sessions", "events_after_purchase"):
         assert q in window, q
+    # round-3 operators take their first driver rows
+    for q in ("doc_repetition_stats", "boilerplate_lines",
+              "pack_training_sequences", "training_mixture_plan",
+              "doc_lm_quality", "doc_dup_spans"):
+        assert q in window, q
     # one live representative per already-green core family
-    for q in ("wc_word_count", "dedup_exact", "ann_cosine_topk",
-              "media_image_features", "bucketed_order_revenue"):
+    for q in ("wc_word_count", "dedup_minhash_pairs",
+              "media_image_features"):
         assert q in window, q
 
 
