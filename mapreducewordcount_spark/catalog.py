@@ -20,12 +20,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mapreducewordcount_spark.sources.tables import TABLES, register_views
 
+import weakref
+
 #: what each session currently has registered — registration is
 #: metadata-only but "open once" should mean once; repeated sql()
-#: calls must not re-plan 10 parquet scans per call. Keyed by session
-#: id and storing only the CURRENT (sf_dir, tables) so switching
-#: sf_dirs always re-registers (createOrReplaceTempView overwrites).
-_OPENED: dict[int, tuple[str, tuple[str, ...]]] = {}
+#: calls must not re-plan 10 parquet scans per call. Weak-keyed by
+#: the session object (an ``id()`` key could alias a NEW session
+#: after GC address reuse and silently skip its registration) and
+#: storing only the CURRENT (sf_dir, tables) so switching sf_dirs
+#: always re-registers (createOrReplaceTempView overwrites).
+_OPENED: "weakref.WeakKeyDictionary[SparkSession, tuple]" = \
+    weakref.WeakKeyDictionary()
 
 
 def open_catalog(spark: SparkSession, sf_dir: str,
@@ -35,10 +40,10 @@ def open_catalog(spark: SparkSession, sf_dir: str,
     a repeated call with the session's current (sf_dir, tables) is a
     no-op; a different sf_dir or table set re-registers."""
     state = (sf_dir, tuple(tables))
-    if _OPENED.get(id(spark)) == state:
+    if _OPENED.get(spark) == state:
         return
     register_views(spark, sf_dir, tables)
-    _OPENED[id(spark)] = state
+    _OPENED[spark] = state
 
 
 def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:

@@ -47,7 +47,7 @@ def test_open_catalog_idempotent(spark, monkeypatch):
     real = cat.register_views
     monkeypatch.setattr(cat, "register_views",
                         lambda *a, **kw: (calls.append(a), real(*a, **kw)))
-    cat._OPENED.pop(id(spark), None)
+    cat._OPENED.pop(spark, None)
     sql(spark, SF_ORACLE, "SELECT count(*) AS n FROM region").collect()
     sql(spark, SF_ORACLE, "SELECT count(*) AS n FROM nation").collect()
     open_catalog(spark, SF_ORACLE)
@@ -59,4 +59,4 @@ def test_open_catalog_idempotent(spark, monkeypatch):
     # ...and switching back re-registers again (no stale-set shortcut)
     open_catalog(spark, SF_ORACLE)
     assert len(calls) == 3
-    cat._OPENED.pop(id(spark), None)
+    cat._OPENED.pop(spark, None)
