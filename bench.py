@@ -43,6 +43,13 @@ HEADLINE = (
     "ann_cosine_topk",
     "doc_quality",
     "doc_length_deciles",
+    # round-3 pipeline operators: cross-doc shuffle (boilerplate),
+    # two-pass model build + literal-map apply (lmscore), shard
+    # windows (packing) — tracked so their shuffle shapes get
+    # round-over-round numbers.
+    "boilerplate_lines",
+    "doc_lm_quality",
+    "pack_training_sequences",
 )
 
 

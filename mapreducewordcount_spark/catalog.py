@@ -38,9 +38,14 @@ def open_catalog(spark: SparkSession, sf_dir: str,
     """Register ``tables`` from ``sf_dir`` as temp views
     (delegates to ``sources.tables.register_views``). Idempotent —
     a repeated call with the session's current (sf_dir, tables) is a
-    no-op; a different sf_dir or table set re-registers."""
+    no-op; a different sf_dir or table set re-registers. A cache hit
+    still verifies the views exist (metadata-only lookups), so a
+    caller that dropped or replaced a temp view behind our back gets
+    re-registration instead of a downstream resolution error
+    (ADVICE r3)."""
     state = (sf_dir, tuple(tables))
-    if _OPENED.get(spark) == state:
+    if _OPENED.get(spark) == state and \
+            all(spark.catalog.tableExists(t) for t in tables):
         return
     register_views(spark, sf_dir, tables)
     _OPENED[spark] = state

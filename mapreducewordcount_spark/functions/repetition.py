@@ -8,8 +8,10 @@ mean navigation menus, SEO spam, or generator loops.
 
 All pure ``pyspark.sql.functions`` array/lambda compositions — one
 tokenize/split per document, whole-stage-codegen'd, zero Python in
-the hot path. At 100 TB these run as a narrow map over the scan
-(no shuffle at all); only the corpus-level *boilerplate* detector
+the hot path. At 100 TB these run as a narrow map over the scan with
+no shuffle of their own (``spread()`` in front of them is a no-op
+once the scan has full parallelism — see ``sources/tables.py``);
+only the corpus-level *boilerplate* detector
 (``operators/boilerplate.py``) needs a shuffle, because its unit of
 repetition is cross-document.
 """

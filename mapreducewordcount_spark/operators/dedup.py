@@ -32,6 +32,35 @@ from mapreducewordcount_spark.functions.text_metrics import (
 )
 
 
+#: intermediate frames persisted by the CURRENT pair-generator
+#: invocation. Spark's CacheManager pins persisted plans until an
+#: explicit unpersist, so a library that persists inside operators
+#: and never releases leaks executor storage across invocations
+#: (ADVICE r3). Each pair generator releases the previous
+#: invocation's frames on entry — laziness is preserved (the frames
+#: a returned DataFrame needs stay hot until the NEXT dedup call),
+#: storage is bounded to one invocation, and an early release only
+#: ever costs a recompute, never correctness.
+_TRACKED: list[DataFrame] = []
+
+
+def release_dedup_cache() -> None:
+    """Unpersist intermediates persisted by prior dedup invocations.
+
+    Called automatically at the start of every pair generator; also
+    public so long-lived applications can drop the last invocation's
+    frames once its result has been consumed.
+    """
+    while _TRACKED:
+        _TRACKED.pop().unpersist()
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _TRACKED.append(df)
+    return df
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """One row per distinct normalized text: keeper id + copy count.
@@ -75,7 +104,8 @@ def shingle_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     """
     # materialized once: sizes, and both sides of the self-join,
     # otherwise re-tokenize the corpus per reference
-    sh = _doc_shingles(docs, id_col, text_col, n).persist()
+    release_dedup_cache()
+    sh = _persist_tracked(_doc_shingles(docs, id_col, text_col, n))
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
     a, b = exploded.alias("a"), exploded.alias("b")
@@ -129,7 +159,8 @@ def prefix_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     t = float(threshold)
     if not 0.0 < t <= 1.0:
         raise ValueError(f"threshold={t} must be in (0, 1]")
-    sh = _doc_shingles(docs, id_col, text_col, n).persist()
+    release_dedup_cache()
+    sh = _persist_tracked(_doc_shingles(docs, id_col, text_col, n))
     tok = sh.select("doc_id", F.size("shingles").alias("sz"),
                     F.explode("shingles").alias("e"))
     df_freq = tok.groupBy("e").agg(F.count(F.lit(1)).alias("df"))
@@ -139,11 +170,11 @@ def prefix_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     # self-join — without it Catalyst recomputes the df-join + window
     # lineage twice (the round-1 "materialize frames referenced by
     # multiple joins" lesson; measured −44% at sf0.1)
-    prefix = (tok.join(df_freq, "e")
-              .withColumn("pos", F.row_number().over(w))
-              .filter(F.col("pos") <= p_len)
-              .select("doc_id", "sz", "e")
-              .persist())
+    prefix = _persist_tracked(
+        tok.join(df_freq, "e")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= p_len)
+        .select("doc_id", "sz", "e"))
     a = prefix.select(F.col("doc_id").alias("a_id"),
                       F.col("sz").alias("a_sz"), "e")
     b = prefix.select(F.col("doc_id").alias("b_id"),
@@ -260,9 +291,9 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     execution and read back clean.
     """
     rows = num_hashes // bands
-    sh = _doc_shingles(docs, id_col, text_col, n).persist()
-    sig = (_signatures_from_shingles(sh, num_hashes)
-           .persist())
+    release_dedup_cache()
+    sh = _persist_tracked(_doc_shingles(docs, id_col, text_col, n))
+    sig = _persist_tracked(_signatures_from_shingles(sh, num_hashes))
     banded = sig.select(
         "doc_id",
         F.posexplode(F.array(*[
@@ -375,7 +406,8 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
         [F.shiftleft(F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long"))
                      .otherwise(F.lit(0).cast("long")), i)
          for i in range(64)]).alias("simhash"))
-    sim = sim.persist()  # self-joined below
+    release_dedup_cache()
+    sim = _persist_tracked(sim)  # self-joined below
     bytes_df = sim.select(
         "doc_id", "simhash",
         F.posexplode(F.array(*[
@@ -412,12 +444,13 @@ def embedding_dup_pairs(embeddings: DataFrame, id_col: str = "vec_id",
     # norms precomputed per vector (not per pair): same expression →
     # bit-identical cosine, but the pair stage runs ONE array
     # aggregate (the dot) instead of three
+    release_dedup_cache()
     n_par = embeddings.sparkSession.sparkContext.defaultParallelism
-    v = embeddings.repartition(n_par) \
+    v = _persist_tracked(
+        embeddings.repartition(n_par)
         .select(F.col(id_col).alias("id"),
                 F.col(vec_col).alias("vec"),
-                norm(vec_col).alias("nrm")) \
-        .persist()
+                norm(vec_col).alias("nrm")))
     a = v.select(F.col("id").alias("a_id"), F.col("vec").alias("a_vec"),
                  F.col("nrm").alias("a_n"))
     b = v.select(F.col("id").alias("b_id"), F.col("vec").alias("b_vec"),
@@ -468,13 +501,14 @@ def embedding_dup_pairs_lsh(embeddings: DataFrame, id_col: str = "vec_id",
             "equal bands — unequal bands void the pigeonhole recall guarantee")
     width = n_planes // bands
     planes = _fixed_planes(dim, n_planes)
+    release_dedup_cache()
     n_par = embeddings.sparkSession.sparkContext.defaultParallelism
-    sig = embeddings.repartition(n_par) \
+    sig = _persist_tracked(
+        embeddings.repartition(n_par)
         .select(F.col(id_col).alias("id"),
                 F.col(vec_col).alias("vec"),
                 norm(vec_col).alias("nrm"),
-                hyperplane_bits(vec_col, planes).alias("bits")) \
-        .persist()  # banded + joined twice below
+                hyperplane_bits(vec_col, planes).alias("bits")))  # banded + joined twice below
     banded = sig.select(
         "id",
         F.posexplode(F.array(*[
@@ -533,7 +567,8 @@ def winnow_pairs(docs: DataFrame, id_col: str = "doc_id",
     quadratically within their bucket only; drop-list them upstream
     the way a production pipeline drops stop-shingles.
     """
-    fp = winnow_fingerprint_docs(docs, id_col, text_col, n, w).persist()
+    release_dedup_cache()
+    fp = _persist_tracked(winnow_fingerprint_docs(docs, id_col, text_col, n, w))
     exploded = fp.select("doc_id", F.explode("selected").alias("h"))
     a, b = exploded.alias("a"), exploded.alias("b")
     return (a.join(b, (F.col("a.h") == F.col("b.h"))

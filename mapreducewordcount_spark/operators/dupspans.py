@@ -52,17 +52,23 @@ def _ngram_strings(text_col: str, n: int):
 
 def duplicate_span_stats(docs: DataFrame, n: int = 5, min_count: int = 2,
                          id_col: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         wide_keys: bool = False) -> DataFrame:
     """doc → (n_ngrams, n_dup_ngrams, dup_fraction).
 
     An occurrence is *duplicated* when its n-gram occurs ≥
     ``min_count`` times corpus-wide (other docs or repeats within the
     same doc — both are the same bytes to a training run).
+    ``wide_keys`` switches the span shuffle key to the two-lane
+    128-bit form (``operators.boilerplate.hash_key``) for corpora
+    past ~10⁹ distinct spans.
     """
+    from mapreducewordcount_spark.operators.boilerplate import hash_key
+
     grams = (docs
              .select(id_col,
                      F.explode(_ngram_strings(text_col, n)).alias("ng"))
-             .withColumn("key", F.xxhash64("ng"))
+             .withColumn("key", hash_key("ng", wide_keys))
              .drop("ng"))
     cnt = F.count(F.lit(1)).over(Window.partitionBy("key"))
     per_doc = (grams

@@ -52,11 +52,19 @@ def build_unigram_model(docs: DataFrame, v_max: int = 16,
               .select(F.explode(words(text_col)).alias("word"))
               .groupBy("word")
               .agg(F.count(F.lit(1)).alias("c")))
-    top = (counts
-           .orderBy(F.col("c").desc(), F.col("word"))
-           .limit(v_max)
-           .collect())
-    total = counts.agg(F.sum("c").alias("t")).collect()[0].t or 0
+    # two actions (top-V cut, then the total) read counts — persist
+    # so the corpus explode+groupBy lineage executes once, and
+    # unpersist immediately: both consumers are driver-side collects,
+    # so nothing lazy outlives this function (ADVICE r3).
+    counts = counts.persist()
+    try:
+        top = (counts
+               .orderBy(F.col("c").desc(), F.col("word"))
+               .limit(v_max)
+               .collect())
+        total = counts.agg(F.sum("c").alias("t")).collect()[0].t or 0
+    finally:
+        counts.unpersist()
     v = len(top)
     denom = float(total + v + 1)
     vocab = {r.word: math.log((r.c + 1) / denom) for r in top}

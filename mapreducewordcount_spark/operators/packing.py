@@ -71,6 +71,11 @@ def mixture_plan(docs: DataFrame, weights: dict[str, float],
     spark = docs.sparkSession
     tokens = token_expr if token_expr is not None else token_count(text_col)
     total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError(
+            f"mixture weights must sum to > 0, got {total_w!r} "
+            f"from {len(weights)} entries — an all-zero/empty mix has "
+            "no defined sampling rates")
     wdf = spark.createDataFrame(
         [(k, v / total_w) for k, v in weights.items()],
         f"{group_col} string, weight double")
@@ -88,5 +93,9 @@ def mixture_plan(docs: DataFrame, weights: dict[str, float],
                         * budget_tokens).alias("tokens_target"))
             .withColumn(
                 "sample_rate",
-                F.round(F.col("tokens_target")
-                        / F.col("tokens_available").cast("double"), 6)))
+                # a group can aggregate to 0 available tokens (all
+                # empty texts); 0.0 beats a NULL from 0-division
+                F.when(F.col("tokens_available") > 0,
+                       F.round(F.col("tokens_target")
+                               / F.col("tokens_available").cast("double"), 6))
+                .otherwise(F.lit(0.0))))

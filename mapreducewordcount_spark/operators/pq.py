@@ -110,51 +110,133 @@ def pq_build(corpus: DataFrame, id_col: str = "vec_id",
     return codes, books
 
 
+#: above this many queries the per-query ADC tables stop riding the
+#: task closure and become a broadcast-joined DataFrame: the closure
+#: form re-serializes tables per TASK (Q × m × n_cent × 8 B each
+#: time — ~1 MB/task at 1k queries, ~1 GB at 1M), while a broadcast
+#: join ships them once per executor. See SCALE.md §PQ.
+PQ_CLOSURE_MAX_QUERIES = 1024
+
+
+def _adc_tables_df(queries: DataFrame, books: list,
+                   query_id_col: str, vec_col: str) -> DataFrame:
+    """Distributed ADC-table build: (query_id, flattened m·k table).
+
+    Only the CODEBOOKS ride the closure (m×k×(dim/m) doubles — a few
+    KB regardless of batch size); each query row computes its own
+    subspace-distance table map-side, so the build scales to any
+    query-batch size with zero shuffle and no driver collect.
+    """
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        cents = [np.asarray(b, dtype=np.float64) for b in books]
+        d = cents[0].shape[1]
+        for pdf in batches:
+            vecs = np.asarray(list(pdf["__vec"]), dtype=np.float64)
+            tabs = [((vecs[:, j * d:(j + 1) * d][:, None, :]
+                      - cent[None, :, :]) ** 2).sum(axis=2)
+                    for j, cent in enumerate(cents)]  # each rows×k
+            yield pd.DataFrame({"query_id": pdf["__id"],
+                                "adc_tab": list(np.concatenate(tabs, axis=1))})
+
+    return (queries
+            .select(F.col(query_id_col).alias("__id"),
+                    F.col(vec_col).alias("__vec"))
+            .mapInPandas(build, schema="query_id long, adc_tab array<double>"))
+
+
 def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             id_col: str = "vec_id", vec_col: str = "embedding",
             query_id_col: str = "query_id", m: int = 8, n_cent: int = 16,
-            refine: int = 32) -> DataFrame:
+            refine: int = 32, adc_mode: str = "auto") -> DataFrame:
     """One-shot PQ ANN: build + ADC prefilter + exact cosine re-rank.
 
     Anything serving repeated query batches should ``pq_build`` once,
     persist the codes, and run only the ADC+refine read path. The ADC
     pass touches codes only (m ints/vector); the exact re-rank joins
     back the ``refine`` surviving candidate vectors per query.
+
+    ``adc_mode`` picks how the per-query distance tables reach the
+    executors:
+
+    - ``"closure"`` — tables are computed driver-side and ship inside
+      the ``mapInPandas`` closure; numpy-batch scoring. Fastest for
+      bounded batches, but the closure (Q × m × n_cent doubles) is
+      re-serialized per task — fine at hundreds of queries, a
+      per-task megabyte tax beyond.
+    - ``"join"`` — tables become a DataFrame (built distributed, only
+      codebooks in the closure) broadcast-joined against the codes;
+      the ADC sum is pure codegen array algebra (``zip_with`` lookup
+      fold), shipped once per executor, no Python in the scoring
+      path. The scale form for large query batches.
+    - ``"auto"`` — ``closure`` up to ``PQ_CLOSURE_MAX_QUERIES``
+      queries, ``join`` above.
+
+    Both modes compute the identical ADC metric and share the same
+    refine + exact-re-rank tail (recall pinned through both in
+    tests/test_similarity_asof.py).
     """
+    if adc_mode not in ("auto", "closure", "join"):
+        raise ValueError(f"adc_mode={adc_mode!r} not in auto/closure/join")
     codes, books = pq_build(corpus, id_col, vec_col, m=m, k=n_cent)
-    qrows = queries.select(F.col(query_id_col).alias("query_id"),
-                           F.col(vec_col).alias("q_vec")).collect()
-    import numpy as np
+    if adc_mode == "auto":
+        adc_mode = ("closure"
+                    if queries.count() <= PQ_CLOSURE_MAX_QUERIES
+                    else "join")
 
-    cents = [np.asarray(b, dtype=np.float64) for b in books]
-    d = cents[0].shape[1]
-    # per-query ADC tables: table[q][j][c] = ||q_sub_j - cent_jc||²
-    tables = {}
-    for r in qrows:
-        q = np.asarray(r.q_vec, dtype=np.float64)
-        tables[r.query_id] = [
-            (((q[j * d:(j + 1) * d])[None, :] - cents[j]) ** 2).sum(axis=1)
-            for j in range(len(cents))]
+    if adc_mode == "join":
+        qtab = _adc_tables_df(queries, books, query_id_col, vec_col)
+        # every code row scores against every query — the inherent
+        # O(N×Q) ADC scan, expressed as a broadcast nested-loop with
+        # the tiny side broadcast and the lookup fold in codegen
+        scored = (codes.crossJoin(F.broadcast(qtab))
+                  .withColumn("adc", F.aggregate(
+                      F.zip_with(
+                          "codes",
+                          F.sequence(F.lit(0), F.lit(m - 1)),
+                          lambda c, j: F.element_at(
+                              F.col("adc_tab"),
+                              (j * n_cent + c + 1).cast("int"))),
+                      F.lit(0.0), lambda acc, x: acc + x))
+                  .select("query_id", "neighbor_id", "adc"))
+    else:
+        qrows = queries.select(F.col(query_id_col).alias("query_id"),
+                               F.col(vec_col).alias("q_vec")).collect()
+        import numpy as np
 
-    def adc(batches):
-        import pandas as pd
+        cents = [np.asarray(b, dtype=np.float64) for b in books]
+        d = cents[0].shape[1]
+        # per-query ADC tables: table[q][j][c] = ||q_sub_j - cent_jc||²
+        tables = {}
+        for r in qrows:
+            q = np.asarray(r.q_vec, dtype=np.float64)
+            tables[r.query_id] = [
+                (((q[j * d:(j + 1) * d])[None, :] - cents[j]) ** 2).sum(axis=1)
+                for j in range(len(cents))]
 
-        qids = list(tables)
-        tabs = {qid: np.stack(tables[qid]) for qid in qids}  # m×k
-        for pdf in batches:
-            code_mat = np.stack(pdf["codes"].to_list())  # rows×m
-            rows_idx = np.arange(code_mat.shape[1])
-            out_q, out_n, out_d = [], [], []
-            for qid in qids:
-                dist = tabs[qid][rows_idx, code_mat].sum(axis=1)
-                out_q.extend([qid] * len(dist))
-                out_n.extend(pdf["neighbor_id"])
-                out_d.extend(dist)
-            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
-                                "adc": out_d})
+        def adc(batches):
+            import numpy as np
+            import pandas as pd
 
-    scored = codes.mapInPandas(
-        adc, schema="query_id long, neighbor_id long, adc double")
+            qids = list(tables)
+            tabs = {qid: np.stack(tables[qid]) for qid in qids}  # m×k
+            for pdf in batches:
+                code_mat = np.stack(pdf["codes"].to_list())  # rows×m
+                rows_idx = np.arange(code_mat.shape[1])
+                out_q, out_n, out_d = [], [], []
+                for qid in qids:
+                    dist = tabs[qid][rows_idx, code_mat].sum(axis=1)
+                    out_q.extend([qid] * len(dist))
+                    out_n.extend(pdf["neighbor_id"])
+                    out_d.extend(dist)
+                yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                                    "adc": out_d})
+
+        scored = codes.mapInPandas(
+            adc, schema="query_id long, neighbor_id long, adc double")
+
     wa = (Window.partitionBy("query_id")
           .orderBy(F.col("adc"), F.col("neighbor_id")))
     cand = (scored

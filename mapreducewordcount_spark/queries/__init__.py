@@ -55,11 +55,18 @@ def all_queries() -> dict[str, QuerySpec]:
     #   hygiene + grouped-Arrow + multimodal, TPC-H batch 1, bucketed
     #   join, events family, text family (all hash-green in
     #   CORRECTNESS_r01/r02);
-    #   r3 window (below) — the never-driver-checked TPC-H batches
-    #   2/3 and nation_balance_reconciliation, the r1-only
-    #   analytics2/3 families, the full events/doc analytics family
-    #   (regression-verifies the r2 events.ts fix), plus one
-    #   representative per already-green core family.
+    #   r3 window — the never-driver-checked TPC-H batches 2/3 and
+    #   nation_balance_reconciliation, the r1-only analytics2/3
+    #   families, the full events/doc analytics family, plus the six
+    #   round-3 operators (47/50 green; 2 oracle-typing reds fixed
+    #   this round);
+    #   r4 window (below) — the LAST two never-driver-checked
+    #   entries (pack_curated_corpus, ann_pq_topk), re-verification
+    #   of the two HUGEINT-fix rows and the two DECIMAL-normalized
+    #   oracles, the round-4 operators, then the core families whose
+    #   most recent rows are r1/r2 (word-count, curation, dedup/ANN
+    #   ladder, pipeline hygiene, TPC-H batch 1, bucketed join, text
+    #   family) so their evidence stays fresh.
     full: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries,
                 pipeline_queries, pipeline2, tpch, bucketed_join,
@@ -68,22 +75,21 @@ def all_queries() -> dict[str, QuerySpec]:
         full.update(mod.QUERIES)
 
     gate_first = (
-        # TPC-H batch 2 (never driver-checked before r3)
-        *tpch2.QUERIES,
-        # TPC-H batch 3 (never driver-checked before r3)
-        *tpch3.QUERIES,
-        # analytics3 — incl. nation_balance_reconciliation (never checked)
-        *analytics3.QUERIES,
-        # analytics2 — r1-green only, rotate back in
-        *analytics2.QUERIES,
-        # events + doc family — re-verify after the ts-encoding fix
-        *analytics.QUERIES,
-        # round-3 operators: first-ever driver rows
-        "doc_repetition_stats", "boilerplate_lines",
-        "pack_training_sequences", "training_mixture_plan",
-        "doc_lm_quality", "doc_dup_spans",
-        # representatives of already-green core families (r2 rows exist)
-        "wc_word_count", "dedup_minhash_pairs", "media_image_features",
+        # last two queries with no driver row in any round
+        "pack_curated_corpus", "ann_pq_topk",
+        # re-verify the round-4 oracle-typing fixes
+        "training_mixture_plan", "doc_dup_spans",
+        "doc_quality", "curate_corpus",
+        # core families whose latest driver rows are r1/r2
+        *wordcount_queries.QUERIES,
+        *dedup_queries.QUERIES,
+        *pipeline_queries.QUERIES,
+        *tpch.QUERIES,
+        *bucketed_join.QUERIES,
+        *text_queries.QUERIES,
+        # round-3 operator family representatives (r3-green)
+        "doc_repetition_stats", "pack_training_sequences",
+        "doc_lm_quality",
     )
     out = {n: full[n] for n in gate_first}
     out.update(full)  # remainder keeps its original relative order

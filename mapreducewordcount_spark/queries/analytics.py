@@ -271,10 +271,13 @@ m AS (
   FROM w
 )
 SELECT doc_id,
-       round(0.3 * (CASE WHEN nw BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+       -- CAST before round: decimal-literal arithmetic yields
+       -- DECIMAL(7,2) in DuckDB, which the driver gate hashes
+       -- differently than Spark's double even for equal values.
+       round(CAST(0.3 * (CASE WHEN nw BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
            + 0.2 * (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
            + 0.3 * (CASE WHEN sr >= 0.01 THEN 1.0 ELSE 0.0 END)
-           + 0.2 * (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END), 4) AS quality,
+           + 0.2 * (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END) AS DOUBLE), 4) AS quality,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) AS n_tokens
 FROM m
 """

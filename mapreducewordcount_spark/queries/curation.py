@@ -105,10 +105,12 @@ m AS (
 ),
 q AS (
   SELECT doc_id, fp,
-         round(0.3 * (CASE WHEN nw BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+         -- CAST before round: decimal-literal arithmetic yields
+         -- DECIMAL(7,2), which hash-drifts vs Spark's double.
+         round(CAST(0.3 * (CASE WHEN nw BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
              + 0.2 * (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
              + 0.3 * (CASE WHEN sr >= 0.01 THEN 1.0 ELSE 0.0 END)
-             + 0.2 * (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END), 4) AS quality,
+             + 0.2 * (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END) AS DOUBLE), 4) AS quality,
          min(doc_id) OVER (PARTITION BY fp) AS exact_keep
   FROM m
 )

@@ -49,7 +49,10 @@ ln AS (
 def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule repetition signals per document — duplicate-line
     fraction, duplicate-line *character* fraction, top-word
-    dominance. Narrow map over the scan: no shuffle at all."""
+    dominance. Narrow map over the scan; the only possible Exchange
+    is ``spread()``'s parallelism top-up, which no-ops once the
+    source scan already has full parallelism (plan-pinned in
+    tests/test_plans.py)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
@@ -172,14 +175,19 @@ _WEIGHTS_SQL = "(VALUES " + ", ".join(
 MIXTURE_SQL = rf"""
 WITH inv AS (
   SELECT lang, count(*) AS n_docs,
-         sum(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)) AS tokens_available
+         -- CAST the sum itself: DuckDB sum(BIGINT) returns HUGEINT,
+         -- which the driver gate's hasher renders differently than
+         -- Spark's bigint even when every value is identical.
+         CAST(sum(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)) AS BIGINT) AS tokens_available
   FROM documents GROUP BY 1
 )
 SELECT inv.lang, inv.n_docs, inv.tokens_available,
        round(COALESCE(wt.w, 0.0) / {sum(MIX_WEIGHTS.values())!r}, 6) AS weight,
        CAST(floor(COALESCE(wt.w, 0.0) / {sum(MIX_WEIGHTS.values())!r} * {MIX_BUDGET}) AS BIGINT) AS tokens_target,
-       round(CAST(floor(COALESCE(wt.w, 0.0) / {sum(MIX_WEIGHTS.values())!r} * {MIX_BUDGET}) AS BIGINT)
-             / CAST(inv.tokens_available AS DOUBLE), 6) AS sample_rate
+       CASE WHEN inv.tokens_available > 0
+            THEN round(CAST(floor(COALESCE(wt.w, 0.0) / {sum(MIX_WEIGHTS.values())!r} * {MIX_BUDGET}) AS BIGINT)
+                       / CAST(inv.tokens_available AS DOUBLE), 6)
+            ELSE 0.0 END AS sample_rate
 FROM inv LEFT JOIN {_WEIGHTS_SQL} ON inv.lang = wt.lang
 """
 
@@ -269,7 +277,8 @@ g AS (
 df AS (SELECT ng, count(*) AS c FROM g GROUP BY 1),
 per AS (
   SELECT g.doc_id, count(*) AS n_ngrams,
-         sum(CASE WHEN df.c >= 2 THEN 1 ELSE 0 END) AS n_dup_ngrams
+         -- CAST: DuckDB sum() yields HUGEINT (hash-drifts vs Spark bigint)
+         CAST(sum(CASE WHEN df.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_ngrams
   FROM g JOIN df USING (ng)
   GROUP BY 1
 )
@@ -281,6 +290,20 @@ SELECT d.doc_id,
             ELSE 0.0 END AS dup_fraction
 FROM documents d LEFT JOIN per p USING (doc_id)
 """
+
+
+# --- semantic dedup (SemDeDup cluster-then-prune) ---------------------------
+
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: k-means clusters, exact
+    within-cluster cosine pairs at 0.8, min-id keeper per component.
+    Approximate by construction (k-means routing) → rows-only gate
+    entry; semantics pinned by planted-ground-truth pytest
+    (tests/test_semdedup.py), like the LSH/ANN family."""
+    from mapreducewordcount_spark.operators.semdedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, n_lists=16, threshold=0.8, kmeans_iters=2)
 
 
 # --- end-to-end dataset build (curate ∘ pack) -------------------------------
@@ -333,4 +356,5 @@ QUERIES = {
     "doc_lm_quality": QuerySpec(doc_lm_quality, LM_QUALITY_SQL),
     "doc_dup_spans": QuerySpec(doc_dup_spans, DUP_SPANS_SQL),
     "pack_curated_corpus": QuerySpec(pack_curated_corpus, _pack_kept_sql()),
+    "semantic_dedup_embeddings": QuerySpec(semantic_dedup_embeddings, None),
 }

@@ -71,16 +71,25 @@ def load_tables(spark: SparkSession, sf_dir: str,
 
 
 def spread(df: DataFrame) -> DataFrame:
-    """Repartition a compact source to full parallelism before a
-    CPU-bound stage.
+    """Repartition an UNDER-parallel source to full parallelism
+    before a CPU-bound stage — and stay out of the way otherwise.
 
-    Small/one-file parquet arrives as one partition; tokenizers,
+    Small/one-file parquet arrives as one split; tokenizers,
     hash/shingle builders and vector math are compute-bound, so a
-    cheap shuffle of the raw rows buys cluster-wide parallelism.
-    No-op-cheap at scale (big sources already have many partitions —
-    still, prefer calling this only in front of heavy expressions).
+    cheap shuffle of the raw rows buys cluster-wide parallelism at
+    test scale. At 100 TB the source already has thousands of splits
+    and an unconditional repartition would be a full shuffle of the
+    corpus bytes in front of a narrow map — so this is a true no-op
+    (returns ``df`` unchanged, no Exchange in the plan) whenever the
+    scan already carries >= defaultParallelism partitions.
+
+    The partition probe uses ``df.rdd.getNumPartitions()``: plan
+    analysis only, no job.
     """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def register_views(spark: SparkSession, sf_dir: str,

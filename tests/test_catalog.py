@@ -60,3 +60,23 @@ def test_open_catalog_idempotent(spark, monkeypatch):
     open_catalog(spark, SF_ORACLE)
     assert len(calls) == 3
     cat._OPENED.pop(spark, None)
+
+
+def test_open_catalog_heals_dropped_view(spark, monkeypatch):
+    """A cache hit must not trust stale state: if a caller dropped a
+    temp view since registration, open_catalog re-registers instead
+    of letting the next sql() fail resolution (ADVICE r3)."""
+    import mapreducewordcount_spark.catalog as cat
+
+    calls = []
+    real = cat.register_views
+    monkeypatch.setattr(cat, "register_views",
+                        lambda *a, **kw: (calls.append(a), real(*a, **kw)))
+    cat._OPENED.pop(spark, None)
+    open_catalog(spark, SF_ORACLE)
+    assert len(calls) == 1
+    spark.catalog.dropTempView("nation")
+    got = sql(spark, SF_ORACLE,
+              "SELECT count(*) AS n FROM nation").collect()
+    assert len(calls) == 2 and got[0].n > 0
+    cat._OPENED.pop(spark, None)

@@ -226,3 +226,32 @@ def test_prefix_jaccard_agrees_with_quadratic_on_random_corpus(spark):
         pf = {(r.a_id, r.b_id): r.jaccard for r in
               dd.prefix_jaccard_pairs(df, threshold=t).collect()}
         assert pf == exact, f"mismatch at threshold {t}"
+
+
+def test_pair_generators_release_prior_invocation_cache(spark):
+    """Each pair-generator invocation unpersists the PREVIOUS
+    invocation's intermediate frames (ADVICE r3: persist-without-
+    unpersist leaked executor storage for the app lifetime), while
+    the current invocation's frames stay hot for its consumer."""
+    dd.release_dedup_cache()
+    docs = spark.createDataFrame(
+        [(i, f"u{i} a b c d e") for i in range(6)],
+        "doc_id long, text string")
+    dd.shingle_jaccard_pairs(docs).collect()
+    assert len(dd._TRACKED) == 1
+    first = dd._TRACKED[0]
+    assert first.storageLevel.useMemory  # hot for its own consumer
+
+    # different source → different plan: otherwise storageLevel (a
+    # plan-keyed CacheManager lookup) would see the NEW invocation's
+    # identical-plan persist and mask the release
+    other = spark.createDataFrame(
+        [(i, f"v{i} f g h i j") for i in range(6)],
+        "doc_id long, text string")
+    dd.minhash_lsh_pairs(other).collect()
+    # the previous invocation's frame was released...
+    assert not first.storageLevel.useMemory
+    assert all(f is not first for f in dd._TRACKED)
+    # ...and the explicit release empties the registry entirely
+    dd.release_dedup_cache()
+    assert not dd._TRACKED

@@ -58,7 +58,21 @@ def _values_equal(a, b) -> bool:
 def test_query_matches_duckdb_oracle(spark, duck, name):
     spec = SPECS[name]
     got = _canon(spec.spark_fn(spark, SF_ORACLE).toPandas())
-    want = _canon(duck.execute(spec.oracle_sql).df())
+
+    # The driver gate hashes the oracle result as DuckDB emits it, so
+    # dtypes the _canon() below would silently normalize still fail
+    # there: sum() promoting BIGINT→HUGEINT renders "460013.0" vs
+    # Spark's "460013", and decimal-literal math yields DECIMAL(n,s).
+    # Reject them here so the local sweep predicts the gate (oracles
+    # must CAST to BIGINT/DOUBLE at the source).
+    rel = duck.sql(spec.oracle_sql)
+    drifty = [(c, t) for c, t in
+              zip(rel.columns, (str(t).upper() for t in rel.types))
+              if "HUGEINT" in t or t.startswith("DECIMAL")]
+    assert not drifty, (
+        f"{name}: oracle emits gate-unsafe dtypes {drifty}; "
+        "CAST the offending expression to BIGINT/DOUBLE in the SQL")
+    want = _canon(rel.df())
 
     assert list(got.columns) == list(want.columns), \
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"

@@ -118,6 +118,44 @@ def test_topk_plans_use_take_ordered_not_global_window(spark):
         assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_spread_noops_on_parallel_source(spark):
+    """spread() exists to top up parallelism on compact test inputs;
+    over a source that already carries >= defaultParallelism
+    partitions (every real 100 TB scan) it must return the input
+    unchanged — an unconditional repartition here would full-shuffle
+    corpus bytes in front of a narrow map (VERDICT r3 wrong#3)."""
+    from mapreducewordcount_spark.functions import repetition as rep
+    from mapreducewordcount_spark.plans import explain_str
+    from mapreducewordcount_spark.sources.tables import spread
+
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    src = (spark.range(0, 256, 1, numPartitions=n_parts)
+           .select(F.col("id").alias("doc_id"),
+                   F.concat(F.lit("line one\nline one\nword "),
+                            F.col("id").cast("string")).alias("text")))
+    assert spread(src) is src, "spread() must no-op on a wide source"
+
+    stats = spread(src).select(
+        "doc_id",
+        F.round(rep.dup_line_fraction("text"), 6).alias("dup_line_frac"),
+        F.round(rep.top_word_fraction("text"), 6).alias("top_word_frac"))
+    plan = explain_str(stats)
+    assert "Exchange" not in plan, \
+        f"repetition stats over a wide source must stay narrow:\n{plan}"
+
+
+def test_spread_still_tops_up_compact_source(spark):
+    """The test-scale behavior stays: a one-partition source is
+    repartitioned to full parallelism."""
+    from mapreducewordcount_spark.sources.tables import spread
+
+    src = spark.range(0, 8, 1, numPartitions=1)
+    out = spread(src)
+    assert out is not src
+    assert out.rdd.getNumPartitions() == \
+        spark.sparkContext.defaultParallelism
+
+
 def test_prefix_jaccard_candidates_are_equi_join(spark):
     """prefix_jaccard_pairs' candidate stage must join on the shingle
     key (hash/SMJ), never fall back to a nested-loop pair scan — the

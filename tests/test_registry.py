@@ -7,25 +7,26 @@ from __future__ import annotations
 from mapreducewordcount_spark.queries import all_queries
 
 
-def test_gate_window_rotation_round3():
+def test_gate_window_rotation_round4():
     names = list(all_queries())
     window = set(names[:50])
-    # never-driver-checked families must hold gate slots this round
-    for q in ("q4_priority_late", "q21_late_suppliers",
-              "q2_min_cost_supplier", "q22_idle_customers",
-              "nation_balance_reconciliation"):
+    # the last two never-driver-checked entries take gate slots
+    for q in ("pack_curated_corpus", "ann_pq_topk"):
         assert q in window, q
-    # the repaired events family must re-earn hash-green driver rows
-    for q in ("events_sessions", "events_after_purchase"):
+    # the two HUGEINT-fix rows and the two DECIMAL-normalized
+    # oracles must re-earn hash-green driver rows
+    for q in ("training_mixture_plan", "doc_dup_spans",
+              "doc_quality", "curate_corpus"):
         assert q in window, q
-    # round-3 operators take their first driver rows
-    for q in ("doc_repetition_stats", "boilerplate_lines",
-              "pack_training_sequences", "training_mixture_plan",
-              "doc_lm_quality", "doc_dup_spans"):
+    # core families whose latest rows are r1/r2 rotate back in
+    for q in ("wc_word_count", "dedup_minhash_pairs", "dedup_exact",
+              "q1_pricing_summary", "q6_forecast_revenue",
+              "bucketed_order_revenue", "top_bigrams",
+              "decontam_report", "stratified_sample_docs"):
         assert q in window, q
-    # one live representative per already-green core family
-    for q in ("wc_word_count", "dedup_minhash_pairs",
-              "media_image_features"):
+    # round-3 operator representatives keep fresh evidence
+    for q in ("doc_repetition_stats", "pack_training_sequences",
+              "doc_lm_quality"):
         assert q in window, q
 
 
