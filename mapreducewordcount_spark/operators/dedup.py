@@ -80,10 +80,12 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
 def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     # Compact corpora arrive as one parquet file → one partition; the
     # shingle/hash work downstream is CPU-bound, so spread it across
-    # the cluster first (a shuffle of raw docs is trivial next to the
-    # per-shingle hashing it parallelizes).
-    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    return (spread
+    # the cluster first. spread() is conditional: on a source that
+    # already has full parallelism (every real 100 TB scan) it is a
+    # no-op, so no corpus-byte shuffle rides in front of the hashing.
+    from mapreducewordcount_spark.sources.tables import spread
+
+    return (spread(docs)
             .select(F.col(id_col).alias("doc_id"),
                     shingles(text_col, n).alias("shingles"))
             .filter(F.size("shingles") > 0))
@@ -293,14 +295,18 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     rows = num_hashes // bands
     release_dedup_cache()
     sh = _persist_tracked(_doc_shingles(docs, id_col, text_col, n))
-    sig = _persist_tracked(_signatures_from_shingles(sh, num_hashes))
-    banded = sig.select(
+    sig = _signatures_from_shingles(sh, num_hashes)
+    # persist BANDED (not sig): both self-join sides read it, and
+    # materializing post-explode also covers the band-hash compute —
+    # one 64-permutation pass total instead of two (bands×docs tiny
+    # rows, cheaper to store than to recompute)
+    banded = _persist_tracked(sig.select(
         "doc_id",
         F.posexplode(F.array(*[
             F.xxhash64(F.concat_ws(",", *[
                 F.col("signature")[b * rows + r].cast("string")
                 for r in range(rows)]))
-            for b in range(bands)])).alias("band", "band_hash"))
+            for b in range(bands)])).alias("band", "band_hash")))
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (a.join(b, (F.col("a.band") == F.col("b.band"))
                          & (F.col("a.band_hash") == F.col("b.band_hash"))
