@@ -292,6 +292,51 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+# --- tokenizer induction (BPE) ----------------------------------------------
+
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-weighted adjacent character-pair counts over the word
+    vocabulary — the statistic the first BPE merge maximizes. Pair
+    enumeration runs on the (distinct-word, freq) table, not the raw
+    corpus (operators/bpe.py)."""
+    from mapreducewordcount_spark.operators.bpe import bpe_pair_counts
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return bpe_pair_counts(docs)
+
+
+BPE_PAIRS_SQL = rf"""
+WITH {_W_CTE},
+tok AS (SELECT unnest(words) AS word FROM w),
+wf AS (SELECT word, count(*) AS freq FROM tok GROUP BY 1),
+p AS (
+  SELECT wf.freq,
+         substring(wf.word, i, 1) AS a,
+         substring(wf.word, i + 1, 1) AS b
+  FROM wf, unnest(range(1, length(wf.word))) AS t(i)
+  WHERE length(wf.word) >= 2
+)
+SELECT a, b, CAST(sum(freq) AS BIGINT) AS pair_count
+FROM p GROUP BY 1, 2
+"""
+
+
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc subword token counts under a corpus-trained 32-merge
+    BPE. Train = distributed word count + central merge loop on the
+    bounded top-V table; apply = Arrow map with per-batch word cache.
+    Iterative training → rows-only gate entry; merge semantics pinned
+    against hand-computed ground truth in tests/test_bpe.py."""
+    from mapreducewordcount_spark.operators.bpe import (
+        bpe_token_stats,
+        bpe_train,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    merges = bpe_train(docs, n_merges=32, v_max_words=4096)
+    return bpe_token_stats(docs, merges)
+
+
 # --- semantic dedup (SemDeDup cluster-then-prune) ---------------------------
 
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,4 +402,6 @@ QUERIES = {
     "doc_dup_spans": QuerySpec(doc_dup_spans, DUP_SPANS_SQL),
     "pack_curated_corpus": QuerySpec(pack_curated_corpus, _pack_kept_sql()),
     "semantic_dedup_embeddings": QuerySpec(semantic_dedup_embeddings, None),
+    "bpe_pair_stats": QuerySpec(bpe_pair_stats, BPE_PAIRS_SQL),
+    "doc_bpe_tokens": QuerySpec(doc_bpe_tokens, None),
 }
