@@ -50,3 +50,34 @@ def stratified_hash_sample(strata_col: Column | str,
     for value, thresh in rates.items():
         pred = F.when(s == value, hash_bernoulli(key, thresh)).otherwise(pred)
     return pred
+
+
+def epoch_shuffle_key(key: Column | str, epoch: int) -> Column:
+    """Deterministic per-epoch shuffle key: ``md5(key ':' epoch)``.
+
+    Training runs need a REPRODUCIBLE corpus order that still changes
+    between epochs; ordering by a salted content hash gives exactly
+    that — same (key, epoch) → same position on any engine, any
+    partitioning, any day, while different epochs decorrelate the
+    order. md5 (not xxhash64) on purpose: the oracle engine computes
+    the identical hex string, so the order itself is oracle-checkable.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    return F.md5(F.concat(k.cast("string"), F.lit(f":{int(epoch)}")))
+
+
+def epoch_shard(key: Column | str, epoch: int, n_shards: int) -> Column:
+    """Deterministic shard assignment for the epoch: a 2-hex-digit
+    slice of the shuffle key folded to ``[0, n_shards)`` via ascii
+    arithmetic (portable to engines without hex→int conversion).
+
+    Shard count is the parallelism knob: at cluster scale pick
+    n_shards ≈ writers × small factor; within a shard, order by
+    ``epoch_shuffle_key`` — a per-shard sort, never a global one.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards={n_shards} must be positive")
+    h = epoch_shuffle_key(key, epoch)
+    v = (F.ascii(F.substring(h, 1, 1)) * 256
+         + F.ascii(F.substring(h, 2, 1)))
+    return F.pmod(v, F.lit(n_shards))

@@ -292,6 +292,59 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+# --- reproducible epoch shuffle ---------------------------------------------
+
+EPOCH = 1
+N_EPOCH_SHARDS = 8
+
+
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training order for epoch 1: every doc gets a
+    shard and a position-within-shard, both pure functions of
+    (doc_id, epoch) via a salted md5 — same order on any engine /
+    partitioning / rerun, different order next epoch. The rank
+    window partitions by shard, so the sort is per-shard (size
+    corpus/n_shards), never global."""
+    from mapreducewordcount_spark.functions.sampling import (
+        epoch_shard,
+        epoch_shuffle_key,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (Window.partitionBy("shard")
+         .orderBy("shuffle_key", "doc_id"))
+    return (docs
+            .select("doc_id",
+                    epoch_shard("doc_id", EPOCH, N_EPOCH_SHARDS)
+                    .alias("shard"),
+                    epoch_shuffle_key("doc_id", EPOCH).alias("shuffle_key"))
+            .withColumn("position",
+                        F.row_number().over(w).cast("long"))
+            .select("doc_id", "shard", "position"))
+
+
+EPOCH_SHUFFLE_SQL = f"""
+WITH k AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR) || ':{EPOCH}') AS shuffle_key
+  FROM documents
+),
+s AS (
+  SELECT doc_id, shuffle_key,
+         CAST((ascii(substring(shuffle_key, 1, 1)) * 256
+               + ascii(substring(shuffle_key, 2, 1)))
+              % {N_EPOCH_SHARDS} AS INT) AS shard
+  FROM k
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY shuffle_key, doc_id) AS BIGINT)
+       AS position
+FROM s
+"""
+
+
 # --- tokenizer induction (BPE) ----------------------------------------------
 
 def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,4 +457,5 @@ QUERIES = {
     "semantic_dedup_embeddings": QuerySpec(semantic_dedup_embeddings, None),
     "bpe_pair_stats": QuerySpec(bpe_pair_stats, BPE_PAIRS_SQL),
     "doc_bpe_tokens": QuerySpec(doc_bpe_tokens, None),
+    "epoch_shuffle_order": QuerySpec(epoch_shuffle_order, EPOCH_SHUFFLE_SQL),
 }

@@ -274,3 +274,29 @@ def test_hash_key_lanes_are_independent(spark):
     assert all(h1 != h2 for h1, h2 in keys)
     # lane-2 offsets vary: h2 - h1 is not a constant shift
     assert len({(h2 - h1) for h1, h2 in keys[:64]}) > 1
+
+
+def test_epoch_shuffle_reproducible_and_epoch_sensitive(spark):
+    """Same (key, epoch) → same order everywhere; different epoch →
+    different order (that's the whole point of the salt)."""
+    from mapreducewordcount_spark.functions.sampling import (
+        epoch_shard,
+        epoch_shuffle_key,
+    )
+
+    df = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    k1 = [r.k for r in df.select(
+        epoch_shuffle_key("doc_id", 1).alias("k")).orderBy("doc_id").collect()]
+    k1b = [r.k for r in df.select(
+        epoch_shuffle_key("doc_id", 1).alias("k")).orderBy("doc_id").collect()]
+    k2 = [r.k for r in df.select(
+        epoch_shuffle_key("doc_id", 2).alias("k")).orderBy("doc_id").collect()]
+    assert k1 == k1b
+    assert k1 != k2
+    shards = [r.s for r in df.select(
+        epoch_shard("doc_id", 1, 8).alias("s")).collect()]
+    assert set(shards) <= set(range(8)) and len(set(shards)) > 1
+
+    import pytest
+    with pytest.raises(ValueError):
+        epoch_shard("doc_id", 1, 0)
