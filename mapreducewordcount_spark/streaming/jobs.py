@@ -309,3 +309,67 @@ def stream_quality_filter(docs: DataFrame,
             .filter((F.col("quality") >= min_quality)
                     & (dup_line_fraction("text") <= max_dup_line_frac)
                     & (top_word_fraction("text") <= max_top_word_frac)))
+
+
+def stream_source_token_budget(docs: DataFrame,
+                               budgets: dict[str, int],
+                               default_budget: int = 0) -> DataFrame:
+    """Streaming mixture-budget enforcement: admit each source's
+    documents until its token budget is exhausted, then mark the
+    remainder dropped.
+
+    This is the streaming half of ``operators/packing.mixture_plan``:
+    batch planning decides per-source budgets; this operator enforces
+    them as documents arrive. Per source key the state is ONE long
+    (tokens consumed so far) in the checkpointed state store —
+    exactly-once across restarts, memory O(live sources). Rows are
+    processed in doc_id order within each micro-batch so admission is
+    deterministic for a given arrival sequence; the budget check is
+    admit-if-any-room (a doc may overshoot its budget by at most one
+    document — the same contract as greedy packing).
+
+    API note: built on ``applyInPandasWithState``. Spark 4's
+    successor API (``transformWithStateInPandas`` — typed value/list/
+    map state, timers) expresses the same single-value state as
+    ``handle.getValueState('consumed', 'used long')`` inside a
+    ``StatefulProcessor``, but its driver worker requires protobuf,
+    which this environment does not ship — the migration is a
+    mechanical swap of the state plumbing around the same admission
+    loop, gated on ``google.protobuf`` availability.
+
+    Output: (source, doc_id, n_tokens, admitted, consumed_after).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from mapreducewordcount_spark.functions.text_metrics import token_count
+
+    def enforce(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        source = key[0]
+        budget = budgets.get(source, default_budget)
+        (used,) = state.get if state.exists else (0,)
+        out = []
+        for pdf in pdfs:
+            for r in pdf.sort_values("doc_id").itertuples():
+                admit = used < budget
+                if admit:
+                    used += int(r.n_tokens)
+                out.append((source, int(r.doc_id), int(r.n_tokens),
+                            admit, used))
+        state.update((used,))
+        yield pd.DataFrame(out, columns=[
+            "source", "doc_id", "n_tokens", "admitted", "consumed_after"])
+
+    sized = docs.select("source", "doc_id",
+                        token_count("text").cast("long").alias("n_tokens"))
+    return (sized
+            .groupBy("source")
+            .applyInPandasWithState(
+                enforce,
+                outputStructType=("source string, doc_id long, "
+                                  "n_tokens long, admitted boolean, "
+                                  "consumed_after long"),
+                stateStructType="used long",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -293,3 +293,59 @@ def test_stream_quality_filter_drops_junk(spark, tmp_path):
     q.stop()
     got = {r.doc_id for r in spark.sql("SELECT * FROM junk_stream").collect()}
     assert got == {0}, got
+
+
+def test_stream_source_token_budget_enforces_across_batches(spark, tmp_path):
+    """transformWithState budget enforcement: per-source token budgets
+    persist in the state store ACROSS micro-batches — a source that
+    exhausts its budget in batch 1 admits nothing in batch 2, and the
+    admit-if-any-room contract allows at most one overshoot doc."""
+    import json
+
+    from mapreducewordcount_spark.streaming import (
+        stream_source_token_budget,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, rows):
+        (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    # each text = 4 tokens; budget A=10 → docs 1,2 admitted (8),
+    # doc 3 admitted with overshoot (12 > 10? no: used=8 < 10 → admit,
+    # consumed 12), doc 4 dropped; budget B=0 → nothing admitted
+    write("b1.json", [
+        {"source": "A", "doc_id": 1, "text": "w w w w"},
+        {"source": "A", "doc_id": 2, "text": "w w w w"},
+        {"source": "B", "doc_id": 5, "text": "w w w w"},
+    ])
+
+    schema = "source string, doc_id long, text string"
+    docs = spark.readStream.schema(schema).json(str(src))
+    out = stream_source_token_budget(docs, {"A": 10})
+    q = (out.writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .format("memory").queryName("budget_stream").start())
+    try:
+        q.processAllAvailable()
+        write("b2.json", [
+            {"source": "A", "doc_id": 3, "text": "w w w w"},
+            {"source": "A", "doc_id": 4, "text": "w w w w"},
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r.doc_id: r for r in
+           spark.sql("SELECT * FROM budget_stream").collect()}
+    assert len(got) == 5
+    assert got[1].admitted and got[1].consumed_after == 4
+    assert got[2].admitted and got[2].consumed_after == 8
+    # batch 2 resumes from used=8 < 10 → doc 3 admitted (overshoot)
+    assert got[3].admitted and got[3].consumed_after == 12
+    # used=12 >= 10 → doc 4 dropped, consumption unchanged
+    assert not got[4].admitted and got[4].consumed_after == 12
+    # source B has no budget entry → default 0 → dropped
+    assert not got[5].admitted and got[5].consumed_after == 0
