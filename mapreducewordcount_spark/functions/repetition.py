@@ -25,9 +25,17 @@ from mapreducewordcount_spark.functions.text_metrics import words
 
 
 def lines(col: Column | str) -> Column:
-    """text → array of non-empty trimmed lines."""
+    """text → array of non-empty trimmed lines.
+
+    The trim lambda MUST be unary: ``F.transform`` inspects the
+    callable's arity and a bare ``F.trim`` (signature
+    ``trim(col, trim=None)``) gets called as the BINARY form
+    ``trim(element, index)`` — i.e. the element index becomes the
+    set of characters to strip, so nothing (or worse, index digits)
+    gets trimmed. Caught by the round-4 line-dedup whitespace test.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.transform(F.split(c, r"\n"), F.trim),
+    return F.filter(F.transform(F.split(c, r"\n"), lambda x: F.trim(x)),
                     lambda x: F.length(x) > 0)
 
 

@@ -292,6 +292,46 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+# --- C4-style duplicate-line removal ----------------------------------------
+
+def c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rewrite every document keeping only the corpus-wide first
+    occurrence of each line (operators/linededup.py)."""
+    from mapreducewordcount_spark.operators.linededup import (
+        strip_duplicate_lines,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return strip_duplicate_lines(docs)
+
+
+C4_LINE_DEDUP_SQL = rf"""
+WITH {_LINES_CTE},
+occ AS (
+  SELECT doc_id, i AS pos, ls[i] AS line
+  FROM ln, unnest(range(1, len(ls) + 1)) AS t(i)
+),
+k AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line
+                            ORDER BY doc_id, pos) AS rn
+  FROM occ
+),
+reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text_clean
+  FROM k WHERE rn = 1 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(reb.text_clean, '') AS text_clean,
+       CAST(len(ln.ls) AS INT) AS n_lines,
+       COALESCE(reb.n_kept, 0) AS n_kept
+FROM documents d
+JOIN ln USING (doc_id)
+LEFT JOIN reb USING (doc_id)
+"""
+
+
 # --- reproducible epoch shuffle ---------------------------------------------
 
 EPOCH = 1
@@ -458,4 +498,5 @@ QUERIES = {
     "bpe_pair_stats": QuerySpec(bpe_pair_stats, BPE_PAIRS_SQL),
     "doc_bpe_tokens": QuerySpec(doc_bpe_tokens, None),
     "epoch_shuffle_order": QuerySpec(epoch_shuffle_order, EPOCH_SHUFFLE_SQL),
+    "c4_line_dedup": QuerySpec(c4_line_dedup, C4_LINE_DEDUP_SQL),
 }
