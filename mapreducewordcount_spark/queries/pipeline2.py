@@ -292,6 +292,90 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+# --- quality feature vector (classifier input) ------------------------------
+
+def doc_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full per-doc quality feature vector in ONE narrow map —
+    what you export to train a quality classifier (the step above
+    the heuristic score): length/vocabulary stats, stopword and
+    punctuation ratios, Gopher repetition signals, token count, and
+    the composite heuristic score. One scan, one pass, no shuffle
+    beyond spread()'s parallelism top-up (every feature is a
+    row-local column expression from functions/)."""
+    from mapreducewordcount_spark.functions import text_metrics as tm
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        tm.n_words("text").alias("n_words"),
+        tm.n_distinct_words("text").alias("n_distinct_words"),
+        F.round(tm.avg_word_len("text"), 4).alias("avg_word_len"),
+        F.round(tm.stopword_ratio("text"), 4).alias("stopword_ratio"),
+        F.round(tm.punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(dup_line_fraction("text"), 6).alias("dup_line_frac"),
+        F.round(dup_line_char_fraction("text"), 6).alias("dup_char_frac"),
+        F.round(top_word_fraction("text"), 6).alias("top_word_frac"),
+        tm.token_count("text").alias("n_tokens"),
+        F.round(tm.quality_score("text"), 4).alias("quality"))
+
+
+def _quality_features_sql() -> str:
+    from mapreducewordcount_spark.queries.analytics import (
+        _EN_STOPS_SQL,
+        _WORDS_CTE,
+    )
+
+    return rf"""
+WITH {_WORDS_CTE},
+{_LINES_CTE.strip().rstrip()},
+tw AS (
+  SELECT doc_id, unnest(words) AS word FROM w
+),
+twc AS (SELECT doc_id, word, count(*) AS c FROM tw GROUP BY 1, 2),
+twa AS (SELECT doc_id, max(c) AS best, sum(c) AS n FROM twc GROUP BY 1),
+m AS (
+  SELECT w.doc_id, w.text, w.words,
+         len(w.words) AS nw,
+         CASE WHEN len(w.words) > 0
+              THEN list_sum(list_transform(w.words, x -> strlen(x)))::DOUBLE / len(w.words)
+              ELSE 0.0 END AS awl,
+         CASE WHEN len(w.words) > 0
+              THEN len(list_filter(w.words, x -> list_contains({_EN_STOPS_SQL}, x)))::DOUBLE / len(w.words)
+              ELSE 0.0 END AS sr,
+         CASE WHEN strlen(regexp_replace(w.text, '\s+', '', 'g')) > 0
+              THEN (strlen(w.text) - strlen(regexp_replace(w.text, '[!-/:-@\[-`{{-~]', '', 'g')))::DOUBLE
+                   / strlen(regexp_replace(w.text, '\s+', '', 'g'))
+              ELSE 0.0 END AS pr
+  FROM w
+)
+SELECT m.doc_id,
+       CAST(m.nw AS INT) AS n_words,
+       CAST(len(list_distinct(m.words)) AS INT) AS n_distinct_words,
+       round(m.awl, 4) AS avg_word_len,
+       round(m.sr, 4) AS stopword_ratio,
+       round(m.pr, 4) AS punct_ratio,
+       round(CASE WHEN len(ln.ls) > 0
+             THEN 1.0 - CAST(len(list_distinct(ln.ls)) AS DOUBLE) / len(ln.ls)
+             ELSE 0.0 END, 6) AS dup_line_frac,
+       round(CASE WHEN COALESCE(list_sum(list_transform(ln.ls, x -> length(x))), 0) > 0
+             THEN CAST(list_sum(list_transform(ln.ls, x -> length(x)))
+                       - list_sum(list_transform(list_distinct(ln.ls), x -> length(x))) AS DOUBLE)
+                  / list_sum(list_transform(ln.ls, x -> length(x)))
+             ELSE 0.0 END, 6) AS dup_char_frac,
+       round(CASE WHEN COALESCE(twa.n, 0) > 0
+             THEN CAST(twa.best AS DOUBLE) / twa.n
+             ELSE 0.0 END, 6) AS top_word_frac,
+       CAST(len(regexp_extract_all(m.text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS n_tokens,
+       round(CAST(0.3 * (CASE WHEN m.nw BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+           + 0.2 * (CASE WHEN m.awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+           + 0.3 * (CASE WHEN m.sr >= 0.01 THEN 1.0 ELSE 0.0 END)
+           + 0.2 * (CASE WHEN m.pr <= 0.2 THEN 1.0 ELSE 0.0 END) AS DOUBLE), 4) AS quality
+FROM m
+JOIN ln USING (doc_id)
+LEFT JOIN twa USING (doc_id)
+"""
+
+
 # --- C4-style duplicate-line removal ----------------------------------------
 
 def c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -499,4 +583,6 @@ QUERIES = {
     "doc_bpe_tokens": QuerySpec(doc_bpe_tokens, None),
     "epoch_shuffle_order": QuerySpec(epoch_shuffle_order, EPOCH_SHUFFLE_SQL),
     "c4_line_dedup": QuerySpec(c4_line_dedup, C4_LINE_DEDUP_SQL),
+    "doc_quality_features": QuerySpec(doc_quality_features,
+                                      _quality_features_sql()),
 }
