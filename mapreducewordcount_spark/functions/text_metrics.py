@@ -10,6 +10,7 @@ reference's own scalar surface is only tokenize/strip/lower,
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -220,3 +221,62 @@ def winnow_select(col: Column | str, n: int = 3, w: int = 4) -> Column:
         return F.array_sort(F.array_distinct(sel))
 
     return F.coalesce(F.transform(F.array(words(col)), build)[0], no_hashes)
+
+
+def char_entropy(col: Column | str) -> Column:
+    """Shannon entropy (bits/char) of the document's characters —
+    the classic cheap gibberish/repetition signal: natural text sits
+    ~4 bits, single-char spam near 0, uniform noise near log2(set).
+
+    Pure array algebra, zero shuffle: chars via positional substring
+    (NOT split-on-empty — its edge semantics differ across engines),
+    per-distinct-char counts, then an entropy fold over the SORTED
+    distinct chars. Sorting pins the float summation order so the
+    oracle engine folds in the identical sequence — bit-stable, same
+    discipline as the lm_score ORDER BY (SCALE.md float-parity
+    lesson).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)) \
+        .otherwise(F.array().cast("array<int>"))
+    chars = F.transform(idx, lambda i: F.substring(c, i, 1))
+
+    def over(cs: Column) -> Column:
+        uniq = F.array_sort(F.array_distinct(cs))
+        counts = F.transform(
+            uniq, lambda d: F.size(F.filter(cs, lambda x: x == d)))
+        total = F.size(cs).cast("double")
+        return F.aggregate(
+            counts, F.lit(0.0),
+            lambda acc, k: acc - (k.cast("double") / total)
+            * F.log2(k.cast("double") / total))
+
+    return F.when(n > 0, F.transform(F.array(chars), over)[0]) \
+        .otherwise(F.lit(0.0))
+
+
+def compression_ratio_udf():
+    """Arrow-batched zlib compression ratio: compressed/raw bytes of
+    the UTF-8 text (level 6). Repetitive/spammy text compresses far
+    below natural prose — the RedPajama-style quality signal.
+
+    A Pandas UDF because SQL has no codec; zlib is stdlib and
+    deterministic for a fixed level, but the exact byte count is a
+    library artifact → the query built on this is rows-only with
+    planted-threshold pytest, like the hash-family ops. Empty docs
+    → 0.0.
+    """
+    import zlib
+
+    @F.pandas_udf("double")
+    def ratio(texts: pd.Series) -> pd.Series:
+        def one(t: str) -> float:
+            raw = (t or "").encode("utf-8")
+            if not raw:
+                return 0.0
+            return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+        return texts.map(one)
+
+    return ratio

@@ -292,6 +292,59 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+# --- entropy / compressibility signals --------------------------------------
+
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character Shannon entropy (bits/char) — narrow map,
+    entropy fold over sorted distinct chars (order-pinned floats)."""
+    from mapreducewordcount_spark.functions.text_metrics import char_entropy
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id", F.round(char_entropy("text"), 4).alias("entropy_bits"))
+
+
+CHAR_ENTROPY_SQL = r"""
+WITH cs AS (
+  SELECT doc_id,
+         CASE WHEN length(text) >= 1
+              THEN list_transform(range(1, length(text) + 1),
+                                  i -> substring(text, i, 1))
+              ELSE [] END AS chars
+  FROM documents
+),
+u AS (
+  SELECT doc_id, chars, list_sort(list_distinct(chars)) AS uniq
+  FROM cs
+)
+SELECT doc_id,
+       CASE WHEN len(chars) > 0 THEN
+         round(list_aggregate(
+           list_transform(uniq,
+             d -> -(CAST(len(list_filter(chars, x -> x = d)) AS DOUBLE)
+                    / len(chars))
+                  * log2(CAST(len(list_filter(chars, x -> x = d)) AS DOUBLE)
+                         / len(chars))),
+           'sum'), 4)
+       ELSE 0.0 END AS entropy_bits
+FROM u
+"""
+
+
+def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc zlib compressibility (compressed/raw bytes, level 6).
+    Codec output is a library artifact → rows-only gate entry;
+    thresholds pinned on planted repetitive-vs-natural text in
+    tests/test_text_metrics.py."""
+    from mapreducewordcount_spark.functions.text_metrics import (
+        compression_ratio_udf,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id", compression_ratio_udf()("text").alias("zlib_ratio"))
+
+
 # --- quality feature vector (classifier input) ------------------------------
 
 def doc_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -585,4 +638,6 @@ QUERIES = {
     "c4_line_dedup": QuerySpec(c4_line_dedup, C4_LINE_DEDUP_SQL),
     "doc_quality_features": QuerySpec(doc_quality_features,
                                       _quality_features_sql()),
+    "doc_char_entropy": QuerySpec(doc_char_entropy, CHAR_ENTROPY_SQL),
+    "doc_compression_ratio": QuerySpec(doc_compression_ratio, None),
 }

@@ -83,3 +83,44 @@ def test_dedup_ops_survive_degenerate_docs(spark, docs):
     assert dd.shingle_jaccard_pairs(docs, threshold=0.5).count() == 0
     assert dd.minhash_lsh_pairs(docs, threshold=0.5).count() == 0
     assert dd.simhash_pairs(docs, max_hamming=3).count() >= 0
+
+
+def test_char_entropy_planted(spark):
+    import math
+
+    from mapreducewordcount_spark.functions.text_metrics import char_entropy
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.e for r in
+           df.select("doc_id",
+                     F.round(char_entropy("text"), 6).alias("e")).collect()}
+    assert got[1] == 0.0                      # single symbol
+    assert abs(got[2] - 1.0) < 1e-9           # two equiprobable symbols
+    assert abs(got[3] - 2.0) < 1e-9           # four equiprobable symbols
+    assert got[4] == 0.0                      # empty
+
+
+def test_compression_ratio_separates_spam_from_prose(spark):
+    from mapreducewordcount_spark.functions.text_metrics import (
+        compression_ratio_udf,
+    )
+    from pyspark.sql import functions as F
+
+    spam = "buy now " * 200
+    prose = ("The quick brown fox jumps over the lazy dog while seventeen "
+             "zebras quietly examined jugs of bad venom from Oxford.") * 3
+    df = spark.createDataFrame(
+        [(1, spam), (2, prose), (3, "")], "doc_id long, text string")
+    got = {r.doc_id: r.z for r in
+           df.select("doc_id",
+                     compression_ratio_udf()("text").alias("z")).collect()}
+    assert got[1] < 0.1 < got[2] <= 1.2       # spam compresses far better
+    assert got[3] == 0.0
+    # deterministic across invocations (fixed level, stdlib zlib)
+    again = {r.doc_id: r.z for r in
+             df.select("doc_id",
+                       compression_ratio_udf()("text").alias("z")).collect()}
+    assert got == again
