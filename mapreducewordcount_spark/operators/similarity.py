@@ -109,15 +109,34 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 def _nearest_lists(df: DataFrame, cent: DataFrame, vec: str, out: str,
                    take: int) -> DataFrame:
-    """Attach the ``take`` nearest list_ids to each row (broadcast
-    centroids, one argmax over ``n_lists`` cosines per row)."""
-    scored = (df.join(F.broadcast(cent), how="cross")
-              .withColumn("__d", cosine(vec, "cent_vec"))
-              .withColumn("__r", F.row_number().over(
-                  Window.partitionBy(out)
-                  .orderBy(F.col("__d").desc(), F.col("list_id"))))
-              .filter(F.col("__r") <= take))
-    return scored.drop("cent_vec", "__d", "__r")
+    """Attach the ``take`` nearest list_ids to each row — as a pure
+    column expression over the collected centroid table.
+
+    The centroid table is a bounded model artifact (n_lists rows, the
+    same bounded collect the Lloyd loop already performs), so routing
+    does not need a join at all: each row scores every centroid in
+    one literal-array expression and takes the top ``take`` via an
+    in-array sort. The earlier crossJoin + row_number window form
+    computed identical values but hash-partitioned rows × n_lists by
+    id for the window — a 16×-corpus shuffle at scale, for what is a
+    row-local argmax (round-4 plan audit). Values are bit-identical:
+    ``cosine`` casts to double either way, and the struct sort
+    (-cos, list_id) reproduces the window's (cos desc, list_id)
+    order exactly.
+    """
+    rows = cent.collect()  # n_lists rows — bounded by construction
+    if not rows:
+        return df.withColumn("list_id", F.lit(None).cast("long")).limit(0)
+    scored = F.array(*[
+        F.struct(
+            (-cosine(vec, F.array(*[F.lit(float(x)) for x in r.cent_vec])))
+            .alias("negd"),
+            F.lit(r.list_id).alias("list_id"))
+        for r in rows])
+    top = F.slice(F.array_sort(scored), 1, take)
+    return (df.withColumn("__top", F.explode(top))
+            .withColumn("list_id", F.col("__top.list_id"))
+            .drop("__top"))
 
 
 def ivf_build(corpus: DataFrame, id_col: str = "vec_id",

@@ -169,3 +169,20 @@ def test_prefix_jaccard_candidates_are_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, \
         "prefix-filter candidate generation fell back to a pair scan"
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_routing_is_shuffle_free(spark):
+    """Centroid routing must be a row-local argmax over the literal
+    centroid table — no crossJoin, no per-id window shuffle (the old
+    form hash-partitioned rows × n_lists for a row_number; a
+    16×-corpus shuffle at scale)."""
+    from mapreducewordcount_spark.operators.similarity import ivf_build
+    from mapreducewordcount_spark.plans import explain_str
+
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(8)])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned, _cent = ivf_build(emb, n_lists=4, kmeans_iters=0)
+    plan = explain_str(assigned)
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
