@@ -450,10 +450,11 @@ def embedding_dup_pairs(embeddings: DataFrame, id_col: str = "vec_id",
     # norms precomputed per vector (not per pair): same expression →
     # bit-identical cosine, but the pair stage runs ONE array
     # aggregate (the dot) instead of three
+    from mapreducewordcount_spark.sources.tables import spread
+
     release_dedup_cache()
-    n_par = embeddings.sparkSession.sparkContext.defaultParallelism
     v = _persist_tracked(
-        embeddings.repartition(n_par)
+        spread(embeddings)
         .select(F.col(id_col).alias("id"),
                 F.col(vec_col).alias("vec"),
                 norm(vec_col).alias("nrm")))
@@ -507,10 +508,11 @@ def embedding_dup_pairs_lsh(embeddings: DataFrame, id_col: str = "vec_id",
             "equal bands — unequal bands void the pigeonhole recall guarantee")
     width = n_planes // bands
     planes = _fixed_planes(dim, n_planes)
+    from mapreducewordcount_spark.sources.tables import spread
+
     release_dedup_cache()
-    n_par = embeddings.sparkSession.sparkContext.defaultParallelism
     sig = _persist_tracked(
-        embeddings.repartition(n_par)
+        spread(embeddings)
         .select(F.col(id_col).alias("id"),
                 F.col(vec_col).alias("vec"),
                 norm(vec_col).alias("nrm"),
@@ -551,8 +553,9 @@ def winnow_fingerprint_docs(docs: DataFrame, id_col: str = "doc_id",
                             w: int = 4) -> DataFrame:
     """(doc_id, selected array<string>) via positional winnowing —
     see functions/text_metrics.winnow_select for the guarantee."""
-    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    return (spread
+    from mapreducewordcount_spark.sources.tables import spread
+
+    return (spread(docs)
             .select(F.col(id_col).alias("doc_id"),
                     winnow_select(text_col, n, w).alias("selected")))
 
