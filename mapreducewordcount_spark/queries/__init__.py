@@ -75,16 +75,25 @@ def all_queries() -> dict[str, QuerySpec]:
         full.update(mod.QUERIES)
 
     gate_first = (
-        # last two queries with no driver row in any round
+        # last two pre-round-4 queries with no driver row in any round
         "pack_curated_corpus", "ann_pq_topk",
         # re-verify the round-4 oracle-typing fixes
         "training_mixture_plan", "doc_dup_spans",
         "doc_quality", "curate_corpus",
+        # round-4 operators: first-ever driver rows
+        "bpe_pair_stats", "doc_bpe_tokens", "epoch_shuffle_order",
+        "c4_line_dedup", "doc_quality_features", "doc_char_entropy",
+        "doc_compression_ratio", "semantic_dedup_embeddings",
         # core families whose latest driver rows are r1/r2
         *wordcount_queries.QUERIES,
         *dedup_queries.QUERIES,
         *pipeline_queries.QUERIES,
-        *tpch.QUERIES,
+        # TPC-H batch 1: bench headliners + one grouping-sets rep
+        # (the other nine batch-1 entries are double-green r1+r2 and
+        # ceded their slots to the round-4 first-rows above)
+        "q1_pricing_summary", "q6_forecast_revenue", "q3_top_orders",
+        "q5_region_revenue", "top_orders_per_customer",
+        "rollup_revenue",
         *bucketed_join.QUERIES,
         *text_queries.QUERIES,
         # round-3 operator family representatives (r3-green)

@@ -18,6 +18,11 @@ def test_gate_window_rotation_round4():
     for q in ("training_mixture_plan", "doc_dup_spans",
               "doc_quality", "curate_corpus"):
         assert q in window, q
+    # round-4 operators take their first driver rows
+    for q in ("bpe_pair_stats", "doc_bpe_tokens", "epoch_shuffle_order",
+              "c4_line_dedup", "doc_quality_features", "doc_char_entropy",
+              "doc_compression_ratio", "semantic_dedup_embeddings"):
+        assert q in window, q
     # core families whose latest rows are r1/r2 rotate back in
     for q in ("wc_word_count", "dedup_minhash_pairs", "dedup_exact",
               "q1_pricing_summary", "q6_forecast_revenue",
