@@ -74,16 +74,16 @@ def decode_image(payload: bytes, fmt: str, fake: bool = False) -> dict:
     return _fake_decode(payload)
 
 
-def png_decode(payload: bytes, fmt: str = "png") -> dict:
-    """REAL image decode, pure stdlib: 8-bit RGB non-interlaced PNG.
+def png_decode_pixels(payload: bytes) -> tuple[int, int, bytearray]:
+    """REAL image decode, pure stdlib: 8-bit RGB non-interlaced PNG
+    → ``(width, height, rgb_rows)`` with ``rgb_rows`` a flat
+    row-major RGB byte buffer.
 
-    Proves the ``extract_image_features`` decoder seam with an actual
-    format parse (IHDR fields, zlib-inflated IDAT, all five scanline
-    filter types per the PNG spec) rather than the deterministic
-    fake — swapping in PIL/libjpeg later is the same one-function
-    change. Scope is deliberately minimal (bit depth 8, color type 2,
-    no interlace); anything else raises ``ValueError`` so bad inputs
-    fail loudly instead of producing wrong stats.
+    Actual format parse: IHDR fields, zlib-inflated IDAT, all five
+    scanline filter types per the PNG spec. Scope is deliberately
+    minimal (bit depth 8, color type 2, no interlace); anything else
+    raises ``ValueError`` so bad inputs fail loudly instead of
+    producing wrong pixels.
     """
     import struct
     import zlib
@@ -113,7 +113,7 @@ def png_decode(payload: bytes, fmt: str = "png") -> dict:
     if len(raw) != height * (stride + 1):
         raise ValueError("IDAT size mismatch")
     prev = bytearray(stride)
-    sums = [0, 0, 0]
+    out = bytearray()
     off = 0
     for _ in range(height):
         ftype = raw[off]
@@ -138,16 +138,102 @@ def png_decode(payload: bytes, fmt: str = "png") -> dict:
                     line[i] = (line[i] + pred) & 0xFF
                 else:
                     raise ValueError(f"bad PNG filter type {ftype}")
-        for i in range(0, stride, 3):
-            sums[0] += line[i]
-            sums[1] += line[i + 1]
-            sums[2] += line[i + 2]
+        out += line
         prev = line
+    return width, height, out
+
+
+def png_encode(width: int, height: int, rgb: bytes) -> bytes:
+    """REAL image encode, pure stdlib: flat RGB rows → 8-bit RGB
+    non-interlaced PNG (filter type 0 per scanline, one zlib IDAT).
+
+    The inverse seam of ``png_decode_pixels`` — together they make
+    decode → transform → re-encode stages (``resize_images``) fully
+    real in this codec-less container.
+    """
+    import struct
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb buffer size does not match dimensions")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    stride = width * 3
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)
+        raw += rgb[y * stride:(y + 1) * stride]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def resize_rgb_nearest(width: int, height: int, rgb: bytes,
+                       out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resample of a flat RGB buffer (src index =
+    ``floor(dst_index * src / dst)``, the standard NN mapping)."""
+    out = bytearray(out_w * out_h * 3)
+    for y in range(out_h):
+        sy = y * height // out_h
+        src_row = sy * width * 3
+        dst_row = y * out_w * 3
+        for x in range(out_w):
+            sx = (x * width // out_w) * 3
+            out[dst_row + 3 * x:dst_row + 3 * x + 3] = \
+                rgb[src_row + sx:src_row + sx + 3]
+    return bytes(out)
+
+
+def png_decode(payload: bytes, fmt: str = "png") -> dict:
+    """REAL image decode to pixel stats (see ``png_decode_pixels``
+    for the parse; this wrapper reduces pixels to the
+    ``IMAGE_FEATURES_SCHEMA`` channel means)."""
+    width, height, px = png_decode_pixels(payload)
+    sums = [0, 0, 0]
+    for i in range(0, len(px), 3):
+        sums[0] += px[i]
+        sums[1] += px[i + 1]
+        sums[2] += px[i + 2]
     n = width * height * 255.0
     return {"width": width, "height": height,
             "mean_r": round(sums[0] / n, 6),
             "mean_g": round(sums[1] / n, 6),
             "mean_b": round(sums[2] / n, 6)}
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int,
+                  id_col: str = "media_id",
+                  payload_col: str = "payload") -> DataFrame:
+    """PNG payloads → resized PNG payloads (Arrow-batched, REAL).
+
+    The brief's "resize" stage as an actual decode → nearest-neighbor
+    resample → re-encode pipeline over ``mapInPandas`` — binary in,
+    binary out, so it composes with ``size_bucketed`` upstream and
+    ``extract_image_features`` downstream exactly like any media
+    transform would at 100 TB (narrow map, no shuffle; memory bounded
+    by Arrow batch size × decoded image size).
+    """
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, px = png_decode_pixels(bytes(payload))
+                resized = resize_rgb_nearest(w, h, px, out_w, out_h)
+                out.append({"media_id": mid,
+                            "payload": png_encode(out_w, out_h, resized),
+                            "width": out_w, "height": out_h})
+            yield pd.DataFrame(out, columns=["media_id", "payload",
+                                             "width", "height"])
+
+    return media.mapInPandas(
+        run, schema="media_id long, payload binary, width int, height int")
 
 
 def extract_image_features(media: DataFrame, id_col: str = "media_id",
@@ -187,6 +273,118 @@ def extract_image_features(media: DataFrame, id_col: str = "media_id",
                 "mean_r", "mean_g", "mean_b"])
 
     return media.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+#: decoded-feature schema produced by ``extract_audio_features``
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, n_bytes int, sample_rate int, n_channels int, "
+    "n_samples long, duration_s double, rms double, zcr double"
+)
+
+
+def wav_encode_pcm(samples: bytes, sample_rate: int = 8000) -> bytes:
+    """REAL audio encode, pure stdlib: mono 8-bit PCM RIFF/WAVE.
+
+    Canonical 44-byte header (RIFF size, ``fmt `` with PCM tag 1,
+    ``data``) followed by unsigned 8-bit samples. Used by tests and
+    the gate query to manufacture genuine WAV containers from
+    deterministic byte streams; ``wav_decode`` must then parse them
+    for real — no shared shortcut between the two directions.
+    """
+    import struct
+
+    n = len(samples)
+    hdr = (b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                   sample_rate, 1, 8)
+           + b"data" + struct.pack("<I", n))
+    return hdr + samples
+
+
+def wav_decode(payload: bytes) -> dict:
+    """REAL audio decode, pure stdlib + numpy: PCM RIFF/WAVE.
+
+    Proves the audio leg of the multimodal seam with an actual
+    container parse — RIFF magic, chunk walk (unknown chunks skipped
+    per spec, word-aligned), ``fmt `` fields, ``data`` payload — and
+    real DSP over the samples: normalized RMS and zero-crossing rate
+    (fraction of adjacent sample pairs whose centered sign differs).
+    Supports PCM (format tag 1) at 8-bit unsigned and 16-bit signed
+    LE, mono or interleaved multi-channel (channels are averaged to
+    one lane before the stats, the usual mono-downmix). Anything else
+    raises ``ValueError`` so bad inputs fail loudly.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + length]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, n_ch, rate, _, _, bits = fmt
+    if tag != 1 or n_ch < 1 or bits not in (8, 16):
+        raise ValueError(f"wav_decode supports PCM 8/16-bit only, "
+                         f"got tag={tag} bits={bits}")
+    if bits == 8:
+        x = np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+        scale = 128.0
+    else:
+        n_even = len(data) // 2 * 2
+        x = np.frombuffer(data[:n_even], dtype="<i2").astype(np.float64)
+        scale = 32768.0
+    n_frames = x.size // n_ch
+    x = x[:n_frames * n_ch].reshape(n_frames, n_ch).mean(axis=1)
+    rms = float(np.sqrt(np.mean((x / scale) ** 2))) if n_frames else 0.0
+    if n_frames > 1:
+        sign = x >= 0
+        zcr = float(np.count_nonzero(sign[1:] != sign[:-1])) / (n_frames - 1)
+    else:
+        zcr = 0.0
+    return {"sample_rate": int(rate), "n_channels": int(n_ch),
+            "n_samples": int(n_frames),
+            "duration_s": round(n_frames / rate, 6) if rate else 0.0,
+            "rms": round(rms, 6), "zcr": round(zcr, 6)}
+
+
+def extract_audio_features(media: DataFrame, id_col: str = "media_id",
+                           payload_col: str = "payload",
+                           decoder=wav_decode) -> DataFrame:
+    """binary WAV payloads → per-clip feature rows (Arrow-batched).
+
+    Mirror of ``extract_image_features`` for the audio leg: same
+    byte-budget partitioning upstream (``size_bucketed``), same
+    Arrow-batched ``mapInPandas`` shape, a flat feature schema ready
+    for DataFrame-side filtering (e.g. drop sub-second clips before
+    an expensive embedding stage). ``decoder`` is the swap seam —
+    ships with the real stdlib ``wav_decode``; a soundfile/ffmpeg
+    decoder is the same one-function change.
+    """
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                out.append({"media_id": mid, "n_bytes": len(payload),
+                            **decoder(payload)})
+            yield pd.DataFrame(out, columns=[
+                "media_id", "n_bytes", "sample_rate", "n_channels",
+                "n_samples", "duration_s", "rms", "zcr"])
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def size_bucketed(media: DataFrame, payload_col: str = "payload",

@@ -95,7 +95,9 @@ def all_queries() -> dict[str, QuerySpec]:
         "q5_region_revenue", "top_orders_per_customer",
         "rollup_revenue",
         *bucketed_join.QUERIES,
-        *text_queries.QUERIES,
+        # text family minus content_word_counts (double-green r1+r2;
+        # ceded its slot to media_audio_features' first driver row)
+        "top_bigrams", "doc_keywords_tfidf",
         # round-3 operator family representatives (r3-green)
         "doc_repetition_stats", "pack_training_sequences",
         "doc_lm_quality",

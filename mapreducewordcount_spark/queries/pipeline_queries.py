@@ -232,6 +232,71 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(size_bucketed(media), fake=True)
 
 
+def _wav_synth(batches):
+    """Manufacture REAL RIFF/WAVE containers from document bytes.
+
+    Sample byte ``i`` is ``ascii(text[i]) + 32`` — shifting printable
+    ASCII so lowercase letters (97+) land above the unsigned-8-bit
+    midpoint (128) while spaces/punctuation land below, which makes
+    the zero-crossing rate a meaningful signal instead of a constant.
+    Deterministic, so the DuckDB oracle can replicate every feature
+    analytically while the Spark side does a genuine container parse.
+    """
+    import pandas as pd
+
+    from mapreducewordcount_spark.operators.multimodal import wav_encode_pcm
+
+    for pdf in batches:
+        payloads = [
+            wav_encode_pcm(bytes((b + 32) & 0xFF
+                                 for b in t.encode("utf-8")))
+            for t in pdf["text"]
+        ]
+        yield pd.DataFrame({"media_id": pdf["doc_id"],
+                            "payload": payloads})
+
+
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio leg of the multimodal seam, end-to-end in the hard
+    gate with a REAL decoder: documents → genuine WAV containers
+    (``wav_encode_pcm``, canonical 44-byte header + 8-bit PCM) →
+    byte-budget repartition → Arrow-batched ``mapInPandas`` with
+    ``wav_decode`` doing an actual RIFF chunk walk + PCM DSP (RMS,
+    zero-crossing rate). Unlike ``media_image_features`` (fake
+    decoder), nothing here is stubbed — encode and decode are
+    independent stdlib implementations and the oracle recomputes the
+    features analytically from the text bytes.
+    """
+    from mapreducewordcount_spark.operators.multimodal import (
+        extract_audio_features,
+        size_bucketed,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = d.mapInPandas(_wav_synth, schema="media_id long, payload binary")
+    return extract_audio_features(size_bucketed(media))
+
+
+MEDIA_AUDIO_SQL = """
+WITH s AS (
+  SELECT doc_id AS media_id, length(text) AS n, text FROM documents
+)
+SELECT media_id,
+       CAST(44 + n AS INT) AS n_bytes,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(n AS BIGINT) AS n_samples,
+       round(n / 8000.0, 6) AS duration_s,
+       round(sqrt(list_avg(list_transform(range(1, n + 1),
+             i -> ((ascii(text[i]) - 96) / 128.0) ^ 2))), 6) AS rms,
+       CASE WHEN n > 1 THEN round(list_sum(list_transform(range(2, n + 1),
+             i -> CAST((ascii(text[i]) >= 96) <> (ascii(text[i-1]) >= 96)
+                  AS INT))) / (n - 1.0), 6)
+            ELSE 0.0 END AS zcr
+FROM s
+"""
+
+
 def _hexbyte_sql(pos: int) -> str:
     """SQL for byte ``pos`` (0-based) of the sha256 hex digest ``d``."""
     c1, c2 = 2 * pos + 1, 2 * pos + 2
@@ -275,4 +340,6 @@ QUERIES = {
                                     DOC_LENGTH_DECILES_SQL),
     "media_image_features": QuerySpec(media_image_features,
                                       MEDIA_FEATURES_SQL),
+    "media_audio_features": QuerySpec(media_audio_features,
+                                      MEDIA_AUDIO_SQL),
 }

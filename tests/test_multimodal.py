@@ -133,6 +133,168 @@ def test_extract_image_features_with_real_decoder(spark):
         assert got.n_bytes == len(payload)
 
 
+# --- real resize stage (round-4: decode → resample → re-encode) -------------
+
+def test_png_encode_decode_roundtrip_exact():
+    from mapreducewordcount_spark.operators.multimodal import (
+        png_decode_pixels,
+        png_encode,
+    )
+
+    w, h = 5, 3
+    rgb = bytes((x * 53 + 7) % 256 for x in range(w * h * 3))
+    w2, h2, px = png_decode_pixels(png_encode(w, h, rgb))
+    assert (w2, h2) == (w, h)
+    assert bytes(px) == rgb
+
+
+def test_resize_nearest_known_mapping():
+    """2×2 checkerboard upscaled to 4×4: each source pixel becomes a
+    2×2 block (floor mapping), downscale back recovers the original."""
+    from mapreducewordcount_spark.operators.multimodal import (
+        resize_rgb_nearest,
+    )
+
+    red, blue = (255, 0, 0), (0, 0, 255)
+    src = bytes(v for p in (red, blue, blue, red) for v in p)
+    up = resize_rgb_nearest(2, 2, src, 4, 4)
+    px = [tuple(up[i:i + 3]) for i in range(0, len(up), 3)]
+    assert px[0] == px[1] == px[4] == px[5] == red      # top-left block
+    assert px[2] == px[3] == px[6] == px[7] == blue     # top-right block
+    assert bytes(v for p in (px[0], px[2], px[8], px[10]) for v in p) == src
+    down = resize_rgb_nearest(4, 4, up, 2, 2)
+    assert down == src
+
+
+def test_resize_images_spark_pipeline(spark):
+    """Full media transform: PNG in → decode → NN resample →
+    re-encode → PNG out, composing with the feature extractor."""
+    from mapreducewordcount_spark.operators.multimodal import (
+        extract_image_features,
+        png_decode,
+        png_decode_pixels,
+        resize_images,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, _make_png(6 + i, 4, lambda x, y, i=i: ((x * 40 + i) % 256,
+                                                       y * 60 % 256, 99)))
+            for i in range(6)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    resized = resize_images(media, 3, 2).collect()
+    assert len(resized) == 6
+    for r in resized:
+        w, h, _ = png_decode_pixels(bytes(r.payload))
+        assert (w, h) == (3, 2) == (r.width, r.height)
+    # composes downstream: resized payloads flow through the feature
+    # extractor with the real decoder unchanged
+    rdf = spark.createDataFrame(
+        [(r.media_id, bytes(r.payload)) for r in resized],
+        "media_id long, payload binary").withColumn("format", F.lit("png"))
+    feats = extract_image_features(rdf, decoder=png_decode).collect()
+    assert all((f.width, f.height) == (3, 2) for f in feats)
+    assert len(feats) == 6
+
+
+# --- real audio codec (round-4: completes the image/audio/video trio) -------
+
+def test_wav_roundtrip_8bit_known_signal():
+    """wav_decode is a REAL decoder: exact header fields + DSP stats
+    from a crafted 8-bit PCM signal (alternating full-swing square
+    wave → rms = 1.0 eps-close, zcr = 1.0)."""
+    from mapreducewordcount_spark.operators.multimodal import (
+        wav_decode,
+        wav_encode_pcm,
+    )
+
+    samples = bytes([0, 255] * 50)  # centered: -128, +127 alternating
+    got = wav_decode(wav_encode_pcm(samples, sample_rate=16000))
+    assert got["sample_rate"] == 16000
+    assert got["n_channels"] == 1
+    assert got["n_samples"] == 100
+    assert got["duration_s"] == round(100 / 16000, 6)
+    assert got["zcr"] == 1.0  # every adjacent pair flips sign
+    want_rms = round((((128 / 128) ** 2 + (127 / 128) ** 2) / 2) ** 0.5, 6)
+    assert got["rms"] == want_rms  # sqrt(mean(1, (127/128)^2))
+
+
+def test_wav_decode_16bit_stereo_downmix():
+    """16-bit signed LE, 2-channel: channels average to one lane
+    before stats; a (+v, -v) stereo pair downmixes to silence."""
+    import struct
+
+    from mapreducewordcount_spark.operators.multimodal import wav_decode
+
+    frames = b"".join(struct.pack("<hh", 1000, -1000) for _ in range(20))
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(frames)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100,
+                                   44100 * 4, 4, 16)
+           + b"data" + struct.pack("<I", len(frames)))
+    got = wav_decode(hdr + frames)
+    assert (got["n_channels"], got["sample_rate"]) == (2, 44100)
+    assert got["n_samples"] == 20
+    assert got["rms"] == 0.0 and got["zcr"] == 0.0
+
+
+def test_wav_decode_skips_unknown_chunks():
+    """Chunk walk per RIFF spec: unknown (odd-length) chunks are
+    skipped with word alignment; fmt/data still found after them."""
+    import struct
+
+    from mapreducewordcount_spark.operators.multimodal import (
+        wav_decode,
+        wav_encode_pcm,
+    )
+
+    base = wav_encode_pcm(bytes(range(64, 192)), sample_rate=8000)
+    junk = b"LIST" + struct.pack("<I", 5) + b"junk!" + b"\x00"  # padded
+    patched = base[:12] + junk + base[12:]
+    got = wav_decode(patched)
+    assert got["n_samples"] == 128
+    assert got["sample_rate"] == 8000
+
+
+def test_wav_decode_rejects_bad_input():
+    import struct
+
+    from mapreducewordcount_spark.operators.multimodal import wav_decode
+
+    with pytest.raises(ValueError):
+        wav_decode(b"not remotely a wav")
+    # non-PCM format tag fails loudly rather than mis-parsing
+    bad = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 8000, 1, 8)
+           + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError):
+        wav_decode(bad)
+
+
+def test_extract_audio_features_spark_path(spark):
+    """The audio decoder through the SAME mapInPandas plumbing as the
+    image path — per-row values equal the local decode exactly."""
+    from mapreducewordcount_spark.operators.multimodal import (
+        extract_audio_features,
+        wav_decode,
+        wav_encode_pcm,
+    )
+
+    rows = [(i, wav_encode_pcm(bytes((j * (i + 3)) % 256
+                                     for j in range(50 + 10 * i)),
+                               sample_rate=8000))
+            for i in range(10)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    feats = {r.media_id: r for r in extract_audio_features(media).collect()}
+    assert len(feats) == 10
+    for i, payload in rows:
+        want = wav_decode(payload)
+        got = feats[i]
+        assert got.n_bytes == len(payload)
+        assert (got.sample_rate, got.n_channels, got.n_samples) == (
+            want["sample_rate"], want["n_channels"], want["n_samples"])
+        assert (got.duration_s, got.rms, got.zcr) == (
+            want["duration_s"], want["rms"], want["zcr"])
+
+
 def test_binary_file_ingestion_to_features_end_to_end(spark, tmp_path):
     """The real multimodal ingestion path: image FILES on disk →
     binaryFile source → decoder seam → feature rows. Uses the real
