@@ -21,3 +21,8 @@ from mapreducewordcount_spark.operators.packing import (  # noqa: F401
     mixture_plan,
     pack_sequences,
 )
+from mapreducewordcount_spark.operators.clustering import (  # noqa: F401
+    cluster_balanced_sample,
+    cluster_stats,
+    kmeans,
+)

@@ -581,6 +581,22 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, n_lists=16, threshold=0.8, kmeans_iters=2)
 
 
+def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class k-means over the embeddings table: spherical
+    Lloyd (k=8, 2 rounds), then the k-row per-cluster summary (size,
+    mean/min cosine-to-centroid, deterministic exemplar). K-means
+    semantics are seed/iteration-dependent → rows-only gate entry;
+    planted-cluster recovery is pinned in tests/test_clustering.py."""
+    from mapreducewordcount_spark.operators.clustering import (
+        cluster_stats,
+        kmeans,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _cent = kmeans(emb, k=8, iters=2)
+    return cluster_stats(assigned)
+
+
 # --- end-to-end dataset build (curate ∘ pack) -------------------------------
 
 def pack_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -632,6 +648,7 @@ QUERIES = {
     "doc_dup_spans": QuerySpec(doc_dup_spans, DUP_SPANS_SQL),
     "pack_curated_corpus": QuerySpec(pack_curated_corpus, _pack_kept_sql()),
     "semantic_dedup_embeddings": QuerySpec(semantic_dedup_embeddings, None),
+    "embedding_cluster_stats": QuerySpec(embedding_cluster_stats, None),
     "bpe_pair_stats": QuerySpec(bpe_pair_stats, BPE_PAIRS_SQL),
     "doc_bpe_tokens": QuerySpec(doc_bpe_tokens, None),
     "epoch_shuffle_order": QuerySpec(epoch_shuffle_order, EPOCH_SHUFFLE_SQL),
