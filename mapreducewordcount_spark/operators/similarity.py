@@ -109,34 +109,75 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 def _nearest_lists(df: DataFrame, cent: DataFrame, vec: str, out: str,
                    take: int) -> DataFrame:
-    """Attach the ``take`` nearest list_ids to each row — as a pure
-    column expression over the collected centroid table.
+    """Attach the ``take`` nearest list_ids to each row — a
+    zero-shuffle Arrow-batched matrix argmax over the collected
+    centroid table (the FAISS assignment step).
 
     The centroid table is a bounded model artifact (n_lists rows, the
-    same bounded collect the Lloyd loop already performs), so routing
-    does not need a join at all: each row scores every centroid in
-    one literal-array expression and takes the top ``take`` via an
-    in-array sort. The earlier crossJoin + row_number window form
-    computed identical values but hash-partitioned rows × n_lists by
-    id for the window — a 16×-corpus shuffle at scale, for what is a
-    row-local argmax (round-4 plan audit). Values are bit-identical:
-    ``cosine`` casts to double either way, and the struct sort
-    (-cos, list_id) reproduces the window's (cos desc, list_id)
-    order exactly.
+    same bounded collect the Lloyd loop already performs); it ships
+    to tasks as a k×dim float64 matrix and every Arrow batch scores
+    all centroids in one vectorized ``X @ C.T``. Two earlier forms
+    were measured and rejected: a crossJoin + window (shuffles
+    rows × n_lists — a 16×-corpus shuffle for a row-local argmax),
+    and a per-centroid literal-array expression (zero-shuffle, but
+    ~2.4 s of py4j lambda CONSTRUCTION per call site at k=16 and
+    interpreted higher-order-function folds at execution — and it
+    cannot compile at the k≈10⁴ web-scale SemDeDup operating point).
+    The numpy form is O(1) to build, vectorized to run, and keeps
+    the narrow-map plan.
+
+    Tie/zero-norm semantics match the expression form it replaced:
+    cosine is 0.0 when either norm is 0, and ties take the smallest
+    list_id (centroids are scored in list_id order; stable argsort).
     """
     rows = cent.collect()  # n_lists rows — bounded by construction
-    if not rows:
+    return _assign_to_rows(df, [(r.list_id, r.cent_vec) for r in rows],
+                           vec, take)
+
+
+def _assign_to_rows(df: DataFrame, cent_rows: list, vec: str,
+                    take: int) -> DataFrame:
+    """``_nearest_lists`` against already-collected ``(list_id,
+    vector)`` pairs — lets the Lloyd loop reuse its driver-side
+    centroid state without a per-iteration re-collect."""
+    import numpy as np
+
+    if not cent_rows:
         return df.withColumn("list_id", F.lit(None).cast("long")).limit(0)
-    scored = F.array(*[
-        F.struct(
-            (-cosine(vec, F.array(*[F.lit(float(x)) for x in r.cent_vec])))
-            .alias("negd"),
-            F.lit(r.list_id).alias("list_id"))
-        for r in rows])
-    top = F.slice(F.array_sort(scored), 1, take)
-    return (df.withColumn("__top", F.explode(top))
-            .withColumn("list_id", F.col("__top.list_id"))
-            .drop("__top"))
+    cent_rows = sorted(cent_rows, key=lambda r: r[0])
+    ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    C = np.array([list(r[1]) for r in cent_rows], dtype=np.float64)
+    Cn = np.sqrt((C * C).sum(axis=1))
+    # fresh StructType — df.schema.add() would MUTATE the frame's
+    # cached schema in place and poison df.columns
+    from pyspark.sql import types as T
+
+    schema = T.StructType(list(df.schema.fields)
+                          + [T.StructField("list_id", T.LongType())])
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf.assign(list_id=pd.Series(dtype="int64"))
+                continue
+            X = np.array(pdf[vec].tolist(), dtype=np.float64)
+            Xn = np.sqrt((X * X).sum(axis=1))
+            denom = np.outer(Xn, Cn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, (X @ C.T) / denom, 0.0)
+            if take == 1:
+                # first max on ties → smallest list_id (ids sorted)
+                pick = ids[np.argmax(cos, axis=1)]
+                yield pdf.assign(list_id=pick)
+            else:
+                top = np.argsort(-cos, axis=1, kind="stable")[:, :take]
+                out_pdf = pdf.loc[pdf.index.repeat(top.shape[1])] \
+                    .reset_index(drop=True)
+                yield out_pdf.assign(list_id=ids[top].ravel())
+
+    return df.mapInPandas(run, schema=schema)
 
 
 def ivf_build(corpus: DataFrame, id_col: str = "vec_id",
@@ -170,26 +211,30 @@ def ivf_build(corpus: DataFrame, id_col: str = "vec_id",
     """
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("c_vec"))
-    cent = (c.orderBy(F.xxhash64("neighbor_id"), "neighbor_id")
+    seed = (c.orderBy(F.xxhash64("neighbor_id"), "neighbor_id")
             .limit(n_lists)
             .select(F.col("neighbor_id").alias("list_id"),
                     F.col("c_vec").alias("cent_vec")))
-    if kmeans_iters > 0:
-        first = corpus.select(vec_col).first()
-        dim = len(first[0]) if first else 0
-        for _ in range(kmeans_iters if dim else 0):
-            assigned = _nearest_lists(c, cent, "c_vec", "neighbor_id", 1)
+    # ONE collect seeds the loop and doubles as the dim probe; the
+    # Lloyd state then lives driver-side as plain (list_id, vec)
+    # pairs — one collect per round (the means), no per-round
+    # createDataFrame/join round-trips.
+    cent_rows = [(r.list_id, list(r.cent_vec)) for r in seed.collect()]
+    dim = len(cent_rows[0][1]) if cent_rows else 0
+    if dim:
+        for _ in range(kmeans_iters):
+            assigned = _assign_to_rows(c, cent_rows, "c_vec", 1)
             means = (assigned.groupBy("list_id")
                      .agg(F.array(*[F.avg(F.col("c_vec")[i])
                                     for i in range(dim)])
                           .cast("array<float>").alias("new_vec")))
-            cent = (cent.join(means, "list_id", "left")
-                    .select("list_id",
-                            F.coalesce("new_vec", "cent_vec")
-                            .alias("cent_vec")))
-            cent = corpus.sparkSession.createDataFrame(cent.collect(),
-                                                       cent.schema)
-    assigned = _nearest_lists(c, cent, "c_vec", "neighbor_id", 1)
+            new = {r.list_id: list(r.new_vec) for r in means.collect()}
+            # empty lists keep their previous centroid
+            cent_rows = [(cid, new.get(cid, vec)) for cid, vec in cent_rows]
+    assigned = _assign_to_rows(c, cent_rows, "c_vec", 1)
+    cent = corpus.sparkSession.createDataFrame(
+        [(cid, [float(x) for x in vec]) for cid, vec in cent_rows],
+        "list_id long, cent_vec array<float>")
     return assigned, cent
 
 

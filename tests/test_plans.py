@@ -172,10 +172,11 @@ def test_prefix_jaccard_candidates_are_equi_join(spark):
 
 
 def test_ivf_routing_is_shuffle_free(spark):
-    """Centroid routing must be a row-local argmax over the literal
-    centroid table — no crossJoin, no per-id window shuffle (the old
-    form hash-partitioned rows × n_lists for a row_number; a
-    16×-corpus shuffle at scale)."""
+    """Centroid routing must be a row-local argmax (Arrow-batched
+    matrix product against the collected centroid table) — no
+    crossJoin, no per-id window shuffle (the oldest form
+    hash-partitioned rows × n_lists for a row_number; a 16×-corpus
+    shuffle at scale)."""
     from mapreducewordcount_spark.operators.similarity import ivf_build
     from mapreducewordcount_spark.plans import explain_str
 
