@@ -99,3 +99,29 @@ def mixture_plan(docs: DataFrame, weights: dict[str, float],
                        F.round(F.col("tokens_target")
                                / F.col("tokens_available").cast("double"), 6))
                 .otherwise(F.lit(0.0))))
+
+
+def apply_mixture(docs: DataFrame, plan: DataFrame,
+                  group_col: str = "lang",
+                  key_col: str = "doc_id") -> DataFrame:
+    """EXECUTE a mixture plan: per-group deterministic hash-Bernoulli
+    selection at each group's ``sample_rate``.
+
+    The plan→execution half that ``mixture_plan`` leaves open. The
+    selector is the engine's standard reproducible sampler
+    (``functions/sampling.py`` rationale): ``md5(key)``'s first 4 hex
+    digits as a fraction of 65536 compared against the group's rate —
+    a row-local predicate, same rows kept on any engine/partitioning/
+    day, and rates compose across re-applications. md5 (not xxhash64)
+    so an oracle engine replicates the exact selection.
+
+    Rates ≥ 1 (upsampling groups) keep every row — repetition across
+    epochs is ``epoch_shuffle`` territory, not a sampler concern.
+    The plan side is a handful of rows → broadcast join; the corpus
+    never shuffles. 4 hex digits ⇒ 1/65536 rate granularity.
+    """
+    frac = (F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4),
+                   16, 10).cast("double") / 65536.0)
+    return (docs.join(F.broadcast(plan.select(group_col, "sample_rate")),
+                      group_col)
+            .filter(frac < F.col("sample_rate")))

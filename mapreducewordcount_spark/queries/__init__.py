@@ -84,8 +84,12 @@ def all_queries() -> dict[str, QuerySpec]:
         "bpe_pair_stats", "doc_bpe_tokens", "epoch_shuffle_order",
         "c4_line_dedup", "doc_quality_features", "doc_char_entropy",
         "doc_compression_ratio", "semantic_dedup_embeddings",
-        # core families whose latest driver rows are r1/r2
-        *wordcount_queries.QUERIES,
+        # round-4 late additions: first-ever driver rows
+        "mixture_applied_sample", "embedding_cluster_stats",
+        # core families whose latest driver rows are r1/r2 —
+        # wc_bucket_hist/wc_top20 (double-green r1+r2) ceded their
+        # refresh slots to the two first-rows above
+        "wc_word_count", "wc_word_count_salted",
         *dedup_queries.QUERIES,
         *pipeline_queries.QUERIES,
         # TPC-H batch 1: bench headliners + one grouping-sets rep

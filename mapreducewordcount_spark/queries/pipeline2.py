@@ -581,6 +581,61 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, n_lists=16, threshold=0.8, kmeans_iters=2)
 
 
+#: the applied-sample query uses a deliberately SMALL budget so the
+#: per-language rates land well below 1 and the sampler actually
+#: selects (at the 1M gate budget every rate is an upsample ≥ 1 and
+#: the filter would be a keep-all no-op)
+MIX_APPLY_BUDGET = 4000
+
+
+def mixture_applied_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """plan → EXECUTION: build the mixture plan at a downsampling
+    budget, then apply it with the deterministic md5-prefix
+    Bernoulli selector; returns the kept (doc_id, lang, sample_rate)
+    rows. Every kept row is replicated by the oracle from the same
+    md5 arithmetic, so the selection itself is hash-checked."""
+    from mapreducewordcount_spark.operators.packing import apply_mixture
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    plan = mixture_plan(docs, MIX_WEIGHTS, MIX_APPLY_BUDGET,
+                        group_col="lang")
+    return (apply_mixture(docs, plan)
+            .select("doc_id", "lang", "sample_rate")
+            .orderBy("doc_id"))
+
+
+def _hex4_sql(expr: str) -> str:
+    """DuckDB SQL: first 4 hex digits of md5(expr) as an integer."""
+    hx = "'0123456789abcdef'"
+    terms = " + ".join(
+        f"(instr({hx}, substr(md5({expr}), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4))
+    return f"({terms})"
+
+
+MIX_APPLIED_SQL = rf"""
+WITH inv AS (
+  SELECT lang,
+         CAST(sum(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)) AS BIGINT) AS tokens_available
+  FROM documents GROUP BY 1
+),
+plan AS (
+  SELECT inv.lang,
+         CASE WHEN inv.tokens_available > 0
+              THEN round(CAST(floor(COALESCE(wt.w, 0.0) / {{total_w}} * {{budget}}) AS BIGINT)
+                         / CAST(inv.tokens_available AS DOUBLE), 6)
+              ELSE 0.0 END AS sample_rate
+  FROM inv LEFT JOIN {{weights}} ON inv.lang = wt.lang
+)
+SELECT d.doc_id, d.lang, p.sample_rate
+FROM documents d JOIN plan p USING (lang)
+WHERE {_hex4_sql("CAST(d.doc_id AS VARCHAR)")} / 65536.0 < p.sample_rate
+ORDER BY d.doc_id
+""".replace("{total_w}", repr(sum(MIX_WEIGHTS.values()))) \
+   .replace("{budget}", str(MIX_APPLY_BUDGET)) \
+   .replace("{weights}", _WEIGHTS_SQL)
+
+
 def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-class k-means over the embeddings table: spherical
     Lloyd (k=8, 2 rounds), then the k-row per-cluster summary (size,
@@ -644,6 +699,8 @@ QUERIES = {
     "boilerplate_lines": QuerySpec(boilerplate_lines, BOILERPLATE_SQL),
     "pack_training_sequences": QuerySpec(pack_training_sequences, PACK_SQL),
     "training_mixture_plan": QuerySpec(training_mixture_plan, MIXTURE_SQL),
+    "mixture_applied_sample": QuerySpec(mixture_applied_sample,
+                                        MIX_APPLIED_SQL),
     "doc_lm_quality": QuerySpec(doc_lm_quality, LM_QUALITY_SQL),
     "doc_dup_spans": QuerySpec(doc_dup_spans, DUP_SPANS_SQL),
     "pack_curated_corpus": QuerySpec(pack_curated_corpus, _pack_kept_sql()),

@@ -102,6 +102,34 @@ def test_mixture_plan_planted(spark):
     assert plan["xx"].weight == 0.0 and plan["xx"].sample_rate == 0.0
 
 
+def test_apply_mixture_selects_deterministically(spark):
+    """The selector keeps exactly the rows whose md5-prefix fraction
+    falls under the group rate — verified against a local md5 oracle
+    — keeps everything for rate >= 1, and is rerun-stable."""
+    import hashlib
+
+    from mapreducewordcount_spark.operators.packing import apply_mixture
+
+    rows = [(i, "en", "tok " * 10) for i in range(40)]
+    rows += [(100 + i, "de", "tok " * 10) for i in range(10)]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, lang string, text string")
+    # en: rate 40/(40*40) = 0.375 at budget 60 of weight .75... use
+    # explicit planted plan rows instead of deriving: en 0.3, de 1.5
+    plan = spark.createDataFrame([("en", 0.3), ("de", 1.5)],
+                                 "lang string, sample_rate double")
+    got = {r.doc_id for r in apply_mixture(docs, plan).collect()}
+    want = set()
+    for i, lang, _ in rows:
+        rate = 0.3 if lang == "en" else 1.5
+        frac = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) / 65536.0
+        if frac < rate:
+            want.add(i)
+    assert got == want
+    assert {i for i, lang, _ in rows if lang == "de"} <= got  # rate>1 → all
+    assert got == {r.doc_id for r in apply_mixture(docs, plan).collect()}
+
+
 def test_mixture_plan_rejects_degenerate_weights(spark):
     import pytest
 
