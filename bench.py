@@ -50,6 +50,14 @@ HEADLINE = (
     "boilerplate_lines",
     "doc_lm_quality",
     "pack_training_sequences",
+    # round-4 operators: corpus rewrite (c4), model-build groupBy
+    # (bpe), cluster-then-pair (semdedup), one-pass feature vector,
+    # Arrow media decode (audio) — the new shuffle/UDF shapes.
+    "c4_line_dedup",
+    "bpe_pair_stats",
+    "semantic_dedup_embeddings",
+    "doc_quality_features",
+    "media_audio_features",
 )
 
 
