@@ -188,6 +188,75 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert got.count() == want
 
 
+def _file_ranges(path, col_name):
+    """Per-file (min, max) footer stats for ``col_name``."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(path, f))
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.row_group(rg).num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == col_name:
+                    mins.append(col.statistics.min)
+                    maxs.append(col.statistics.max)
+        out.append((min(mins), max(maxs)))
+    return out
+
+
+def test_zorder_layout_skips_on_every_dimension(spark, tmp_path):
+    """Z-order clustering must tighten per-file min/max envelopes on
+    BOTH z-columns — the multi-dimensional skipping property — where
+    a linear sort leaves the second column's per-file range ≈ the
+    full domain."""
+    from mapreducewordcount_spark.sources.io import (
+        sorted_layout,
+        zorder_layout,
+    )
+
+    side = 64  # 64×64 grid, both dims uniform on [0, 64)
+    df = spark.range(side * side).selectExpr(
+        f"cast(id % {side} as long) as x",
+        f"cast(id div {side} as long) as y")
+    zpath = str(tmp_path / "zorder")
+    lpath = str(tmp_path / "linear")
+    zorder_layout(df, zpath, ["x", "y"], n_files=16, bits=6)
+    sorted_layout(df, lpath, ["x"], n_files=16)
+
+    def avg_span(path, col):
+        r = _file_ranges(path, col)
+        assert len(r) >= 8
+        return sum(hi - lo for lo, hi in r) / len(r)
+
+    full = side - 1
+    # z-order: every file covers a small sub-rectangle on BOTH dims
+    assert avg_span(zpath, "x") < 0.45 * full
+    assert avg_span(zpath, "y") < 0.45 * full
+    # linear sort: tight on x, but y per-file range ≈ whole domain
+    assert avg_span(lpath, "x") < 0.45 * full
+    assert avg_span(lpath, "y") > 0.9 * full
+    # and the rewrite is lossless
+    assert spark.read.parquet(zpath).count() == side * side
+
+
+def test_zorder_key_validates_args(spark):
+    import pytest
+
+    from mapreducewordcount_spark.sources.io import zorder_key
+
+    df = spark.range(10).selectExpr("id as x", "id as y")
+    with pytest.raises(ValueError, match="at least one"):
+        zorder_key(df, [])
+    with pytest.raises(ValueError, match="63-bit"):
+        zorder_key(df, ["x", "y"], bits=32)
+
+
 def test_sorted_layout_files_have_disjoint_ranges(spark, tmp_path):
     """sorted_layout must produce files whose min/max footer ranges
     are non-overlapping on the sort column — the property parquet
