@@ -67,9 +67,17 @@ def epoch_shuffle_key(key: Column | str, epoch: int) -> Column:
 
 
 def epoch_shard(key: Column | str, epoch: int, n_shards: int) -> Column:
-    """Deterministic shard assignment for the epoch: a 2-hex-digit
-    slice of the shuffle key folded to ``[0, n_shards)`` via ascii
-    arithmetic (portable to engines without hex→int conversion).
+    """Deterministic shard assignment for the epoch: the shuffle
+    key's first 4 hex digits as an integer (uniform on [0, 65536)),
+    folded to ``[0, n_shards)``.
+
+    The earlier form folded raw ``ascii()`` codes of the hex chars —
+    but hex ascii codes occupy two disjoint bands (48-57, 97-102),
+    so for power-of-two n_shards > 8 whole shards received ZERO rows
+    (measured: n_shards=16 left shards 10-15 empty; even n_shards=8
+    was 3× load-skewed). Parsing the digits to their 0-15 values
+    first makes the fold uniform for any n_shards ≤ 65536; an oracle
+    engine replicates it with per-digit ``instr`` arithmetic.
 
     Shard count is the parallelism knob: at cluster scale pick
     n_shards ≈ writers × small factor; within a shard, order by
@@ -78,6 +86,5 @@ def epoch_shard(key: Column | str, epoch: int, n_shards: int) -> Column:
     if n_shards <= 0:
         raise ValueError(f"n_shards={n_shards} must be positive")
     h = epoch_shuffle_key(key, epoch)
-    v = (F.ascii(F.substring(h, 1, 1)) * 256
-         + F.ascii(F.substring(h, 2, 1)))
+    v = F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
     return F.pmod(v, F.lit(n_shards))

@@ -168,10 +168,14 @@ def bpe_token_stats(docs: DataFrame, merges: list[tuple[str, str]],
             return total
 
         for pdf in batches:
+            # NULL text → null word array → None in the batch; treat
+            # as empty instead of TypeError-ing the whole task (the
+            # SQL-expression siblings degrade to NULL, never abort)
+            wss = [ws if ws is not None else [] for ws in pdf["__ws"]]
             yield pd.DataFrame({
                 "doc_id": pdf["__id"],
-                "n_words": [len(ws) for ws in pdf["__ws"]],
-                "n_bpe_tokens": [n_tokens(ws) for ws in pdf["__ws"]],
+                "n_words": [len(ws) for ws in wss],
+                "n_bpe_tokens": [n_tokens(ws) for ws in wss],
             })
 
     return (docs

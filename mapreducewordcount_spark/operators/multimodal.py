@@ -351,10 +351,19 @@ def wav_decode(payload: bytes) -> dict:
         zcr = float(np.count_nonzero(sign[1:] != sign[:-1])) / (n_frames - 1)
     else:
         zcr = 0.0
+
+    def r6(v: float) -> float:
+        # HALF-UP at 6dp, matching Spark's F.round and DuckDB round()
+        # — Python's built-in round is banker's, which flips exact
+        # halves the other way (8-bit PCM hits them: 1/128 = .0078125)
+        import math
+
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
     return {"sample_rate": int(rate), "n_channels": int(n_ch),
             "n_samples": int(n_frames),
-            "duration_s": round(n_frames / rate, 6) if rate else 0.0,
-            "rms": round(rms, 6), "zcr": round(zcr, 6)}
+            "duration_s": r6(n_frames / rate) if rate else 0.0,
+            "rms": r6(rms), "zcr": r6(zcr)}
 
 
 def extract_audio_features(media: DataFrame, id_col: str = "media_id",

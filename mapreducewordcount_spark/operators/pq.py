@@ -182,8 +182,13 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         raise ValueError(f"adc_mode={adc_mode!r} not in auto/closure/join")
     codes, books = pq_build(corpus, id_col, vec_col, m=m, k=n_cent)
     if adc_mode == "auto":
+        # probe with take(threshold+1), not count(): queries can be
+        # an arbitrary upstream plan, and count() would execute it in
+        # full once just to pick a mode (then again for the real work)
+        probe = queries.select(query_id_col) \
+            .take(PQ_CLOSURE_MAX_QUERIES + 1)
         adc_mode = ("closure"
-                    if queries.count() <= PQ_CLOSURE_MAX_QUERIES
+                    if len(probe) <= PQ_CLOSURE_MAX_QUERIES
                     else "join")
 
     if adc_mode == "join":

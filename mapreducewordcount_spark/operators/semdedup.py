@@ -80,6 +80,13 @@ def semantic_dedup(embeddings: DataFrame, n_lists: int = 16,
              .withColumn("cos", cos)
              .filter(F.col("cos") >= threshold)
              .select("a_id", "b_id"))
+    # dup_groups runs eager actions per label-propagation round, and
+    # each round re-derives its edges — without a lineage cut the
+    # corpus-scale assignment + within-cluster pair join would
+    # re-execute every iteration (the round-1 "materialize frames
+    # referenced by multiple joins" lesson). Pairs are the bounded
+    # survivor set (≥-threshold only), cheap to hold.
+    pairs = pairs.localCheckpoint(eager=True)
     groups = dup_groups(pairs)  # (doc_id, group_id) for paired ids only
     return (assigned
             .select(F.col("neighbor_id").alias(id_col), "list_id")

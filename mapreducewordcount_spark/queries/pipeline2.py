@@ -469,6 +469,17 @@ LEFT JOIN reb USING (doc_id)
 """
 
 
+def _hex4_sql(expr: str) -> str:
+    """DuckDB SQL: first 4 hex digits of hex-string ``expr`` as an
+    integer (per-digit ``instr`` arithmetic — portable to engines
+    without hex→int conversion)."""
+    hx = "'0123456789abcdef'"
+    terms = " + ".join(
+        f"(instr({hx}, substr({expr}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4))
+    return f"({terms})"
+
+
 # --- reproducible epoch shuffle ---------------------------------------------
 
 EPOCH = 1
@@ -509,8 +520,7 @@ WITH k AS (
 ),
 s AS (
   SELECT doc_id, shuffle_key,
-         CAST((ascii(substring(shuffle_key, 1, 1)) * 256
-               + ascii(substring(shuffle_key, 2, 1)))
+         CAST({_hex4_sql("shuffle_key")}
               % {N_EPOCH_SHARDS} AS INT) AS shard
   FROM k
 )
@@ -604,15 +614,6 @@ def mixture_applied_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-def _hex4_sql(expr: str) -> str:
-    """DuckDB SQL: first 4 hex digits of md5(expr) as an integer."""
-    hx = "'0123456789abcdef'"
-    terms = " + ".join(
-        f"(instr({hx}, substr(md5({expr}), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
-        for i in range(4))
-    return f"({terms})"
-
-
 MIX_APPLIED_SQL = rf"""
 WITH inv AS (
   SELECT lang,
@@ -629,7 +630,7 @@ plan AS (
 )
 SELECT d.doc_id, d.lang, p.sample_rate
 FROM documents d JOIN plan p USING (lang)
-WHERE {_hex4_sql("CAST(d.doc_id AS VARCHAR)")} / 65536.0 < p.sample_rate
+WHERE {_hex4_sql("md5(CAST(d.doc_id AS VARCHAR))")} / 65536.0 < p.sample_rate
 ORDER BY d.doc_id
 """.replace("{total_w}", repr(sum(MIX_WEIGHTS.values()))) \
    .replace("{budget}", str(MIX_APPLY_BUDGET)) \

@@ -247,9 +247,14 @@ def _wav_synth(batches):
     from mapreducewordcount_spark.operators.multimodal import wav_encode_pcm
 
     for pdf in batches:
+        # ascii-with-replacement (one '?' per non-encodable char)
+        # keeps sample count == char count, which the character-level
+        # oracle arithmetic depends on; current corpora are pure
+        # ASCII so this is a forward-compat guard, not a behavior
+        # change
         payloads = [
             wav_encode_pcm(bytes((b + 32) & 0xFF
-                                 for b in t.encode("utf-8")))
+                                 for b in t.encode("ascii", "replace")))
             for t in pdf["text"]
         ]
         yield pd.DataFrame({"media_id": pdf["doc_id"],
@@ -277,9 +282,14 @@ def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_features(size_bucketed(media))
 
 
-MEDIA_AUDIO_SQL = """
+MEDIA_AUDIO_SQL = r"""
 WITH s AS (
-  SELECT doc_id AS media_id, length(text) AS n, text FROM documents
+  -- mirror the synth's ascii-with-replacement: one '?' per
+  -- non-ASCII char, so character arithmetic == sample arithmetic
+  SELECT doc_id AS media_id,
+         length(regexp_replace(text, '[^\x00-\x7F]', '?', 'g')) AS n,
+         regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS text
+  FROM documents
 )
 SELECT media_id,
        CAST(44 + n AS INT) AS n_bytes,
@@ -287,8 +297,11 @@ SELECT media_id,
        CAST(1 AS INT) AS n_channels,
        CAST(n AS BIGINT) AS n_samples,
        round(n / 8000.0, 6) AS duration_s,
-       round(sqrt(list_avg(list_transform(range(1, n + 1),
-             i -> ((ascii(text[i]) - 96) / 128.0) ^ 2))), 6) AS rms,
+       -- n = 0 must yield 0.0 (the decoder's empty-payload branch),
+       -- not sqrt(NULL)
+       CASE WHEN n > 0 THEN round(sqrt(list_avg(list_transform(range(1, n + 1),
+             i -> ((ascii(text[i]) - 96) / 128.0) ^ 2))), 6)
+            ELSE 0.0 END AS rms,
        CASE WHEN n > 1 THEN round(list_sum(list_transform(range(2, n + 1),
              i -> CAST((ascii(text[i]) >= 96) <> (ascii(text[i-1]) >= 96)
                   AS INT))) / (n - 1.0), 6)

@@ -139,8 +139,25 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> "F.Column":
     if bits * len(cols) > 63:
         raise ValueError(f"bits={bits} × {len(cols)} cols exceeds a "
                          "63-bit key; lower bits")
-    stats = df.agg(*[f(c).alias(f"{f.__name__}_{c}")
+    # dates/timestamps cluster by their epoch numeric; anything that
+    # cannot cast to double fails loudly here rather than as an
+    # opaque TypeError below
+    numeric = {}
+    for c in cols:
+        dtype = dict(df.dtypes).get(c)
+        if dtype == "date":
+            numeric[c] = F.datediff(F.col(c), F.lit("1970-01-01"))
+        elif dtype and dtype.startswith("timestamp"):
+            numeric[c] = F.unix_timestamp(F.col(c))
+        else:
+            numeric[c] = F.col(c).cast("double")
+    stats = df.agg(*[f(numeric[c]).alias(f"{f.__name__}_{c}")
                      for c in cols for f in (F.min, F.max)]).collect()[0]
+    if any(stats[f"min_{c}"] is None for c in cols):
+        raise ValueError(
+            "zorder_key: a cluster column has no non-null values (empty "
+            "input, all-null column, or a type that does not cast to "
+            f"double) — columns: {cols}, dtypes: {df.dtypes}")
     n_buckets = 2 ** bits
     buckets = []
     for c in cols:
@@ -149,7 +166,7 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> "F.Column":
         if hi <= lo:  # constant column → bucket 0
             buckets.append(F.lit(0).cast("long"))
             continue
-        b = F.width_bucket(F.col(c).cast("double"), F.lit(lo),
+        b = F.width_bucket(numeric[c].cast("double"), F.lit(lo),
                            F.lit(hi), F.lit(n_buckets)) - 1
         buckets.append(F.least(F.greatest(b, F.lit(0)),
                                F.lit(n_buckets - 1)).cast("long"))

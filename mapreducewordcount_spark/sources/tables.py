@@ -83,10 +83,20 @@ def spread(df: DataFrame) -> DataFrame:
     (returns ``df`` unchanged, no Exchange in the plan) whenever the
     scan already carries >= defaultParallelism partitions.
 
-    The partition probe uses ``df.rdd.getNumPartitions()``: plan
-    analysis only, no job.
+    Probe order matters: ``df.rdd`` is NOT free on a shuffle-bearing
+    plan — under AQE, converting to an RDD finalizes the plan and can
+    EXECUTE its intermediate query stages at DataFrame-construction
+    time. So shuffle-bearing inputs short-circuit first (a plan that
+    already shuffles runs at ``spark.sql.shuffle.partitions`` — it
+    does not need a parallelism top-up); only for shuffle-free plans
+    (scans/narrow maps, where ``.rdd`` is pure plan analysis) does
+    the partition-count probe run.
     """
+    from mapreducewordcount_spark.plans import explain_str
+
     target = df.sparkSession.sparkContext.defaultParallelism
+    if "Exchange" in explain_str(df, mode="simple"):
+        return df
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

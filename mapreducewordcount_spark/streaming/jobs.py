@@ -350,8 +350,16 @@ def stream_source_token_budget(docs: DataFrame,
         budget = budgets.get(source, default_budget)
         (used,) = state.get if state.exists else (0,)
         out = []
-        for pdf in pdfs:
-            for r in pdf.sort_values("doc_id").itertuples():
+        # the group arrives as an ITERATOR of Arrow chunks (split at
+        # maxRecordsPerBatch); sorting per-chunk would order only
+        # within a chunk and make admission depend on the Arrow
+        # batch-size config — concatenate first, THEN sort, so the
+        # documented doc_id admission order holds across the whole
+        # micro-batch
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            for r in whole.sort_values("doc_id").itertuples():
                 admit = used < budget
                 if admit:
                     used += int(r.n_tokens)

@@ -91,3 +91,14 @@ def test_bpe_tokens_never_exceed_chars_and_never_below_words(spark):
     joined = {r.doc_id: r for r in stats.join(chars, "doc_id").collect()}
     for r in joined.values():
         assert r.n_words <= r.n_bpe_tokens <= r.n_chars
+
+
+def test_bpe_token_stats_tolerates_null_text(spark):
+    """A NULL text degrades to 0 tokens (like the SQL-expression
+    operators) instead of TypeError-ing the whole task."""
+    docs = spark.createDataFrame([(0, "aa ab"), (1, None)],
+                                 "doc_id long, text string")
+    merges = bpe_train(docs.filter("text is not null"), n_merges=4)
+    got = {r.doc_id: r for r in bpe_token_stats(docs, merges).collect()}
+    assert got[0].n_words == 2
+    assert got[1].n_words == 0 and got[1].n_bpe_tokens == 0

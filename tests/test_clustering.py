@@ -73,6 +73,36 @@ def test_cluster_stats_shapes_and_exemplar(spark, planted):
         assert s.min_cos <= s.mean_cos
 
 
+def test_kmeans_assignment_plan_is_broadcast_only(spark, planted):
+    """The scale-deciding shapes, pinned: cosine-to-centroid attaches
+    via a BROADCAST hash join against the k-row model table (never a
+    shuffled join of the corpus), and assignment itself adds no
+    Exchange beyond what the broadcast needs."""
+    from mapreducewordcount_spark.plans import explain_str
+
+    assigned, _ = kmeans(planted, k=3, iters=0)
+    plan = explain_str(assigned)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cluster_stats_single_aggregation(spark, planted):
+    """cluster_stats is one partial-agg groupBy emitting k rows: the
+    only Exchanges are the aggregate's hash shuffle and the k-row
+    output sort — no window, no extra join beyond the broadcast."""
+    from mapreducewordcount_spark.plans import explain_str
+
+    assigned, _ = kmeans(planted, k=3, iters=0)
+    plan = explain_str(cluster_stats(assigned))
+    assert "Window" not in plan
+    # max_by(struct) is a TypedImperativeAggregate → SortAggregate,
+    # still partial+final (map-side combine) like HashAggregate
+    assert "SortAggregate" in plan or "HashAggregate" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_cluster_balanced_sample_caps_every_cluster(spark, planted):
     assigned, _ = kmeans(planted, k=3, iters=4)
     sample = cluster_balanced_sample(assigned, per_cluster=5).collect()

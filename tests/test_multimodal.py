@@ -269,6 +269,40 @@ def test_wav_decode_rejects_bad_input():
         wav_decode(bad)
 
 
+def test_audio_gate_oracle_matches_on_edge_documents(spark):
+    """The audio gate's DuckDB oracle must agree with the real
+    decoder on the inputs the corpus doesn't currently contain:
+    empty text (rms guard — sqrt(NULL) bug), non-ASCII (synth uses
+    ascii-replace so char arithmetic == sample arithmetic), and an
+    exact-half rounding case ('a' → |1|/128 = 0.0078125, where
+    Python banker's rounding and SQL half-up disagree)."""
+    import duckdb
+    import pandas as pd
+
+    from mapreducewordcount_spark.operators.multimodal import (
+        extract_audio_features,
+        size_bucketed,
+    )
+    from mapreducewordcount_spark.queries.pipeline_queries import (
+        MEDIA_AUDIO_SQL,
+        _wav_synth,
+    )
+
+    rows = [(0, ""), (1, "héllo wörld"), (2, "abc"),
+            (3, "日本語テスト"), (4, "a"), (5, "?a?a?a")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    media = docs.mapInPandas(_wav_synth,
+                             schema="media_id long, payload binary")
+    got = (extract_audio_features(size_bucketed(media)).toPandas()
+           .sort_values("media_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = (con.sql(MEDIA_AUDIO_SQL).df()
+            .sort_values("media_id").reset_index(drop=True))
+    got = got[want.columns.tolist()].astype(want.dtypes.to_dict())
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_extract_audio_features_spark_path(spark):
     """The audio decoder through the SAME mapInPandas plumbing as the
     image path — per-row values equal the local decode exactly."""

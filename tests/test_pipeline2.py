@@ -328,3 +328,26 @@ def test_epoch_shuffle_reproducible_and_epoch_sensitive(spark):
     import pytest
     with pytest.raises(ValueError):
         epoch_shard("doc_id", 1, 0)
+
+
+def test_epoch_shard_populates_every_shard_and_matches_md5(spark):
+    """Regression for the ascii-code fold bug: hex ascii codes live
+    in two disjoint bands, so power-of-two n_shards > 8 left whole
+    shards EMPTY (n=16: shards 10-15 got zero rows). The hex-value
+    fold must populate all 16, match a local md5 oracle exactly, and
+    stay roughly balanced."""
+    import hashlib
+
+    from mapreducewordcount_spark.functions.sampling import epoch_shard
+
+    n = 2000
+    df = spark.range(0, n).select(F.col("id").alias("doc_id"))
+    got = {r.doc_id: r.s for r in df.select(
+        "doc_id", epoch_shard("doc_id", 1, 16).alias("s")).collect()}
+    counts = [0] * 16
+    for i in range(n):
+        want = int(hashlib.md5(f"{i}:1".encode()).hexdigest()[:4], 16) % 16
+        assert got[i] == want
+        counts[want] += 1
+    assert all(c > 0 for c in counts), counts
+    assert max(counts) < 2 * min(counts), counts  # no gross skew

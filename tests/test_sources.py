@@ -255,6 +255,22 @@ def test_zorder_key_validates_args(spark):
         zorder_key(df, [])
     with pytest.raises(ValueError, match="63-bit"):
         zorder_key(df, ["x", "y"], bits=32)
+    # empty input → clear error, not an opaque TypeError
+    with pytest.raises(ValueError, match="no non-null values"):
+        zorder_key(df.filter("x < 0"), ["x"])
+
+
+def test_zorder_key_handles_date_columns(spark):
+    """SCALE.md advertises date clustering; dates must map to their
+    epoch numeric, not crash in float()."""
+    from mapreducewordcount_spark.sources.io import zorder_key
+
+    df = spark.range(100).selectExpr(
+        "id as x", "date_add(date'2024-01-01', cast(id as int)) as d")
+    keyed = df.withColumn("z", zorder_key(df, ["x", "d"], bits=4))
+    rows = keyed.collect()
+    assert len(rows) == 100
+    assert len({r.z for r in rows}) > 10  # keys actually vary
 
 
 def test_sorted_layout_files_have_disjoint_ranges(spark, tmp_path):
