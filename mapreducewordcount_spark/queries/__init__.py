@@ -99,9 +99,10 @@ def all_queries() -> dict[str, QuerySpec]:
         "q5_region_revenue", "top_orders_per_customer",
         "rollup_revenue",
         *bucketed_join.QUERIES,
-        # text family minus content_word_counts (double-green r1+r2;
-        # ceded its slot to media_audio_features' first driver row)
-        "top_bigrams", "doc_keywords_tfidf",
+        # text family minus content_word_counts and top_bigrams
+        # (double-green r1+r2; slots ceded to media_audio_features'
+        # and curriculum_epoch_order's first driver rows)
+        "doc_keywords_tfidf", "curriculum_epoch_order",
         # round-3 operator family representatives (r3-green)
         "doc_repetition_stats", "pack_training_sequences",
         "doc_lm_quality",

@@ -532,6 +532,65 @@ FROM s
 """
 
 
+def curriculum_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered training sequence for epoch 1: within each
+    shard, documents sort by quality tier (best first) and by the
+    reproducible shuffle key inside a tier — quality-first curricula
+    with epoch-decorrelated order inside each tier, the standard
+    staged-training recipe.
+
+    Pure composition of shipped operators: ``quality_score`` (the
+    heuristic weights yield DISCRETE tiers — sums of {.3,.2,.3,.2}
+    subsets — so 'tier' needs no window/ntile), ``epoch_shard`` +
+    ``epoch_shuffle_key`` (md5-salted, oracle-replicable). The rank
+    window partitions by shard → per-shard sorts of corpus/n_shards,
+    never a global one.
+    """
+    from mapreducewordcount_spark.functions import text_metrics as tm
+    from mapreducewordcount_spark.functions.sampling import (
+        epoch_shard,
+        epoch_shuffle_key,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (Window.partitionBy("shard")
+         .orderBy(F.col("quality").desc(), "shuffle_key", "doc_id"))
+    return (docs
+            .select("doc_id",
+                    F.round(tm.quality_score("text"), 4).alias("quality"),
+                    epoch_shard("doc_id", EPOCH, N_EPOCH_SHARDS)
+                    .alias("shard"),
+                    epoch_shuffle_key("doc_id", EPOCH).alias("shuffle_key"))
+            .withColumn("position",
+                        F.row_number().over(w).cast("long"))
+            .select("doc_id", "quality", "shard", "position"))
+
+
+def _curriculum_sql() -> str:
+    from mapreducewordcount_spark.queries.analytics import DOC_QUALITY_SQL
+
+    return f"""
+WITH dq AS ({DOC_QUALITY_SQL}),
+k AS (
+  SELECT doc_id, quality,
+         md5(CAST(doc_id AS VARCHAR) || ':{EPOCH}') AS shuffle_key
+  FROM dq
+),
+s AS (
+  SELECT doc_id, quality, shuffle_key,
+         CAST({_hex4_sql("shuffle_key")}
+              % {N_EPOCH_SHARDS} AS INT) AS shard
+  FROM k
+)
+SELECT doc_id, quality, shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY quality DESC, shuffle_key, doc_id)
+            AS BIGINT) AS position
+FROM s
+"""
+
+
 # --- tokenizer induction (BPE) ----------------------------------------------
 
 def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -710,6 +769,8 @@ QUERIES = {
     "bpe_pair_stats": QuerySpec(bpe_pair_stats, BPE_PAIRS_SQL),
     "doc_bpe_tokens": QuerySpec(doc_bpe_tokens, None),
     "epoch_shuffle_order": QuerySpec(epoch_shuffle_order, EPOCH_SHUFFLE_SQL),
+    "curriculum_epoch_order": QuerySpec(curriculum_epoch_order,
+                                        _curriculum_sql()),
     "c4_line_dedup": QuerySpec(c4_line_dedup, C4_LINE_DEDUP_SQL),
     "doc_quality_features": QuerySpec(doc_quality_features,
                                       _quality_features_sql()),

@@ -21,12 +21,17 @@ def test_gate_window_rotation_round4():
     # round-4 operators take their first driver rows
     for q in ("bpe_pair_stats", "doc_bpe_tokens", "epoch_shuffle_order",
               "c4_line_dedup", "doc_quality_features", "doc_char_entropy",
-              "doc_compression_ratio", "semantic_dedup_embeddings"):
+              "doc_compression_ratio", "semantic_dedup_embeddings",
+              # late-round-4 additions (each displaced a double-green
+              # r1+r2 refresher: wc_bucket_hist/wc_top20/
+              # content_word_counts/top_bigrams)
+              "mixture_applied_sample", "embedding_cluster_stats",
+              "media_audio_features", "curriculum_epoch_order"):
         assert q in window, q
     # core families whose latest rows are r1/r2 rotate back in
     for q in ("wc_word_count", "dedup_minhash_pairs", "dedup_exact",
               "q1_pricing_summary", "q6_forecast_revenue",
-              "bucketed_order_revenue", "top_bigrams",
+              "bucketed_order_revenue", "doc_keywords_tfidf",
               "decontam_report", "stratified_sample_docs"):
         assert q in window, q
     # round-3 operator representatives keep fresh evidence
