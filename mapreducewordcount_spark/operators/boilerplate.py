@@ -14,13 +14,24 @@ shuffle as narrow as possible:
   billions of rows). Collision risk is n²/2⁶⁵ per group — negligible
   below ~10⁹ distinct lines per source; go 128-bit (two seeds) past
   that;
-- explode ONCE: doc-frequency is attached to each exploded line via
-  a ``count() over (partition by group, hash)`` window instead of a
-  separate aggregate + join back — the whole operator is one scan,
-  one shuffle on ``(group, hash)``, one shuffle on doc_id (the
-  per-doc rollup). The naive three-branch formulation (counts /
-  flagged / totals as separate joins) re-scans and re-explodes the
-  corpus three times — confirmed by ``.explain`` and rejected.
+- explode ONCE: doc-frequency is a **partial-aggregated**
+  ``groupBy(group, hash).count()`` joined back onto the exploded
+  lines. The earlier in-place window form
+  (``count() over (partition by group, hash)``) saved the join but
+  had no map-side combine and AQE cannot split a window partition —
+  a corpus-universal line (cookie banner, empty footer) would land
+  its entire occurrence set in ONE task at 100 TB. The groupBy
+  collapses the hot key to one row per upstream task before the
+  shuffle, and the join-back is a skewed equi-join AQE *can* split
+  (the count side is one row per key). One extra small shuffle of
+  (key, count) rows buys away the straggler. The naive three-branch
+  formulation (counts / flagged / totals as separate joins) re-scans
+  and re-explodes the corpus three times — confirmed by ``.explain``
+  and rejected. The join-back does derive the exploded frame twice
+  (count side + probe side — two column-pruned scans of
+  (id, group, text)); that doubled narrow scan is the price of the
+  partial aggregate, and it is the right trade: scans split and
+  parallelize arbitrarily, a hot window partition does not.
 
 No reference parity: the reference (549-line word-count,
 /root/reference/src/) has no document pipeline; extension scope per
@@ -67,8 +78,6 @@ def boilerplate_report(docs: DataFrame, min_docs: int = 3,
     two-lane 128-bit form (``hash_key``) — same output, collision
     headroom for >10⁹ distinct lines per source.
     """
-    from pyspark.sql import Window
-
     base = docs.select(id_col, group_col, text_col)
     per_doc_lines = (base
                      .select(id_col, group_col,
@@ -76,12 +85,15 @@ def boilerplate_report(docs: DataFrame, min_docs: int = 3,
                              .alias("line"))
                      .withColumn("line_key", hash_key("line", wide_keys))
                      .drop("line"))
-    # doc-frequency attached in place: lines are distinct per doc, so
-    # count(*) over (group, line_key) == number of docs with the line
-    df_w = F.count(F.lit(1)).over(
-        Window.partitionBy(group_col, "line_key"))
+    # doc-frequency as a PARTIAL AGGREGATE + join-back (not a window):
+    # lines are distinct per doc, so count(*) per (group, line_key) ==
+    # number of docs with the line; the hot key map-side-combines and
+    # the skewed probe join is AQE-splittable (module docstring).
+    counts = (per_doc_lines
+              .groupBy(group_col, "line_key")
+              .agg(F.count(F.lit(1)).alias("df")))
     per_doc = (per_doc_lines
-               .withColumn("df", df_w)
+               .join(counts, [group_col, "line_key"])
                .groupBy(id_col)
                .agg(F.count(F.lit(1)).alias("n_lines"),
                     F.sum((F.col("df") >= min_docs).cast("long"))

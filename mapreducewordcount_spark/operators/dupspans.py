@@ -16,16 +16,25 @@ occurrence count is ≥ ``min_count``. High fraction ⇒ the doc is
 largely made of text that exists elsewhere (or repeats itself).
 
 Scale shape (same discipline as ``operators/boilerplate.py``):
-explode ONCE, shuffle ``xxhash64(ngram)`` (16-byte keys, never the
-raw span strings), corpus frequency attached in place by a window
-count, one per-doc rollup. Two shuffles total at any corpus size;
-collision risk n²/2⁶⁵ on the hash — switch to a two-seed 128-bit key
-past ~10⁹ distinct spans.
+explode with short ``xxhash64(ngram)`` keys (never the raw span
+strings); corpus frequency is a **partial-aggregated**
+``groupBy(key).count()`` joined back onto the occurrences — NOT the
+in-place window count this replaced: a window has no map-side
+combine and AQE cannot split a window partition, so a
+corpus-universal 5-gram (boilerplate navigation text — guaranteed in
+web data) would concentrate its entire occurrence set in one
+straggler task at 100 TB. The groupBy collapses the hot span to one
+row per upstream task; the join-back is a skewed equi-join AQE *can*
+split (the count side is one row per key). The occurrence frame is
+derived twice (count side + probe side, both column-pruned narrow
+scans) — scans parallelize arbitrarily, hot window partitions do
+not. Collision risk n²/2⁶⁵ on the hash — switch to a two-seed
+128-bit key past ~10⁹ distinct spans.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mapreducewordcount_spark.functions.text_metrics import words
@@ -70,9 +79,11 @@ def duplicate_span_stats(docs: DataFrame, n: int = 5, min_count: int = 2,
                      F.explode(_ngram_strings(text_col, n)).alias("ng"))
              .withColumn("key", hash_key("ng", wide_keys))
              .drop("ng"))
-    cnt = F.count(F.lit(1)).over(Window.partitionBy("key"))
+    # corpus frequency via partial-agg groupBy + join-back (module
+    # docstring) — the hot span map-side-combines, no window straggler
+    counts = grams.groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
     per_doc = (grams
-               .withColumn("cnt", cnt)
+               .join(counts, "key")
                .groupBy(id_col)
                .agg(F.count(F.lit(1)).alias("n_ngrams"),
                     F.sum((F.col("cnt") >= min_count).cast("long"))

@@ -16,24 +16,34 @@ DuckDB-oracle-checkable.
 Scale shape (same discipline as boilerplate/dupspans):
 
 - explode lines ONCE with positions;
-- the first-occurrence decision is a ``row_number`` window
-  partitioned by ``xxhash64(line)`` — the shuffle is keyed on an
-  8-byte hash, never on raw line strings (the row still carries its
-  line for the rebuild, but hot boilerplate lines hash-spread
-  instead of clustering a text key); 2⁻⁶⁴ collisions would merge
-  two distinct lines — the standard accepted trade, and the reason
-  the 128-bit ``operators.boilerplate.hash_key`` escape hatch
-  exists;
+- the first-occurrence decision is
+  ``groupBy(xxhash64(line)).agg(min(struct(doc_id, pos, line)))`` —
+  a partial aggregate, NOT a window. ``min`` map-side-combines, so a
+  corpus-universal line (empty line, cookie banner — guaranteed in
+  web data) reduces to ONE candidate row per upstream task before
+  the shuffle; the shuffle then moves one short row per
+  (task, distinct line), never the full occurrence set of a hot
+  line. The window form this replaced
+  (``row_number over (partition by hash)``) had no partial agg and
+  AQE cannot split a window partition — a 10⁹-occurrence line became
+  one straggler task at 100 TB. The struct min is ordered by
+  (doc_id, pos) — unique per occurrence, so the trailing ``line``
+  field rides along without ever tie-breaking. The shuffle is keyed
+  on an 8-byte hash, never on raw line strings; 2⁻⁶⁴ collisions
+  would merge two distinct lines — the standard accepted trade, and
+  the reason the 128-bit ``operators.boilerplate.hash_key`` escape
+  hatch exists;
 - the rebuild is one groupBy(doc_id) assembling surviving lines via
   an in-array sort on position — no second corpus scan, no window
   over the full text.
 
-Two shuffles total (line-hash, doc_id) at any corpus size.
+Two shuffles total (line-hash, doc_id) at any corpus size, both
+partial-aggregated.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mapreducewordcount_spark.functions.repetition import lines
@@ -51,11 +61,16 @@ def strip_duplicate_lines(docs: DataFrame, id_col: str = "doc_id",
     occ = (docs
            .select(F.col(id_col).alias("doc_id"),
                    F.posexplode(lines(text_col)).alias("pos", "line")))
-    w = (Window.partitionBy(F.xxhash64("line"))
-         .orderBy("doc_id", "pos"))
+    # first occurrence per line as a PARTIAL AGGREGATE: min over
+    # (doc_id, pos, line) structs — (doc_id, pos) is unique, so this
+    # is exactly "smallest (doc_id, pos) carrying its line text", and
+    # every task pre-combines hot lines to a single candidate row.
     kept = (occ
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1))
+            .groupBy(F.xxhash64("line").alias("__line_key"))
+            .agg(F.min(F.struct("doc_id", "pos", "line")).alias("first"))
+            .select(F.col("first.doc_id").alias("doc_id"),
+                    F.col("first.pos").alias("pos"),
+                    F.col("first.line").alias("line")))
     rebuilt = (kept
                .groupBy("doc_id")
                .agg(F.count(F.lit(1)).alias("n_kept"),

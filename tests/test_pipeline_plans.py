@@ -105,13 +105,18 @@ def test_repetition_stats_no_shuffle_beyond_spread(spark):
     assert plan.count("+- Exchange") <= 1  # the spread() only
 
 
-def test_boilerplate_single_explode_two_shuffles(spark):
-    """Boilerplate = explode ONCE (one Generate), doc-frequency via
-    window (no self-join of the exploded lines), no nested loop."""
+def test_boilerplate_partial_agg_no_hot_key_window(spark):
+    """Boilerplate doc-frequency must be a partial-aggregated
+    groupBy + equi-join-back — NEVER a window over the corpus line
+    hash (a window has no map-side combine and AQE cannot split its
+    partitions: a universal line becomes one straggler task at
+    100 TB). The count side + probe side each derive the exploded
+    frame (≤2 Generates), and the join is a hash equi-join."""
     from mapreducewordcount_spark.queries import pipeline2
 
     plan = explain_str(pipeline2.boilerplate_lines(spark, SF_ORACLE))
-    assert plan.count(") Generate") == 1  # numbered op appears once
+    assert "Window" not in plan, f"hot-key window reintroduced:\n{plan}"
+    assert plan.count(") Generate") <= 2
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
@@ -149,12 +154,28 @@ def test_lm_quality_apply_is_map_side(spark):
     assert plan.count("+- Exchange") <= 1
 
 
-def test_dup_spans_single_explode_no_selfjoin(spark):
-    """Span counting explodes once and attaches corpus frequency via
-    window — never a self-join of the exploded spans."""
+def test_dup_spans_partial_agg_no_hot_key_window(spark):
+    """Span frequency must be a partial-aggregated groupBy +
+    equi-join-back — never a window over the corpus span hash (the
+    100 TB straggler shape) and never a self-join of raw spans."""
     from mapreducewordcount_spark.queries import pipeline2
 
     plan = explain_str(pipeline2.doc_dup_spans(spark, SF_ORACLE))
-    assert plan.count(") Generate") == 1
+    assert "Window" not in plan, f"hot-key window reintroduced:\n{plan}"
+    assert plan.count(") Generate") <= 2
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_c4_line_dedup_first_occurrence_is_partial_agg(spark):
+    """The C4 first-occurrence decision must be
+    groupBy(line_hash).agg(min(struct...)) — a partial aggregate that
+    map-side-combines a corpus-universal line — never a
+    row_number window partitioned by the line hash. partial_merge
+    in the aggregate modes is the map-side combine made visible."""
+    from mapreducewordcount_spark.queries import pipeline2
+
+    plan = explain_str(pipeline2.c4_line_dedup(spark, SF_ORACLE))
+    assert "Window" not in plan, f"hot-key window reintroduced:\n{plan}"
+    assert "partial_merge" in plan or "partial" in plan.lower()
+    assert "xxhash64" in plan  # shuffle keyed on the 8-byte hash
