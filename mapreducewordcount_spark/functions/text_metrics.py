@@ -228,13 +228,22 @@ def char_entropy(col: Column | str) -> Column:
     the classic cheap gibberish/repetition signal: natural text sits
     ~4 bits, single-char spam near 0, uniform noise near log2(set).
 
-    Pure array algebra, zero shuffle: chars via positional substring
-    (NOT split-on-empty — its edge semantics differ across engines),
-    per-distinct-char counts, then an entropy fold over the SORTED
-    distinct chars. Sorting pins the float summation order so the
-    oracle engine folds in the identical sequence — bit-stable, same
-    discipline as the lm_score ORDER BY (SCALE.md float-parity
-    lesson).
+    Pure array algebra, zero shuffle, row-local (higher-order
+    functions are *interpreted* in Spark — not codegen'd — but the
+    work stays inside the row and parallelizes with the scan).
+    Chars via positional substring (NOT split-on-empty — its edge
+    semantics differ across engines); counts via a SINGLE pass over
+    the sorted char array: run-length boundaries (a run of equal
+    adjacent chars = one distinct char's count), then the entropy
+    fold over the runs. This is O(n log n) for the sort + O(n) for
+    the boundary scans — the earlier form filtered the full char
+    array once per distinct char, O(n × distinct) per row (quadratic
+    on high-alphabet docs). Runs arrive in sorted-char order, so the
+    float summation order is unchanged from the sorted-distinct fold
+    it replaced — bit-stable vs the oracle engine, same discipline
+    as the lm_score ORDER BY (SCALE.md float-parity lesson).
+    ``F.get`` (0-based, NULL out of bounds) keeps the boundary
+    probes ANSI-safe.
     """
     c = F.col(col) if isinstance(col, str) else col
     n = F.length(c)
@@ -243,16 +252,30 @@ def char_entropy(col: Column | str) -> Column:
     chars = F.transform(idx, lambda i: F.substring(c, i, 1))
 
     def over(cs: Column) -> Column:
-        uniq = F.array_sort(F.array_distinct(cs))
-        counts = F.transform(
-            uniq, lambda d: F.size(F.filter(cs, lambda x: x == d)))
-        total = F.size(cs).cast("double")
+        # cs arrives pre-sorted and LET-BOUND (transform over a
+        # 1-element array) so the O(n log n) sort runs once per row,
+        # not once per reference below
+        m = F.size(cs)
+        pos = F.sequence(F.lit(0), m - 1)  # m >= 1 under the n>0 guard
+        # run starts: first element, or char differs from predecessor;
+        # run ends: last element, or char differs from successor.
+        # F.get returns NULL past the ends; TRUE | NULL = TRUE keeps
+        # the boundary rows, and interior rows never hit the NULL.
+        starts = F.filter(
+            pos, lambda i: (i == F.lit(0))
+            | ~(F.get(cs, i) == F.get(cs, i - 1)))
+        ends = F.filter(
+            pos, lambda i: (i == m - 1)
+            | ~(F.get(cs, i) == F.get(cs, i + 1)))
+        counts = F.zip_with(ends, starts, lambda e, s: e - s + 1)
+        total = m.cast("double")
         return F.aggregate(
             counts, F.lit(0.0),
             lambda acc, k: acc - (k.cast("double") / total)
             * F.log2(k.cast("double") / total))
 
-    return F.when(n > 0, F.transform(F.array(chars), over)[0]) \
+    return F.when(n > 0,
+                  F.transform(F.array(F.array_sort(chars)), over)[0]) \
         .otherwise(F.lit(0.0))
 
 
