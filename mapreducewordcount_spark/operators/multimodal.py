@@ -108,39 +108,58 @@ def png_decode_pixels(payload: bytes) -> tuple[int, int, bytearray]:
         pos += 12 + length  # len + type + data + crc
     if width is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
+    import numpy as np
+
     raw = zlib.decompress(idat)
     stride = width * 3
     if len(raw) != height * (stride + 1):
         raise ValueError("IDAT size mismatch")
-    prev = bytearray(stride)
-    out = bytearray()
-    off = 0
-    for _ in range(height):
-        ftype = raw[off]
-        line = bytearray(raw[off + 1:off + 1 + stride])
-        off += 1 + stride
-        if ftype:
+    # rows are [filter_byte | stride bytes]; unfilter with numpy:
+    # None (0) is a copy, Sub (1) is a per-lane cumsum mod 256
+    # (out[i] = raw[i] + out[i-3] telescopes, and mod distributes
+    # over the sum), Up (2) is one vectorized add against the
+    # previous decoded row. Average (3) and Paeth (4) carry a true
+    # left-dependency (the predictor reads the DECODED left byte,
+    # with a floor-div / branch in between — not expressible as a
+    # scan), so those rows fall back to the byte loop; filter-0/1/2
+    # rows — everything our encoder emits and the bulk of real
+    # encoder output — decode at numpy speed.
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    ftypes = arr[:, 0]
+    if not np.all(ftypes <= 4):
+        bad = int(ftypes[ftypes > 4][0])
+        raise ValueError(f"bad PNG filter type {bad}")
+    out_rows = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = int(ftypes[y])
+        line = arr[y, 1:]
+        if ftype == 0:
+            cur = line.copy()
+        elif ftype == 1:
+            cur = (line.reshape(width, 3).astype(np.uint64)
+                   .cumsum(axis=0) & 0xFF).astype(np.uint8).reshape(stride)
+        elif ftype == 2:
+            cur = line + prev  # uint8 addition wraps mod 256 natively
+        else:  # 3 (Average) / 4 (Paeth): sequential left-dependency
+            cur_b = bytearray(line.tobytes())
+            prev_b = prev.tobytes()
             for i in range(stride):
-                a = line[i - 3] if i >= 3 else 0
-                b = prev[i]
-                c = prev[i - 3] if i >= 3 else 0
-                if ftype == 1:
-                    line[i] = (line[i] + a) & 0xFF
-                elif ftype == 2:
-                    line[i] = (line[i] + b) & 0xFF
-                elif ftype == 3:
-                    line[i] = (line[i] + (a + b) // 2) & 0xFF
-                elif ftype == 4:  # Paeth
+                a = cur_b[i - 3] if i >= 3 else 0
+                b = prev_b[i]
+                if ftype == 3:
+                    cur_b[i] = (cur_b[i] + (a + b) // 2) & 0xFF
+                else:
+                    c = prev_b[i - 3] if i >= 3 else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if pa <= pb and pa <= pc else \
                         (b if pb <= pc else c)
-                    line[i] = (line[i] + pred) & 0xFF
-                else:
-                    raise ValueError(f"bad PNG filter type {ftype}")
-        out += line
-        prev = line
-    return width, height, out
+                    cur_b[i] = (cur_b[i] + pred) & 0xFF
+            cur = np.frombuffer(bytes(cur_b), dtype=np.uint8)
+        out_rows[y] = cur
+        prev = cur
+    return width, height, bytearray(out_rows.tobytes())
 
 
 def png_encode(width: int, height: int, rgb: bytes) -> bytes:
@@ -161,11 +180,14 @@ def png_encode(width: int, height: int, rgb: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
 
+    import numpy as np
+
     stride = width * 3
-    raw = bytearray()
-    for y in range(height):
-        raw.append(0)
-        raw += rgb[y * stride:(y + 1) * stride]
+    # filter byte 0 prepended per scanline — one numpy column stack
+    # instead of a per-row Python append loop
+    rows = np.frombuffer(bytes(rgb), dtype=np.uint8).reshape(height, stride)
+    raw = np.hstack(
+        [np.zeros((height, 1), dtype=np.uint8), rows]).tobytes()
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(bytes(raw)))
@@ -175,34 +197,33 @@ def png_encode(width: int, height: int, rgb: bytes) -> bytes:
 def resize_rgb_nearest(width: int, height: int, rgb: bytes,
                        out_w: int, out_h: int) -> bytes:
     """Nearest-neighbor resample of a flat RGB buffer (src index =
-    ``floor(dst_index * src / dst)``, the standard NN mapping)."""
-    out = bytearray(out_w * out_h * 3)
-    for y in range(out_h):
-        sy = y * height // out_h
-        src_row = sy * width * 3
-        dst_row = y * out_w * 3
-        for x in range(out_w):
-            sx = (x * width // out_w) * 3
-            out[dst_row + 3 * x:dst_row + 3 * x + 3] = \
-                rgb[src_row + sx:src_row + sx + 3]
-    return bytes(out)
+    ``floor(dst_index * src / dst)``, the standard NN mapping) —
+    one numpy fancy-index gather, no per-pixel Python loop."""
+    import numpy as np
+
+    arr = np.frombuffer(bytes(rgb), dtype=np.uint8).reshape(
+        height, width, 3)
+    sy = (np.arange(out_h, dtype=np.int64) * height) // out_h
+    sx = (np.arange(out_w, dtype=np.int64) * width) // out_w
+    return arr[np.ix_(sy, sx)].tobytes()
 
 
 def png_decode(payload: bytes, fmt: str = "png") -> dict:
     """REAL image decode to pixel stats (see ``png_decode_pixels``
     for the parse; this wrapper reduces pixels to the
     ``IMAGE_FEATURES_SCHEMA`` channel means)."""
+    import numpy as np
+
     width, height, px = png_decode_pixels(payload)
-    sums = [0, 0, 0]
-    for i in range(0, len(px), 3):
-        sums[0] += px[i]
-        sums[1] += px[i + 1]
-        sums[2] += px[i + 2]
+    # integer channel sums (exact, like the loop this replaced) then
+    # one float division — no per-pixel Python arithmetic
+    sums = np.frombuffer(bytes(px), dtype=np.uint8) \
+        .reshape(width * height, 3).sum(axis=0, dtype=np.int64)
     n = width * height * 255.0
     return {"width": width, "height": height,
-            "mean_r": round(sums[0] / n, 6),
-            "mean_g": round(sums[1] / n, 6),
-            "mean_b": round(sums[2] / n, 6)}
+            "mean_r": round(int(sums[0]) / n, 6),
+            "mean_g": round(int(sums[1]) / n, 6),
+            "mean_b": round(int(sums[2]) / n, 6)}
 
 
 def resize_images(media: DataFrame, out_w: int, out_h: int,
@@ -226,14 +247,17 @@ def resize_images(media: DataFrame, out_w: int, out_h: int,
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 w, h, px = png_decode_pixels(bytes(payload))
                 resized = resize_rgb_nearest(w, h, px, out_w, out_h)
-                out.append({"media_id": mid,
-                            "payload": png_encode(out_w, out_h, resized),
+                out.append({id_col: mid,
+                            payload_col: png_encode(out_w, out_h, resized),
                             "width": out_w, "height": out_h})
-            yield pd.DataFrame(out, columns=["media_id", "payload",
+            yield pd.DataFrame(out, columns=[id_col, payload_col,
                                              "width", "height"])
 
+    # output id/payload columns keep the CALLER's names — a
+    # doc_id-keyed media frame stays doc_id-keyed through the resize
     return media.mapInPandas(
-        run, schema="media_id long, payload binary, width int, height int")
+        run, schema=f"{id_col} long, {payload_col} binary, "
+                    "width int, height int")
 
 
 def extract_image_features(media: DataFrame, id_col: str = "media_id",
@@ -266,13 +290,18 @@ def extract_image_features(media: DataFrame, id_col: str = "media_id",
             for mid, payload, fmt in zip(pdf[id_col], pdf[payload_col],
                                          pdf[format_col]):
                 d = decoder(bytes(payload), fmt)
-                out.append({"media_id": mid, "n_bytes": len(payload),
+                out.append({id_col: mid, "n_bytes": len(payload),
                             "format": fmt, **d})
             yield pd.DataFrame(out, columns=[
-                "media_id", "n_bytes", "format", "width", "height",
+                id_col, "n_bytes", "format", "width", "height",
                 "mean_r", "mean_g", "mean_b"])
 
-    return media.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+    # the id column keeps the caller's name (IMAGE_FEATURES_SCHEMA
+    # documents the default media_id contract)
+    return media.mapInPandas(
+        run, schema=f"{id_col} long, n_bytes int, format string, "
+                    "width int, height int, "
+                    "mean_r double, mean_g double, mean_b double")
 
 
 #: decoded-feature schema produced by ``extract_audio_features``
@@ -324,6 +353,13 @@ def wav_decode(payload: bytes) -> dict:
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         (length,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        if pos + 8 + length > len(payload):
+            # a silently-clamped slice would yield WRONG stats from a
+            # truncated/corrupt container; the module contract is to
+            # fail loudly instead
+            raise ValueError(
+                f"truncated WAV chunk {cid!r}: declares {length} bytes "
+                f"but only {len(payload) - pos - 8} remain")
         body = payload[pos + 8:pos + 8 + length]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
@@ -387,13 +423,18 @@ def extract_audio_features(media: DataFrame, id_col: str = "media_id",
             out = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 payload = bytes(payload)
-                out.append({"media_id": mid, "n_bytes": len(payload),
+                out.append({id_col: mid, "n_bytes": len(payload),
                             **decoder(payload)})
             yield pd.DataFrame(out, columns=[
-                "media_id", "n_bytes", "sample_rate", "n_channels",
+                id_col, "n_bytes", "sample_rate", "n_channels",
                 "n_samples", "duration_s", "rms", "zcr"])
 
-    return media.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+    # the id column keeps the caller's name (AUDIO_FEATURES_SCHEMA
+    # documents the default media_id contract)
+    return media.mapInPandas(
+        run, schema=f"{id_col} long, n_bytes int, sample_rate int, "
+                    "n_channels int, n_samples long, duration_s double, "
+                    "rms double, zcr double")
 
 
 def size_bucketed(media: DataFrame, payload_col: str = "payload",

@@ -269,6 +269,49 @@ def test_wav_decode_rejects_bad_input():
         wav_decode(bad)
 
 
+def test_wav_decode_rejects_truncated_chunk():
+    """A chunk whose declared length overruns the payload must raise,
+    not silently clamp to wrong RMS/ZCR stats (ADVICE r4)."""
+    from mapreducewordcount_spark.operators.multimodal import (
+        wav_decode,
+        wav_encode_pcm,
+    )
+
+    good = wav_encode_pcm(bytes(range(128)), sample_rate=8000)
+    truncated = good[:-10]  # data chunk now overruns the payload
+    with pytest.raises(ValueError, match="truncated"):
+        wav_decode(truncated)
+
+
+def test_feature_outputs_keep_caller_id_column(spark):
+    """extract_image_features / extract_audio_features / resize_images
+    must emit the id (and payload) columns under the CALLER's names,
+    not silently rename to media_id/payload (ADVICE r4)."""
+    from mapreducewordcount_spark.operators.multimodal import (
+        extract_audio_features,
+        extract_image_features,
+        png_encode,
+        resize_images,
+        wav_encode_pcm,
+    )
+
+    img = png_encode(2, 2, bytes(range(12)))
+    wav = wav_encode_pcm(bytes(range(16)))
+    df = spark.createDataFrame(
+        [(1, bytearray(img), "png", bytearray(wav))],
+        "doc_id long, img binary, format string, clip binary")
+    feats = extract_image_features(
+        df, id_col="doc_id", payload_col="img", decoder=None, fake=True)
+    assert feats.columns[0] == "doc_id"
+    assert feats.count() == 1
+    audio = extract_audio_features(df, id_col="doc_id", payload_col="clip")
+    assert audio.columns[0] == "doc_id"
+    assert audio.collect()[0].n_samples == 16
+    resized = resize_images(df, 1, 1, id_col="doc_id", payload_col="img")
+    assert resized.columns[:2] == ["doc_id", "img"]
+    assert resized.collect()[0].width == 1
+
+
 def test_audio_gate_oracle_matches_on_edge_documents(spark):
     """The audio gate's DuckDB oracle must agree with the real
     decoder on the inputs the corpus doesn't currently contain:
