@@ -4,10 +4,14 @@
 and partition layouts — useless for a training-data pipeline that
 must be re-derivable. The standard fix: hash a stable key and keep
 rows whose digest falls below a threshold. Same rows selected on any
-engine, any partitioning, any day; rates compose (a 25% sample of a
-50% sample is the 12.5% sample); and it needs no shuffle, no state,
-no seed bookkeeping — it is a pure row-local predicate that pipelines
-into the scan.
+engine, any partitioning, any day; re-applications on the SAME key
+NEST rather than multiply (a 25% pass over a 50% sample keeps the
+min(25%, 50%) = 25% slice, because both passes rank rows by the same
+digest — deterministic subsetting, which is usually what a pipeline
+wants: lowering a rate shrinks the sample in place). For independent
+draws, salt the key per application (``md5(key || salt)``) — then
+rates multiply. It needs no shuffle, no state, no seed bookkeeping —
+it is a pure row-local predicate that pipelines into the scan.
 
 Granularity note: thresholds are expressed as a 2-hex-digit prefix
 bound (1/256 steps ≈ 0.4%). Widen the prefix for finer rates; the

@@ -48,6 +48,11 @@ def kmeans(df: DataFrame, k: int, iters: int = 4,
     ``centroids`` is the k-row ``(cluster_id, cent_vec)`` model
     table. Deterministic for a given input (hash-sampled seeds, fixed
     iteration count) — no RNG, so retries and test runs agree.
+
+    Raises ``ValueError`` when the corpus has fewer than ``k``
+    vectors — the seed sample (``limit(k)``) can only produce as many
+    centroids as there are rows, so a silent sub-k model would break
+    the documented k-row centroid contract (ADVICE r4).
     """
     if k < 1:
         raise ValueError(f"k={k} must be >= 1")
@@ -55,6 +60,15 @@ def kmeans(df: DataFrame, k: int, iters: int = 4,
         raise ValueError(f"iters={iters} must be >= 0")
     assigned, cent = ivf_build(df, id_col=id_col, vec_col=vec_col,
                                n_lists=k, kmeans_iters=iters)
+    # cent is a driver-local k-row frame — counting it is free and
+    # catches corpora smaller than k loudly instead of returning a
+    # quietly smaller model
+    n_seeded = cent.count()
+    if n_seeded < k:
+        raise ValueError(
+            f"k={k} but the corpus has only {n_seeded} vectors — "
+            "k-means cannot seed more centroids than rows; lower k "
+            "or use the corpus as its own cluster set")
     cent = cent.withColumnRenamed("list_id", "cluster_id")
     # cosine-to-centroid via a broadcast join against the k-row model
     # table (NOT a k-deep CASE expression — k can be 10⁴ at scale):

@@ -112,7 +112,10 @@ def apply_mixture(docs: DataFrame, plan: DataFrame,
     (``functions/sampling.py`` rationale): ``md5(key)``'s first 4 hex
     digits as a fraction of 65536 compared against the group's rate —
     a row-local predicate, same rows kept on any engine/partitioning/
-    day, and rates compose across re-applications. md5 (not xxhash64)
+    day. Re-applying a plan on the same key NESTS (keeps the
+    min-rate slice — both passes rank rows by the same digest), it
+    does not multiply; salt the key per application for independent
+    draws (``functions/sampling.py`` rationale). md5 (not xxhash64)
     so an oracle engine replicates the exact selection.
 
     Rates ≥ 1 (upsampling groups) keep every row — repetition across

@@ -92,10 +92,18 @@ def spread(df: DataFrame) -> DataFrame:
     (scans/narrow maps, where ``.rdd`` is pure plan analysis) does
     the partition-count probe run.
     """
+    import re
+
     from mapreducewordcount_spark.plans import explain_str
 
     target = df.sparkSession.sparkContext.defaultParallelism
-    if "Exchange" in explain_str(df, mode="simple"):
+    # SHUFFLE exchanges only — a bare "Exchange" substring also
+    # matches BroadcastExchange, and a broadcast-join-only plan may
+    # still carry a one-split scan on its big side that needs the
+    # top-up (ADVICE r4)
+    if re.search(r"\bExchange (hashpartitioning|rangepartitioning"
+                 r"|SinglePartition|RoundRobinPartitioning)",
+                 explain_str(df, mode="simple")):
         return df
     if df.rdd.getNumPartitions() >= target:
         return df

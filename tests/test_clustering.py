@@ -57,6 +57,15 @@ def test_kmeans_validates_args(spark, planted):
         kmeans(planted, k=2, iters=-1)
 
 
+def test_kmeans_rejects_k_larger_than_corpus(spark, planted):
+    """A corpus with fewer than k vectors cannot seed k centroids —
+    the docstring promises a k-row model table, so the sub-k case
+    must raise instead of silently shrinking (ADVICE r4)."""
+    tiny = planted.limit(2)
+    with pytest.raises(ValueError, match="only 2 vectors"):
+        kmeans(tiny, k=5, iters=0)
+
+
 def test_cluster_stats_shapes_and_exemplar(spark, planted):
     assigned, _ = kmeans(planted, k=3, iters=4)
     stats = cluster_stats(assigned).collect()

@@ -176,6 +176,23 @@ def test_spread_still_tops_up_compact_source(spark):
         spark.sparkContext.defaultParallelism
 
 
+def test_spread_tops_up_broadcast_join_plan(spark):
+    """A broadcast-join-only plan has NO shuffle exchange — its big
+    side may still be a one-split scan, so spread() must not be
+    fooled by the BroadcastExchange substring into skipping the
+    top-up (ADVICE r4: match shuffle exchanges specifically)."""
+    from mapreducewordcount_spark.sources.tables import spread
+
+    big = spark.range(0, 64, 1, numPartitions=1)
+    dim = spark.range(0, 4).withColumnRenamed("id", "k")
+    joined = big.join(F.broadcast(dim), big.id % 4 == dim.k)
+    out = spread(joined)
+    assert out is not joined, \
+        "broadcast-only plan with a 1-split big side must be topped up"
+    assert out.rdd.getNumPartitions() == \
+        spark.sparkContext.defaultParallelism
+
+
 def test_prefix_jaccard_candidates_are_equi_join(spark):
     """prefix_jaccard_pairs' candidate stage must join on the shingle
     key (hash/SMJ), never fall back to a nested-loop pair scan — the
