@@ -60,13 +60,15 @@ def all_queries() -> dict[str, QuerySpec]:
     #   families, the full events/doc analytics family, plus the six
     #   round-3 operators (47/50 green; 2 oracle-typing reds fixed
     #   this round);
-    #   r4 window (below) — the LAST two never-driver-checked
-    #   entries (pack_curated_corpus, ann_pq_topk), re-verification
-    #   of the two HUGEINT-fix rows and the two DECIMAL-normalized
-    #   oracles, the round-4 operators, then the core families whose
-    #   most recent rows are r1/r2 (word-count, curation, dedup/ANN
-    #   ladder, pipeline hygiene, TPC-H batch 1, bucketed join, text
-    #   family) so their evidence stays fresh.
+    #   r4 window — the last two never-driver-checked entries,
+    #   HUGEINT-fix re-verification, the round-4 operators, then the
+    #   core families (41/41 oracled rows green);
+    #   r5 window (below) — the new mixture→packing composition
+    #   (first-ever row), then every query whose PLAN changed this
+    #   round (the hot-key window rewrites, the banded lsh_topk, the
+    #   single-pass entropy, the kmeans guard) so the reworks get
+    #   fresh driver evidence, then the usual rotation of core
+    #   families.
     full: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries,
                 pipeline_queries, pipeline2, tpch, bucketed_join,
@@ -75,35 +77,31 @@ def all_queries() -> dict[str, QuerySpec]:
         full.update(mod.QUERIES)
 
     gate_first = (
-        # last two pre-round-4 queries with no driver row in any round
-        "pack_curated_corpus", "ann_pq_topk",
-        # re-verify the round-4 oracle-typing fixes
-        "training_mixture_plan", "doc_dup_spans",
+        # round-5 composition: first-ever driver row
+        "pack_mixture_corpus",
+        # plan-changed this round: hot-key window rewrites
+        "c4_line_dedup", "boilerplate_lines", "doc_dup_spans",
+        # plan-changed: banded LSH top-k (rows-only) + entropy rewrite
+        "ann_lsh_topk", "doc_char_entropy",
+        # guard-changed kmeans path + mixture selector (docstring-only
+        # but shares apply_mixture with the new composition)
+        "embedding_cluster_stats", "mixture_applied_sample",
+        # round-4 first-rows kept fresh
+        "pack_curated_corpus", "ann_pq_topk", "training_mixture_plan",
         "doc_quality", "curate_corpus",
-        # round-4 operators: first-ever driver rows
         "bpe_pair_stats", "doc_bpe_tokens", "epoch_shuffle_order",
-        "c4_line_dedup", "doc_quality_features", "doc_char_entropy",
-        "doc_compression_ratio", "semantic_dedup_embeddings",
-        # round-4 late additions: first-ever driver rows
-        "mixture_applied_sample", "embedding_cluster_stats",
-        # core families whose latest driver rows are r1/r2 —
-        # wc_bucket_hist/wc_top20 (double-green r1+r2) ceded their
-        # refresh slots to the two first-rows above
+        "doc_quality_features", "doc_compression_ratio",
+        "semantic_dedup_embeddings",
+        # core families
         "wc_word_count", "wc_word_count_salted",
         *dedup_queries.QUERIES,
         *pipeline_queries.QUERIES,
         # TPC-H batch 1: bench headliners + one grouping-sets rep
-        # (the other nine batch-1 entries are double-green r1+r2 and
-        # ceded their slots to the round-4 first-rows above)
         "q1_pricing_summary", "q6_forecast_revenue", "q3_top_orders",
         "q5_region_revenue", "top_orders_per_customer",
         "rollup_revenue",
         *bucketed_join.QUERIES,
-        # text family minus content_word_counts and top_bigrams
-        # (double-green r1+r2; slots ceded to media_audio_features'
-        # and curriculum_epoch_order's first driver rows)
         "doc_keywords_tfidf", "curriculum_epoch_order",
-        # round-3 operator family representatives (r3-green)
         "doc_repetition_stats", "pack_training_sequences",
         "doc_lm_quality",
     )

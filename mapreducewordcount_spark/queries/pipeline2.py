@@ -753,6 +753,62 @@ FROM d
 """
 
 
+def pack_mixture_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture→packing lineage in one query (round-5, mirroring
+    ``pack_curated_corpus``): build the mixture plan at the
+    downsampling budget, EXECUTE it with the deterministic md5-prefix
+    Bernoulli selector, and shard-pack only the selected documents
+    into 512-token training sequences.
+
+    This is the plan→select→pack pipeline a dataset build actually
+    runs; composing it keeps the full lineage under a single oracle —
+    the packing prefix-sums run over exactly the sampled rows, so a
+    selection bug would shift every downstream seq_id and break the
+    hash."""
+    from mapreducewordcount_spark.operators.packing import apply_mixture
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    plan = mixture_plan(docs, MIX_WEIGHTS, MIX_APPLY_BUDGET,
+                        group_col="lang")
+    sampled = apply_mixture(docs, plan)
+    return pack_sequences(sampled, budget_tokens=512, n_shards=4)
+
+
+PACK_MIXTURE_SQL = rf"""
+WITH inv AS (
+  SELECT lang,
+         CAST(sum(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)) AS BIGINT) AS tokens_available
+  FROM documents GROUP BY 1
+),
+plan AS (
+  SELECT inv.lang,
+         CASE WHEN inv.tokens_available > 0
+              THEN round(CAST(floor(COALESCE(wt.w, 0.0) / {{total_w}} * {{budget}}) AS BIGINT)
+                         / CAST(inv.tokens_available AS DOUBLE), 6)
+              ELSE 0.0 END AS sample_rate
+  FROM inv LEFT JOIN {{weights}} ON inv.lang = wt.lang
+),
+kept AS (
+  SELECT d.doc_id
+  FROM documents d JOIN plan p USING (lang)
+  WHERE {_hex4_sql("md5(CAST(d.doc_id AS VARCHAR))")} / 65536.0 < p.sample_rate
+),
+s AS (
+  SELECT doc_id, source, doc_id % 4 AS shard,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+  FROM documents JOIN kept USING (doc_id)
+)
+SELECT doc_id, source, shard, n_tokens,
+       CAST(floor(COALESCE(sum(n_tokens) OVER (
+             PARTITION BY source, shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / 512.0) AS BIGINT) AS seq_id
+FROM s
+""".replace("{total_w}", repr(sum(MIX_WEIGHTS.values()))) \
+   .replace("{budget}", str(MIX_APPLY_BUDGET)) \
+   .replace("{weights}", _WEIGHTS_SQL)
+
+
 QUERIES = {
     "doc_repetition_stats": QuerySpec(doc_repetition_stats,
                                       DOC_REPETITION_SQL),
@@ -776,4 +832,6 @@ QUERIES = {
                                       _quality_features_sql()),
     "doc_char_entropy": QuerySpec(doc_char_entropy, CHAR_ENTROPY_SQL),
     "doc_compression_ratio": QuerySpec(doc_compression_ratio, None),
+    "pack_mixture_corpus": QuerySpec(pack_mixture_corpus,
+                                     PACK_MIXTURE_SQL),
 }
