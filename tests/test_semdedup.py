@@ -73,6 +73,66 @@ def test_semantic_dedup_no_pairs_keeps_everything(spark):
     assert all(r.keep == 1 and r.group_id == r.vec_id for r in out)
 
 
+def test_semantic_dedup_at_sqrt_n_lists(spark):
+    """The SCALE.md story depends on the n_lists knob: at a realistic
+    operating point (n_lists ≈ √n, the paper's regime rather than the
+    gate query's fixed 16) the pair space must collapse from n² to
+    Σ|cluster|² AND the planted near-dup components must still be
+    recovered. 400 vectors in 20 well-separated directions, a
+    3-member near-identical trio planted per direction."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mapreducewordcount_spark.operators.semdedup import ivf_build
+
+    d, n_dirs, per_dir = 32, 20, 20
+    rows = []
+    for c in range(n_dirs):
+        for m in range(per_dir):
+            v = [0.0] * d
+            v[c] = 1.0
+            if m < 3:
+                # planted trio: within 1e-3 of the axis → cos ≈ 1
+                v[(c + 7) % d] = m * 1e-3
+            else:
+                # distinct member: 0.1-0.3 jitter on a member-specific
+                # coordinate keeps cos vs anything else ≤ ~0.995
+                v[(c + 3 + m) % d] = 0.1 + (m % 5) * 0.05
+            rows.append((c * 100 + m, v))
+    n = len(rows)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    n_lists = int(math.isqrt(n))  # 20
+
+    # (a) pair-space reduction at the √n operating point
+    assigned, _ = ivf_build(emb, n_lists=n_lists, kmeans_iters=2)
+    sizes = [r.c for r in
+             assigned.groupBy("list_id").agg(F.count("*").alias("c"))
+             .collect()]
+    ratio = sum(s * s for s in sizes) / float(n * n)
+    assert ratio < 0.3, \
+        f"Σ|cluster|²/n² = {ratio:.3f} — clustering is not bounding " \
+        "the quadratic pair stage"
+
+    # (b) recall: planted trios survive as single components
+    out = {r.vec_id: r for r in
+           semantic_dedup(emb, n_lists=n_lists, threshold=0.999,
+                          kmeans_iters=2).collect()}
+    assert len(out) == n
+    recovered = 0
+    for c in range(n_dirs):
+        trio = [out[c * 100 + m] for m in range(3)]
+        if (len({r.group_id for r in trio}) == 1
+                and sum(r.keep for r in trio) == 1):
+            recovered += 1
+    assert recovered >= 18, \
+        f"only {recovered}/20 planted trios recovered at n_lists=√n"
+    # distinct members never collapse into the trio components
+    for c in range(n_dirs):
+        for m in range(3, per_dir):
+            assert out[c * 100 + m].keep == 1, (c, m)
+
+
 def test_semantic_dedup_pairs_stay_in_cluster_join(spark):
     """The pair stage must be the list_id equi-join (Σ|cluster|²),
     never a corpus-wide nested-loop pair scan."""
