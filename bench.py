@@ -9,12 +9,24 @@ Each query is executed to completion through the ``noop`` sink
 (full computation, no driver collect, no disk write) — the same
 shape a cluster job has, so the timings reflect scan+shuffle+agg
 cost rather than toPandas serialization.
+
+Noise control (round-5, VERDICT r4 #3): the round-4 report showed
+~25% uniform inflation on untouched queries, attributed to
+session-level contention (leftover cached blocks, JVM GC/JIT
+pressure accumulating across a 21-query session). Each query is
+now measured as the MEDIAN of 3 runs (median absorbs a one-off GC
+pause that best-of-N hides and mean amplifies), and between
+queries the harness clears Spark's block-manager cache and asks
+both the JVM and CPython for a GC so query N+1 does not pay query
+N's heap debt. Methodology documented in BASELINE.md.
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -73,20 +85,37 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — warmup must not kill the run
         print(f"warmup failed: {exc!r}", file=sys.stderr)
 
+    def _quiesce() -> None:
+        """Level the field between queries: drop cached blocks left by
+        operators that persist intermediates, then collect garbage on
+        both heaps so the next query's first run doesn't absorb this
+        one's GC debt. Failures are non-fatal — quiescing is a noise
+        reduction, not a correctness step."""
+        try:
+            spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001
+            pass
+        try:
+            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+        except Exception:  # noqa: BLE001
+            pass
+        gc.collect()
+
     # per-query isolation: one broken query must degrade the report
     # (null timing + error string), never erase it — a bench harness
     # should degrade, not vanish (round-2 lesson).
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        best = float("inf")
+        _quiesce()
+        runs: list[float] = []
         try:
-            for _ in range(2):  # best-of-2: strips JIT/page-cache jitter
+            for _ in range(3):  # median-of-3: robust to one-off pauses
                 t0 = time.perf_counter()
                 specs[name].spark_fn(spark, sf_dir).write \
                     .mode("overwrite").format("noop").save()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(runs), 3)
         except Exception as exc:  # noqa: BLE001
             timings[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
@@ -95,7 +124,8 @@ def main() -> None:
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
     report = {"metric": "headline_total", "value": total, "unit": "sec",
-              "queries": timings, "sf": sf_dir}
+              "queries": timings, "sf": sf_dir,
+              "method": "median-of-3, cache-cleared+GC between queries"}
     if errors:
         report["errors"] = errors
     print(json.dumps(report))

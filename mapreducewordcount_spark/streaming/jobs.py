@@ -329,13 +329,13 @@ def stream_source_token_budget(docs: DataFrame,
     document — the same contract as greedy packing).
 
     API note: built on ``applyInPandasWithState``. Spark 4's
-    successor API (``transformWithStateInPandas`` — typed value/list/
-    map state, timers) expresses the same single-value state as
-    ``handle.getValueState('consumed', 'used long')`` inside a
-    ``StatefulProcessor``, but its driver worker requires protobuf,
-    which this environment does not ship — the migration is a
-    mechanical swap of the state plumbing around the same admission
-    loop, gated on ``google.protobuf`` availability.
+    successor API (``transformWithStateInPandas``) is implemented as
+    ``stream_source_token_budget_tws`` below around the SAME admission
+    core (``_admit_micro_batch``); its Python worker speaks protobuf
+    to the JVM state server, which this environment does not ship, so
+    that variant import-gates on ``google.protobuf`` and its pytest
+    skips where protobuf is absent. Both variants share the admission
+    loop, so the cross-batch contract is pinned once.
 
     Output: (source, doc_id, n_tokens, admitted, consumed_after).
     """
@@ -344,30 +344,12 @@ def stream_source_token_budget(docs: DataFrame,
     from mapreducewordcount_spark.functions.text_metrics import token_count
 
     def enforce(key, pdfs, state: GroupState):
-        import pandas as pd
-
         source = key[0]
         budget = budgets.get(source, default_budget)
         (used,) = state.get if state.exists else (0,)
-        out = []
-        # the group arrives as an ITERATOR of Arrow chunks (split at
-        # maxRecordsPerBatch); sorting per-chunk would order only
-        # within a chunk and make admission depend on the Arrow
-        # batch-size config — concatenate first, THEN sort, so the
-        # documented doc_id admission order holds across the whole
-        # micro-batch
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        if chunks:
-            whole = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-            for r in whole.sort_values("doc_id").itertuples():
-                admit = used < budget
-                if admit:
-                    used += int(r.n_tokens)
-                out.append((source, int(r.doc_id), int(r.n_tokens),
-                            admit, used))
+        out, used = _admit_micro_batch(source, budget, used, pdfs)
         state.update((used,))
-        yield pd.DataFrame(out, columns=[
-            "source", "doc_id", "n_tokens", "admitted", "consumed_after"])
+        yield out
 
     sized = docs.select("source", "doc_id",
                         token_count("text").cast("long").alias("n_tokens"))
@@ -375,9 +357,101 @@ def stream_source_token_budget(docs: DataFrame,
             .groupBy("source")
             .applyInPandasWithState(
                 enforce,
-                outputStructType=("source string, doc_id long, "
-                                  "n_tokens long, admitted boolean, "
-                                  "consumed_after long"),
+                outputStructType=_BUDGET_OUTPUT_SCHEMA,
                 stateStructType="used long",
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+_BUDGET_OUTPUT_SCHEMA = ("source string, doc_id long, n_tokens long, "
+                         "admitted boolean, consumed_after long")
+
+
+def _admit_micro_batch(source: str, budget: int, used: int,
+                       pdfs) -> tuple[pd.DataFrame, int]:
+    """Shared admission core for both stateful-API variants.
+
+    ``pdfs`` is an ITERATOR of Arrow chunks (split at
+    maxRecordsPerBatch); sorting per-chunk would order only within a
+    chunk and make admission depend on the Arrow batch-size config —
+    concatenate first, THEN sort, so the documented doc_id admission
+    order holds across the whole micro-batch. Budget check is
+    admit-if-any-room: a doc may overshoot by at most one document
+    (the greedy-packing contract). Returns (output frame, new used).
+    """
+    out = []
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        whole = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        for r in whole.sort_values("doc_id").itertuples():
+            admit = used < budget
+            if admit:
+                used += int(r.n_tokens)
+            out.append((source, int(r.doc_id), int(r.n_tokens),
+                        admit, used))
+    frame = pd.DataFrame(out, columns=[
+        "source", "doc_id", "n_tokens", "admitted", "consumed_after"])
+    return frame, used
+
+
+def _has_protobuf() -> bool:
+    """find_spec('google.protobuf') raises when the 'google' namespace
+    package itself is absent (this sandbox), so gate via import."""
+    try:
+        import google.protobuf  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def stream_source_token_budget_tws(docs: DataFrame,
+                                   budgets: dict[str, int],
+                                   default_budget: int = 0) -> DataFrame:
+    """``stream_source_token_budget`` on Spark 4's successor stateful
+    API: ``transformWithStateInPandas`` + a ``StatefulProcessor``.
+
+    Same semantics, same shared admission core; only the state
+    plumbing differs — the single consumed-tokens long lives in a
+    typed ``ValueState`` obtained from the processor handle instead of
+    an untyped ``GroupState`` tuple. The new API's Python worker
+    communicates with the JVM state server over protobuf, so this
+    variant raises ImportError where ``google.protobuf`` is absent
+    (this sandbox); the pytest for it skips accordingly and the
+    applyInPandasWithState twin remains the environment-portable path.
+    """
+    if not _has_protobuf():
+        raise ImportError(
+            "transformWithStateInPandas requires protobuf "
+            "(pip install protobuf); use stream_source_token_budget")
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from mapreducewordcount_spark.functions.text_metrics import token_count
+
+    class BudgetProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._used = handle.getValueState("consumed", "used long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            source = key[0]
+            budget = budgets.get(source, default_budget)
+            used = self._used.get()[0] if self._used.exists() else 0
+            out, used = _admit_micro_batch(source, budget, used, rows)
+            self._used.update((used,))
+            yield out
+
+        def close(self) -> None:
+            pass
+
+    sized = docs.select("source", "doc_id",
+                        token_count("text").cast("long").alias("n_tokens"))
+    return (sized
+            .groupBy("source")
+            .transformWithStateInPandas(
+                statefulProcessor=BudgetProcessor(),
+                outputStructType=_BUDGET_OUTPUT_SCHEMA,
+                outputMode="Append",
+                timeMode="None"))

@@ -295,16 +295,13 @@ def test_stream_quality_filter_drops_junk(spark, tmp_path):
     assert got == {0}, got
 
 
-def test_stream_source_token_budget_enforces_across_batches(spark, tmp_path):
-    """transformWithState budget enforcement: per-source token budgets
-    persist in the state store ACROSS micro-batches — a source that
-    exhausts its budget in batch 1 admits nothing in batch 2, and the
-    admit-if-any-room contract allows at most one overshoot doc."""
+def _run_token_budget_scenario(spark, tmp_path, budget_fn):
+    """Shared cross-batch scenario for both stateful-API variants:
+    per-source token budgets persist in the state store ACROSS
+    micro-batches — a source that exhausts its budget in batch 1
+    admits nothing in batch 2, and the admit-if-any-room contract
+    allows at most one overshoot doc."""
     import json
-
-    from mapreducewordcount_spark.streaming import (
-        stream_source_token_budget,
-    )
 
     src = tmp_path / "docs"
     src.mkdir()
@@ -324,10 +321,11 @@ def test_stream_source_token_budget_enforces_across_batches(spark, tmp_path):
 
     schema = "source string, doc_id long, text string"
     docs = spark.readStream.schema(schema).json(str(src))
-    out = stream_source_token_budget(docs, {"A": 10})
+    out = budget_fn(docs, {"A": 10})
+    qname = f"budget_stream_{budget_fn.__name__}"
     q = (out.writeStream.outputMode("append")
          .option("checkpointLocation", ckpt)
-         .format("memory").queryName("budget_stream").start())
+         .format("memory").queryName(qname).start())
     try:
         q.processAllAvailable()
         write("b2.json", [
@@ -339,7 +337,7 @@ def test_stream_source_token_budget_enforces_across_batches(spark, tmp_path):
         q.stop()
 
     got = {r.doc_id: r for r in
-           spark.sql("SELECT * FROM budget_stream").collect()}
+           spark.sql(f"SELECT * FROM {qname}").collect()}
     assert len(got) == 5
     assert got[1].admitted and got[1].consumed_after == 4
     assert got[2].admitted and got[2].consumed_after == 8
@@ -349,3 +347,71 @@ def test_stream_source_token_budget_enforces_across_batches(spark, tmp_path):
     assert not got[4].admitted and got[4].consumed_after == 12
     # source B has no budget entry → default 0 → dropped
     assert not got[5].admitted and got[5].consumed_after == 0
+
+
+def test_stream_source_token_budget_enforces_across_batches(spark, tmp_path):
+    from mapreducewordcount_spark.streaming import (
+        stream_source_token_budget,
+    )
+
+    _run_token_budget_scenario(spark, tmp_path, stream_source_token_budget)
+
+
+def test_stream_source_token_budget_tws_across_batches(spark, tmp_path):
+    """Same contract through Spark 4's transformWithStateInPandas;
+    skips where the API's protobuf worker dependency is absent."""
+    from mapreducewordcount_spark.streaming.jobs import _has_protobuf
+
+    if not _has_protobuf():
+        pytest.skip("transformWithStateInPandas needs protobuf")
+
+    from mapreducewordcount_spark.streaming.jobs import (
+        stream_source_token_budget_tws,
+    )
+
+    _run_token_budget_scenario(
+        spark, tmp_path, stream_source_token_budget_tws)
+
+
+def test_tws_variant_raises_without_protobuf(spark):
+    """The env-gate is a loud ImportError at call time, not a silent
+    fallback — callers choose the portable twin explicitly."""
+    from mapreducewordcount_spark.streaming.jobs import _has_protobuf
+
+    if _has_protobuf():
+        pytest.skip("protobuf present; gate inactive")
+
+    from mapreducewordcount_spark.streaming.jobs import (
+        stream_source_token_budget_tws,
+    )
+
+    schema = "source string, doc_id long, text string"
+    docs = (spark.readStream.format("rate").load()
+            .selectExpr("'A' source", "value doc_id", "'w' text"))
+    with pytest.raises(ImportError, match="protobuf"):
+        stream_source_token_budget_tws(docs, {"A": 10})
+
+
+def test_admit_micro_batch_chunk_order_invariance():
+    """The shared admission core must produce identical admissions
+    whether the group arrives as one Arrow chunk or many — the
+    concat-then-sort contract (round-4 dbae897 regression guard)."""
+    import pandas as pd
+
+    from mapreducewordcount_spark.streaming.jobs import _admit_micro_batch
+
+    rows = pd.DataFrame({
+        "doc_id": [4, 1, 3, 2],
+        "n_tokens": [4, 4, 4, 4],
+    })
+    whole, used_whole = _admit_micro_batch("A", 10, 0, iter([rows]))
+    split, used_split = _admit_micro_batch(
+        "A", 10, 0, iter([rows.iloc[:1], rows.iloc[1:3], rows.iloc[3:]]))
+    assert used_whole == used_split == 12
+    pd.testing.assert_frame_equal(
+        whole.reset_index(drop=True), split.reset_index(drop=True))
+    # doc_id order decides admission: 1,2 admitted (8), 3 overshoots
+    # to 12, 4 dropped
+    byid = {int(r.doc_id): r for r in whole.itertuples()}
+    assert [byid[i].admitted for i in (1, 2, 3, 4)] == \
+        [True, True, True, False]
