@@ -41,6 +41,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup_queries,
         pipeline_queries,
         pipeline2,
+        pipeline3,
         text_queries,
         tpch,
         wordcount_queries,
@@ -71,12 +72,15 @@ def all_queries() -> dict[str, QuerySpec]:
     #   families.
     full: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries,
-                pipeline_queries, pipeline2, tpch, bucketed_join,
-                analytics, text_queries, analytics2, analytics3,
-                tpch2, tpch3):
+                pipeline_queries, pipeline2, pipeline3, tpch,
+                bucketed_join, analytics, text_queries, analytics2,
+                analytics3, tpch2, tpch3):
         full.update(mod.QUERIES)
 
     gate_first = (
+        # round-5 operators: first-ever driver rows
+        "doc_chunks", "dedup_survivors", "seq_length_histogram",
+        "events_gapfill", "source_overlap_matrix",
         # round-5 composition: first-ever driver row
         "pack_mixture_corpus",
         # plan-changed this round: hot-key window rewrites

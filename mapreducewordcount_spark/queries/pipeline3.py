@@ -1,0 +1,329 @@
+"""Round-5 training-data operators: chunking, quality-aware dedup
+survivor selection, sequence-length/packing-waste profiling,
+time-series gap-fill, and cross-source n-gram contamination.
+
+Every query here is fully deterministic and DuckDB-oracled. Oracle
+notes:
+
+- ``doc_chunks`` — pure integer arithmetic over a whitespace token
+  array; ``regexp_extract_all('\\S+')`` on both engines.
+- ``dedup_survivors`` — reuses the recursive-CTE transitive closure
+  (dedup_queries) and the quality formula (curation) verbatim, then a
+  deterministic argmax: quality DESC, doc_id ASC.
+- ``seq_length_histogram`` — power-of-two bins via binary string
+  length (no float log2, so no boundary flips); DuckDB sums cast to
+  BIGINT (the round-3 HUGEINT lesson).
+- ``events_gapfill`` — bucket arithmetic in integer epoch-seconds on
+  the DuckDB side and epoch-aligned ``F.window`` on the Spark side;
+  renders under the pinned-UTC session clock like ``events_hourly``.
+- ``source_overlap_matrix`` — distinct shingle sets per source with
+  the same tokenizer CTE as the dedup family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducewordcount_spark.functions import text_metrics as tm
+from mapreducewordcount_spark.operators import dedup as dd
+from mapreducewordcount_spark.queries import QuerySpec
+from mapreducewordcount_spark.queries.curation import _STOPS_SQL
+from mapreducewordcount_spark.queries.dedup_queries import (
+    _SHINGLES_CTE,
+    _WORDS_CTE,
+)
+from mapreducewordcount_spark.sources.tables import load_table, spread
+
+# --- RAG chunking -----------------------------------------------------------
+
+CHUNK_SIZE = 64
+CHUNK_OVERLAP = 16
+_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token chunks per document
+    (operators/chunking.py) — zero-shuffle narrow map + explode."""
+    from mapreducewordcount_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=CHUNK_SIZE,
+                           overlap=CHUNK_OVERLAP)
+
+
+DOC_CHUNKS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+  FROM documents
+),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+c AS (
+  SELECT doc_id, toks,
+         CASE WHEN n <= {CHUNK_SIZE} THEN 1
+              ELSE ((n - {CHUNK_SIZE} + {_STRIDE - 1}) // {_STRIDE}) + 1
+         END AS n_chunks
+  FROM s
+),
+x AS (
+  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_index FROM c
+)
+SELECT doc_id,
+       CAST(chunk_index AS INT) AS chunk_index,
+       CAST(len(toks[chunk_index * {_STRIDE} + 1
+                     : chunk_index * {_STRIDE} + {CHUNK_SIZE}]) AS INT)
+         AS n_chunk_tokens,
+       array_to_string(toks[chunk_index * {_STRIDE} + 1
+                            : chunk_index * {_STRIDE} + {CHUNK_SIZE}], ' ')
+         AS chunk_text
+FROM x
+"""
+
+
+# --- quality-aware dedup survivor selection ---------------------------------
+
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per near-dup component: instead of
+    the min-id keeper (``curate_corpus``), keep the HIGHEST-QUALITY
+    member (tie-break min doc_id) — the curation policy that retains
+    the best copy of boilerplate-mangled near-dups rather than the
+    one that happened to crawl first.
+
+    Plan: near-dup groups (label propagation at scale, see
+    operators/dedup.dup_groups) joined to per-doc quality, then one
+    groupBy(group_id) whose argmax rides an ordered struct max —
+    partial-aggregable, so the component key never concentrates rows
+    the way a window would.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = dd.shingle_jaccard_pairs(docs, threshold=0.5)
+    groups = dd.dup_groups(pairs)  # doc_id, group_id (paired docs only)
+    scored = docs.select(
+        "doc_id", F.round(tm.quality_score("text"), 4).alias("quality"))
+    best = F.max(F.struct(F.col("quality").alias("q"),
+                          (-F.col("doc_id")).alias("neg_id"))).alias("best")
+    return (groups
+            .join(scored, "doc_id")
+            .groupBy("group_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"), best)
+            .select("group_id",
+                    (-F.col("best.neg_id")).cast("long").alias("survivor_id"),
+                    F.col("best.q").alias("best_quality"),
+                    "n_docs"))
+
+
+DEDUP_SURVIVORS_SQL = f"""
+WITH RECURSIVE {_WORDS_CTE}, {_SHINGLES_CTE},
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        / (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL SELECT b_id, a_id FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+comp AS (SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id),
+m AS (
+  SELECT doc_id,
+         len(words) AS nw,
+         CASE WHEN len(words) > 0
+              THEN list_sum(list_transform(words, x -> strlen(x)))::DOUBLE
+                   / len(words)
+              ELSE 0.0 END AS awl,
+         CASE WHEN len(words) > 0
+              THEN len(list_filter(words,
+                                   x -> list_contains({_STOPS_SQL}, x)))::DOUBLE
+                   / len(words)
+              ELSE 0.0 END AS sr,
+         CASE WHEN strlen(regexp_replace(text, '\\s+', '', 'g')) > 0
+              THEN (strlen(text)
+                    - strlen(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')))::DOUBLE
+                   / strlen(regexp_replace(text, '\\s+', '', 'g'))
+              ELSE 0.0 END AS pr
+  FROM w JOIN documents USING (doc_id)
+),
+qual AS (
+  SELECT doc_id,
+         round(CAST(0.3 * (CASE WHEN nw BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+             + 0.2 * (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+             + 0.3 * (CASE WHEN sr >= 0.01 THEN 1.0 ELSE 0.0 END)
+             + 0.2 * (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END) AS DOUBLE),
+           4) AS quality
+  FROM m
+),
+ranked AS (
+  SELECT c.group_id, c.doc_id, q.quality,
+         row_number() OVER (PARTITION BY c.group_id
+                            ORDER BY q.quality DESC, c.doc_id) AS rn,
+         count(*) OVER (PARTITION BY c.group_id) AS n_docs
+  FROM comp c JOIN qual q USING (doc_id)
+)
+SELECT group_id, doc_id AS survivor_id, quality AS best_quality,
+       CAST(n_docs AS BIGINT) AS n_docs
+FROM ranked WHERE rn = 1
+"""
+
+
+# --- sequence-length histogram / packing-waste profile ----------------------
+
+SEQ_LEN = 512
+
+
+def seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count distribution in power-of-two bins plus the padding
+    waste a naive one-doc-per-sequence loader would pay at
+    ``SEQ_LEN`` — the profile that justifies ``pack_sequences``.
+
+    Bin index is the bit length of the token count minus one (exact
+    integer logic; ``floor(log2(n))`` flips at powers of two under
+    float rounding). Narrow map + one tiny groupBy: scan-bound at any
+    scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    binned = (docs
+              .select(tm.token_count("text").cast("long").alias("n_tokens"))
+              .filter(F.col("n_tokens") > 0)
+              .select("n_tokens",
+                      (F.length(F.bin("n_tokens")) - 1).cast("int")
+                      .alias("bin"),
+                      (F.ceil(F.col("n_tokens") / SEQ_LEN) * SEQ_LEN
+                       - F.col("n_tokens")).cast("long").alias("waste")))
+    return (binned
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.sum("waste").alias("pad_waste_tokens"))
+            .select("bin",
+                    F.expr("shiftleft(CAST(1 AS BIGINT), bin)")
+                    .alias("bin_lo"),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), bin + 1) - 1")
+                    .alias("bin_hi"),
+                    "n_docs", "total_tokens", "pad_waste_tokens",
+                    F.round(F.col("pad_waste_tokens").cast("double")
+                            / (F.col("total_tokens")
+                               + F.col("pad_waste_tokens")), 6)
+                    .alias("waste_frac")))
+
+
+SEQ_HISTOGRAM_SQL = rf"""
+WITH t AS (
+  SELECT len(regexp_extract_all(text, '{tm.TOKEN_REGEX}')) AS n_tokens
+  FROM documents
+),
+p AS (
+  SELECT n_tokens,
+         CAST(strlen(bin(n_tokens)) - 1 AS INT) AS bin,
+         CAST(ceil(n_tokens / {SEQ_LEN}.0) AS BIGINT) * {SEQ_LEN} - n_tokens
+           AS waste
+  FROM t WHERE n_tokens > 0
+)
+SELECT bin,
+       CAST((1::BIGINT << bin) AS BIGINT) AS bin_lo,
+       CAST((1::BIGINT << (bin + 1)) - 1 AS BIGINT) AS bin_hi,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(waste) AS BIGINT) AS pad_waste_tokens,
+       round(CAST(sum(waste) AS DOUBLE)
+             / (CAST(sum(n_tokens) AS BIGINT)
+                + CAST(sum(waste) AS BIGINT)), 6) AS waste_frac
+FROM p GROUP BY bin
+"""
+
+
+# --- time-series gap-fill ---------------------------------------------------
+
+GAPFILL_BUCKET_S = 900  # 15 minutes
+
+
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 15-minute resample of events per type with explicit
+    zero rows for empty buckets (operators/gapfill.py)."""
+    from mapreducewordcount_spark.operators.gapfill import gapfill_series
+
+    events = load_table(spark, sf_dir, "events")
+    return gapfill_series(events, bucket="15 minutes")
+
+
+EVENTS_GAPFILL_SQL = f"""
+WITH b AS (
+  SELECT event_type,
+         TIMESTAMP '1970-01-01 00:00:00'
+           + INTERVAL 1 SECOND
+             * ((epoch_us(ts) // {GAPFILL_BUCKET_S * 1_000_000})
+                * {GAPFILL_BUCKET_S}) AS bucket,
+         count(*) AS n, round(sum(value), 2) AS sum_value
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1
+),
+grid AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL {GAPFILL_BUCKET_S} SECOND))
+           AS bucket
+  FROM span
+)
+SELECT g.event_type,
+       strftime(g.bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       CAST(coalesce(b.n, 0) AS BIGINT) AS n,
+       round(coalesce(b.sum_value, 0), 2) AS sum_value,
+       CAST(CASE WHEN b.n IS NULL THEN 1 ELSE 0 END AS INT) AS gap_filled
+FROM grid g LEFT JOIN b USING (event_type, bucket)
+"""
+
+
+# --- cross-source n-gram contamination matrix -------------------------------
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared distinct 3-grams and set-Jaccard for every source pair
+    (operators/decontam.source_ngram_overlap)."""
+    from mapreducewordcount_spark.operators.decontam import (
+        source_ngram_overlap,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_ngram_overlap(docs)
+
+
+SOURCE_OVERLAP_SQL = f"""
+WITH {_WORDS_CTE}, {_SHINGLES_CTE},
+e AS (
+  SELECT DISTINCT source, ng
+  FROM (SELECT d.source, unnest(s.shingles) AS ng
+        FROM sh s JOIN documents d USING (doc_id))
+),
+tot AS (SELECT source, count(*) AS n FROM e GROUP BY 1),
+p AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+  FROM e a JOIN e b ON a.ng = b.ng AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b,
+       CAST(p.shared AS BIGINT) AS shared_ngrams,
+       CAST(ta.n AS BIGINT) AS n_a,
+       CAST(tb.n AS BIGINT) AS n_b,
+       round(CAST(p.shared AS DOUBLE) / (ta.n + tb.n - p.shared), 6)
+         AS jaccard
+FROM p
+JOIN tot ta ON ta.source = p.source_a
+JOIN tot tb ON tb.source = p.source_b
+"""
+
+
+QUERIES = {
+    "doc_chunks": QuerySpec(doc_chunks, DOC_CHUNKS_SQL),
+    "dedup_survivors": QuerySpec(dedup_survivors, DEDUP_SURVIVORS_SQL),
+    "seq_length_histogram": QuerySpec(seq_length_histogram,
+                                      SEQ_HISTOGRAM_SQL),
+    "events_gapfill": QuerySpec(events_gapfill, EVENTS_GAPFILL_SQL),
+    "source_overlap_matrix": QuerySpec(source_overlap_matrix,
+                                       SOURCE_OVERLAP_SQL),
+}

@@ -1,0 +1,213 @@
+"""Round-5 operators: planted-ground-truth + plan-shape tests.
+
+The DuckDB oracle sweep (test_oracle.py) covers corpus-level
+equality; these tests pin hand-computable semantics on tiny planted
+inputs and the plan shapes the SCALE.md story depends on.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from mapreducewordcount_spark.operators.chunking import chunk_documents
+from mapreducewordcount_spark.operators.decontam import source_ngram_overlap
+from mapreducewordcount_spark.operators.gapfill import gapfill_series
+
+
+# --- chunking ---------------------------------------------------------------
+
+def test_chunking_exact_windows(spark):
+    """10 tokens, chunk_size=4, overlap=1 (stride 3):
+    chunks = [t1..t4], [t4..t7], [t7..t10] — 3 chunks, last full."""
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(1, 11)))], "doc_id long, text string")
+    rows = {r.chunk_index: r for r in
+            chunk_documents(docs, chunk_size=4, overlap=1).collect()}
+    assert len(rows) == 3
+    assert rows[0].chunk_text == "t1 t2 t3 t4"
+    assert rows[1].chunk_text == "t4 t5 t6 t7"
+    assert rows[2].chunk_text == "t7 t8 t9 t10"
+    assert all(r.n_chunk_tokens == 4 for r in rows.values())
+
+
+def test_chunking_short_and_empty_docs(spark):
+    """<= chunk_size tokens → exactly one (short) chunk; empty/blank
+    docs → no rows; a ragged last chunk keeps the tail tokens."""
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "   "), (4, "x y z w v")],
+        "doc_id long, text string")
+    out = chunk_documents(docs, chunk_size=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 4}
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_text == "a b"
+    # doc 4: 5 tokens → [x y z w], [w v]
+    c4 = sorted(by_doc[4], key=lambda r: r.chunk_index)
+    assert [r.chunk_text for r in c4] == ["x y z w", "w v"]
+    assert [r.n_chunk_tokens for r in c4] == [4, 2]
+
+
+def test_chunking_rejects_bad_overlap(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_size=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_size=4, overlap=-1)
+
+
+def test_chunking_plan_no_shuffle(spark):
+    """The chunker is a narrow map + explode: no Exchange anywhere —
+    chunk throughput at 100 TB must be scan-bound."""
+    from mapreducewordcount_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"chunking plan shuffles:\n{plan}"
+
+
+# --- gap-fill ---------------------------------------------------------------
+
+def test_gapfill_fills_interior_holes(spark):
+    """Events at buckets 0 and 2 (of a 15-min grid): bucket 1 must
+    appear with n=0 / sum 0.0 / gap_filled=1; span is per-key."""
+    rows = [
+        ("a", "2024-01-01 00:01:00", 1.0),
+        ("a", "2024-01-01 00:05:00", 2.0),
+        ("a", "2024-01-01 00:31:00", 4.0),
+        ("b", "2024-01-01 01:00:00", 8.0),
+    ]
+    events = spark.createDataFrame(rows, "event_type string, ts string, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    got = {(r.event_type, r.bucket_start): r
+           for r in gapfill_series(events).collect()}
+    assert set(got) == {
+        ("a", "2024-01-01 00:00:00"),
+        ("a", "2024-01-01 00:15:00"),
+        ("a", "2024-01-01 00:30:00"),
+        ("b", "2024-01-01 01:00:00"),
+    }
+    filled = got[("a", "2024-01-01 00:15:00")]
+    assert filled.n == 0 and filled.sum_value == 0.0 and filled.gap_filled == 1
+    first = got[("a", "2024-01-01 00:00:00")]
+    assert first.n == 2 and first.sum_value == 3.0 and first.gap_filled == 0
+    # key b: single bucket, no grid extension beyond its own span
+    assert got[("b", "2024-01-01 01:00:00")].n == 1
+
+
+def test_gapfill_grid_joins_aggregate_not_raw_rows(spark):
+    """The left join's probe side must be the (key, bucket) aggregate:
+    the plan joins two aggregated frames — the word 'events'-scale scan
+    appears once per side of the agg, and the final join carries a
+    HashAggregate on both inputs (no raw-row re-scan on the right)."""
+    from mapreducewordcount_spark.sources.tables import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    plan = gapfill_series(events)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" in plan
+    # the generator explode feeds the join's left; the right is the
+    # aggregate — a BroadcastNestedLoopJoin would mean the grid was
+    # built per-row instead
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- source overlap ---------------------------------------------------------
+
+def test_source_overlap_planted_counts(spark):
+    """Two sources share exactly the 3-grams of a common sentence;
+    a third source shares nothing. Jaccard = shared/(na+nb-shared)."""
+    common = "alpha beta gamma delta"      # 3-grams: [abc], [bcd] → 2
+    docs = spark.createDataFrame([
+        (1, common + " one two three", "s1"),   # extra distinct tail
+        (2, common + " four five six", "s2"),
+        (3, "seven eight nine ten eleven", "s3"),
+    ], "doc_id long, text string, source string")
+    got = {(r.source_a, r.source_b): r
+           for r in source_ngram_overlap(docs).collect()}
+    # s1/s2 share the 2 common-run 3-grams; s3 pairs share nothing →
+    # absent from the matrix (sparse by construction)
+    assert set(got) == {("s1", "s2")}
+    r = got[("s1", "s2")]
+    assert r.shared_ngrams == 2
+    # each source: 5 distinct 3-grams from its 7-word doc
+    assert r.n_a == 5 and r.n_b == 5
+    assert r.jaccard == round(2 / (5 + 5 - 2), 6)
+
+
+def test_source_overlap_no_doc_level_join(spark):
+    """The matrix must come from the (source, ngram) set algebra —
+    never a doc×doc join: no BroadcastNestedLoopJoin, no CartesianProduct."""
+    from mapreducewordcount_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = source_ngram_overlap(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, f"{bad} in overlap plan:\n{plan}"
+
+
+# --- survivors + histogram (query level) ------------------------------------
+
+def test_dedup_survivors_picks_highest_quality(spark, tmp_path):
+    """Two planted duplicate groups with asymmetric quality. The
+    'noisy' twin carries a punctuation tail: the tokenizer strips it
+    (so the word shingles — and therefore group membership — are
+    identical, Jaccard 1.0) but ``punct_ratio`` sees the raw text and
+    drops quality 1.0 → 0.8. Group A (10 good, 11 noisy) would pick
+    10 under min-id too; group B (20 noisy, 21 good) proves the
+    argmax OVERRIDES min-id: the survivor is the larger id 21."""
+    from mapreducewordcount_spark.queries.pipeline3 import dedup_survivors
+
+    base_a = ("the quick brown fox jumps over the lazy dog and runs on "
+              "through the quiet field")
+    base_b = ("a small boat drifts down the wide river past tall trees "
+              "and is gone before dawn arrives")
+    punct_tail = " !!! ??? ;;; ::: !!! ??? ;;; ::: !!! ???"
+    docs = spark.createDataFrame([
+        (10, base_a, "en", "s", len(base_a)),
+        (11, base_a + punct_tail, "en", "s", len(base_a) + 40),
+        (20, base_b + punct_tail, "en", "s", len(base_b) + 40),
+        (21, base_b, "en", "s", len(base_b)),
+        (30, "completely unrelated text about something else entirely "
+             "with many more words here", "en", "s", 80),
+    ], "doc_id long, text string, lang string, source string, n_chars long")
+    d = tmp_path / "docs"
+    docs.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    # dedup_survivors reads via load_table(sf_dir): point it at tmp_path
+    out = {r.group_id: r for r in dedup_survivors(spark, str(d)).collect()}
+    # exactly the two planted groups (doc 30 pairs with nothing)
+    assert set(out) == {10, 20}
+    a, b = out[10], out[20]
+    assert a.survivor_id == 10 and a.n_docs == 2
+    assert b.survivor_id == 21 and b.n_docs == 2  # argmax beats min-id
+    assert a.best_quality > 0.8 and b.best_quality > 0.8
+
+
+def test_seq_length_histogram_planted_bins(spark, tmp_path):
+    """Token counts 3, 5, 600 → bins 1 (2-3), 2 (4-7), 9 (512-1023);
+    waste at 512: 509, 507, 424."""
+    from mapreducewordcount_spark.queries.pipeline3 import (
+        seq_length_histogram,
+    )
+
+    texts = [(1, "a b c"), (2, "a b c d e"), (3, " ".join(["w"] * 600))]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    d = tmp_path / "docs"
+    docs.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    got = {r.bin: r for r in seq_length_histogram(spark, str(d)).collect()}
+    assert set(got) == {1, 2, 9}
+    assert (got[1].bin_lo, got[1].bin_hi) == (2, 3)
+    assert got[1].n_docs == 1 and got[1].total_tokens == 3
+    assert got[1].pad_waste_tokens == 512 - 3
+    assert got[2].pad_waste_tokens == 512 - 5
+    assert (got[9].bin_lo, got[9].bin_hi) == (512, 1023)
+    assert got[9].pad_waste_tokens == 1024 - 600
+    # 424/1024 = 0.4140625: Spark/DuckDB round HALF_UP → 0.414063
+    # (Python's round would give the banker's 0.414062)
+    assert got[9].waste_frac == 0.414063
