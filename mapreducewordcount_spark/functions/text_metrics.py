@@ -87,6 +87,16 @@ def quality_score(col: Column | str) -> Column:
     evaluation via the let-binding trick (see ``shingles``) — naively
     composing ``n_words``/``avg_word_len``/``stopword_ratio`` would
     tokenize the document three times per row.
+
+    Deliberate non-optimization: each ``sig[...]`` field reference
+    below re-inlines the whole transform expression in the analyzed
+    plan, which LOOKS like 5× duplicated work — but whole-stage
+    codegen's common-subexpression elimination collapses the copies,
+    and the "fix" (a second let-binding of the signals struct through
+    another ``transform``) measured ~1.7× SLOWER warm (0.56s → 0.94s
+    at sf0.1, round 5) because the extra higher-order function is an
+    interpreted layer per row. Keep the references flat; CSE pays for
+    them.
     """
     stops = F.array(*[F.lit(s) for s in EN_STOPWORDS])
 
