@@ -318,8 +318,81 @@ JOIN tot tb ON tb.source = p.source_b
 """
 
 
+# --- video frame sampling (the third multimodal leg) ------------------------
+
+FRAME_EVERY_N = 30
+_FRAME_STRIDE = FRAME_EVERY_N * 16  # bytes between sampled frames
+
+
+def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video leg of the multimodal seam in the hard gate: text
+    bytes play opaque video containers flowing through the REAL
+    explode plumbing (``operators/multimodal.sample_video_frames`` —
+    one row in, n_frames rows out via ``mapInPandas``). The stub
+    frame slicer is deterministic byte arithmetic, so unlike most
+    media stubs it is fully DuckDB-oracle-able: the oracle replicates
+    the stride/modulo slicing with BLOB ``substring`` and hash-checks
+    every frame payload (hex-rendered). What the gate pins — the
+    Arrow binary round-trip, the row explosion, the frame indexing —
+    is exactly what stays when ffmpeg replaces the slicer.
+    """
+    from mapreducewordcount_spark.operators.multimodal import (
+        sample_video_frames,
+        size_bucketed,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    # ascii-with-replacement (same guard as the audio leg): DuckDB
+    # substring cannot slice BLOBs, so the oracle slices VARCHAR —
+    # byte arithmetic must equal char arithmetic, hence one '?' per
+    # non-ASCII char on both sides (current corpora are pure ASCII)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.regexp_replace("text", r"[^\x00-\x7F]", "?"),
+                 "UTF-8").alias("payload"))
+    frames = sample_video_frames(size_bucketed(media),
+                                 every_n=FRAME_EVERY_N)
+    return frames.select(
+        "media_id",
+        F.col("frame_index").cast("int").alias("frame_index"),
+        F.length("frame_payload").cast("int").alias("n_bytes"),
+        F.lower(F.hex("frame_payload")).alias("frame_hex"))
+
+
+MEDIA_VIDEO_SQL = rf"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS t
+  FROM documents
+),
+s AS (
+  SELECT media_id, t, strlen(t) AS L,
+         greatest(1, strlen(t) // {_FRAME_STRIDE}) AS n_frames
+  FROM m
+),
+x AS (
+  SELECT media_id, t, L,
+         unnest(range(0, n_frames)) AS frame_index
+  FROM s
+),
+f AS (
+  SELECT media_id, frame_index,
+         substring(t,
+                   ((frame_index * {_FRAME_STRIDE}) % greatest(L, 1)) + 1,
+                   16) AS frame
+  FROM x
+)
+SELECT media_id,
+       CAST(frame_index AS INT) AS frame_index,
+       CAST(strlen(frame) AS INT) AS n_bytes,
+       lower(hex(encode(frame))) AS frame_hex
+FROM f
+"""
+
+
 QUERIES = {
     "doc_chunks": QuerySpec(doc_chunks, DOC_CHUNKS_SQL),
+    "media_video_frames": QuerySpec(media_video_frames, MEDIA_VIDEO_SQL),
     "dedup_survivors": QuerySpec(dedup_survivors, DEDUP_SURVIVORS_SQL),
     "seq_length_histogram": QuerySpec(seq_length_histogram,
                                       SEQ_HISTOGRAM_SQL),
