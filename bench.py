@@ -70,6 +70,13 @@ HEADLINE = (
     "semantic_dedup_embeddings",
     "doc_quality_features",
     "media_audio_features",
+    # round-5 operators: zero-shuffle explode (chunks), grid-generate
+    # + aggregate join (gapfill), bounded-set algebra over a corpus
+    # explode (overlap) — the new plan shapes worth round-over-round
+    # numbers. survivors/histogram ride shapes already tracked above.
+    "doc_chunks",
+    "events_gapfill",
+    "source_overlap_matrix",
 )
 
 

@@ -92,3 +92,42 @@ def epoch_shard(key: Column | str, epoch: int, n_shards: int) -> Column:
     h = epoch_shuffle_key(key, epoch)
     v = F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
     return F.pmod(v, F.lit(n_shards))
+
+
+def dataset_split(key: Column | str, fracs: dict[str, float],
+                  salt: str = "split") -> Column:
+    """Deterministic train/val/test split assignment.
+
+    ``md5(key ':' salt)``'s first 4 hex digits give a uniform integer
+    on [0, 65536); cumulative ``floor(frac · 65536)`` thresholds carve
+    it into one band per split, so every row's split is a pure
+    function of its key — stable across engines, partitionings and
+    reruns, and disjoint/exhaustive by construction. The salt
+    decorrelates the split from every other md5-keyed decision in the
+    pipeline (sampling, epoch shuffle), so "is in val" is independent
+    of "was sampled". Row-local predicate — a scan-side projection at
+    any scale, no shuffle.
+
+    ``fracs`` is ordered (insertion order = band order) and must sum
+    to 1 within 1/65536; the LAST split absorbs the rounding tail so
+    the bands always cover the full range.
+    """
+    if not fracs:
+        raise ValueError("fracs must name at least one split")
+    total = sum(fracs.values())
+    if abs(total - 1.0) > 1.0 / 65536:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.conv(F.substring(
+        F.md5(F.concat(k.cast("string"), F.lit(f":{salt}"))), 1, 4),
+        16, 10).cast("long")
+    names = list(fracs)
+    expr = F.lit(names[-1])  # last band absorbs the rounding tail
+    cum = 0.0
+    bounds = []
+    for name in names[:-1]:
+        cum += fracs[name]
+        bounds.append((name, int(cum * 65536)))
+    for name, bound in reversed(bounds):
+        expr = F.when(h < bound, F.lit(name)).otherwise(expr)
+    return expr

@@ -64,12 +64,12 @@ def all_queries() -> dict[str, QuerySpec]:
     #   r4 window — the last two never-driver-checked entries,
     #   HUGEINT-fix re-verification, the round-4 operators, then the
     #   core families (41/41 oracled rows green);
-    #   r5 window (below) — the new mixture→packing composition
-    #   (first-ever row), then every query whose PLAN changed this
-    #   round (the hot-key window rewrites, the banded lsh_topk, the
-    #   single-pass entropy, the kmeans guard) so the reworks get
-    #   fresh driver evidence, then the usual rotation of core
-    #   families.
+    #   r5 window (below) — the six round-5 operators and the new
+    #   mixture→packing composition (first-ever rows), then every
+    #   query whose PLAN changed this round (the hot-key window
+    #   rewrites, the banded lsh_topk, the single-pass entropy, the
+    #   kmeans guard) so the reworks get fresh driver evidence, then
+    #   the usual rotation of core families.
     full: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries,
                 pipeline_queries, pipeline2, pipeline3, tpch,
@@ -81,6 +81,7 @@ def all_queries() -> dict[str, QuerySpec]:
         # round-5 operators: first-ever driver rows
         "doc_chunks", "dedup_survivors", "seq_length_histogram",
         "events_gapfill", "source_overlap_matrix", "media_video_frames",
+        "dataset_split_stats", "doc_ngram_novelty",
         # round-5 composition: first-ever driver row
         "pack_mixture_corpus",
         # plan-changed this round: hot-key window rewrites

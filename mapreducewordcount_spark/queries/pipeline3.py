@@ -390,9 +390,106 @@ FROM f
 """
 
 
+# --- deterministic dataset splits -------------------------------------------
+
+SPLIT_FRACS = {"train": 0.98, "val": 0.01, "test": 0.01}
+
+
+def dataset_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test assignment
+    (functions/sampling.dataset_split — salted md5 bands, row-local)
+    rolled up to per-(split, source) doc and token counts. The rollup
+    is the gate-friendly rendering; the assignment column itself is
+    the operator and joins into any downstream query.
+    """
+    from mapreducewordcount_spark.functions.sampling import dataset_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs
+            .select(dataset_split("doc_id", SPLIT_FRACS).alias("split"),
+                    "source",
+                    tm.token_count("text").cast("long").alias("n_tokens"))
+            .groupBy("split", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens")))
+
+
+def _split_case_sql() -> str:
+    """CASE expression mirroring dataset_split's cumulative bands over
+    the 4-hex-digit md5 prefix (pipeline2._hex4_sql arithmetic)."""
+    from mapreducewordcount_spark.queries.pipeline2 import _hex4_sql
+
+    v = _hex4_sql("md5(CAST(doc_id AS VARCHAR) || ':split')")
+    names = list(SPLIT_FRACS)
+    cum, whens = 0.0, []
+    for name in names[:-1]:
+        cum += SPLIT_FRACS[name]
+        whens.append(f"WHEN {v} < {int(cum * 65536)} THEN '{name}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+
+
+DATASET_SPLIT_SQL = rf"""
+WITH t AS (
+  SELECT {_split_case_sql()} AS split,
+         source,
+         len(regexp_extract_all(text, '{tm.TOKEN_REGEX}')) AS n_tokens
+  FROM documents
+)
+SELECT split, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM t GROUP BY 1, 2
+"""
+
+
+# --- n-gram novelty curve ---------------------------------------------------
+
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-novelty signal per document: of a doc's distinct
+    3-grams, how many appear in NO earlier document (doc_id order) —
+    the diminishing-returns curve data curation decisions read
+    ("does adding this shard still contribute new content?").
+
+    Scale shape — the first-occurrence decision is the partial-agg
+    groupBy + join-back form (the round-5 hot-key lesson): a
+    corpus-universal 3-gram map-side-combines to one (ngram, min)
+    row per task instead of concentrating its occurrence set in one
+    window partition; the join back is AQE-splittable on skew.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    e = (dd._doc_shingles(docs, "doc_id", "text", 3)
+         .select("doc_id", F.explode("shingles").alias("ngram")))
+    firsts = e.groupBy("ngram").agg(F.min("doc_id").alias("first_doc"))
+    return (e.join(firsts, "ngram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum((F.col("doc_id") == F.col("first_doc"))
+                       .cast("long")).alias("n_novel"))
+            .select("doc_id", "n_shingles", "n_novel",
+                    F.round(F.col("n_novel").cast("double")
+                            / F.col("n_shingles"), 6).alias("novelty_frac")))
+
+
+DOC_NOVELTY_SQL = f"""
+WITH {_WORDS_CTE}, {_SHINGLES_CTE},
+e AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+f AS (SELECT g, min(doc_id) AS first_doc FROM e GROUP BY 1)
+SELECT e.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN e.doc_id = f.first_doc THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN e.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS novelty_frac
+FROM e JOIN f ON e.g = f.g
+GROUP BY e.doc_id
+"""
+
+
 QUERIES = {
     "doc_chunks": QuerySpec(doc_chunks, DOC_CHUNKS_SQL),
     "media_video_frames": QuerySpec(media_video_frames, MEDIA_VIDEO_SQL),
+    "dataset_split_stats": QuerySpec(dataset_split_stats, DATASET_SPLIT_SQL),
+    "doc_ngram_novelty": QuerySpec(doc_ngram_novelty, DOC_NOVELTY_SQL),
     "dedup_survivors": QuerySpec(dedup_survivors, DEDUP_SURVIVORS_SQL),
     "seq_length_histogram": QuerySpec(seq_length_histogram,
                                       SEQ_HISTOGRAM_SQL),

@@ -211,3 +211,81 @@ def test_seq_length_histogram_planted_bins(spark, tmp_path):
     # 424/1024 = 0.4140625: Spark/DuckDB round HALF_UP → 0.414063
     # (Python's round would give the banker's 0.414062)
     assert got[9].waste_frac == 0.414063
+
+
+# --- dataset splits + novelty -----------------------------------------------
+
+def test_dataset_split_disjoint_exhaustive_deterministic(spark):
+    """Every key gets exactly one split; assignment is a pure function
+    of the key (same result on re-evaluation); empirical fractions on
+    10k keys are near the targets."""
+    from mapreducewordcount_spark.functions.sampling import dataset_split
+
+    df = spark.range(10_000).select(
+        F.col("id"), dataset_split("id", {"train": 0.8, "val": 0.1,
+                                          "test": 0.1}).alias("split"))
+    counts = {r.split: r.cnt for r in
+              df.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 10_000
+    assert 7_700 <= counts["train"] <= 8_300
+    assert 700 <= counts["val"] <= 1_300
+    # determinism: a second evaluation agrees row-for-row
+    again = spark.range(10_000).select(
+        F.col("id"), dataset_split("id", {"train": 0.8, "val": 0.1,
+                                          "test": 0.1}).alias("split"))
+    assert df.exceptAll(again).count() == 0
+
+
+def test_dataset_split_salt_decorrelates(spark):
+    """Different salts produce different assignments (not all rows
+    move, but some must)."""
+    from mapreducewordcount_spark.functions.sampling import dataset_split
+
+    df = spark.range(1_000).select(
+        dataset_split("id", {"a": 0.5, "b": 0.5}).alias("s1"),
+        dataset_split("id", {"a": 0.5, "b": 0.5}, salt="other").alias("s2"))
+    moved = df.filter(F.col("s1") != F.col("s2")).count()
+    assert 200 <= moved <= 800  # ~50% under independence
+
+
+def test_dataset_split_validates_fracs(spark):
+    from mapreducewordcount_spark.functions.sampling import dataset_split
+
+    with pytest.raises(ValueError):
+        dataset_split("id", {})
+    with pytest.raises(ValueError):
+        dataset_split("id", {"train": 0.5, "val": 0.4})
+
+
+def test_ngram_novelty_planted(spark, tmp_path):
+    """doc 1 introduces all its 3-grams; doc 2 repeats doc 1 verbatim
+    (novelty 0); doc 3 shares a prefix run with doc 1 and adds a new
+    tail."""
+    from mapreducewordcount_spark.queries.pipeline3 import doc_ngram_novelty
+
+    a = "one two three four five"            # 3 shingles, all novel
+    c = "one two three nine ten eleven"      # shares 'one two three'
+    docs = spark.createDataFrame([
+        (1, a, "en", "s", len(a)),
+        (2, a, "en", "s", len(a)),
+        (3, c, "en", "s", len(c)),
+    ], "doc_id long, text string, lang string, source string, n_chars long")
+    d = tmp_path / "docs"
+    docs.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    got = {r.doc_id: r for r in doc_ngram_novelty(spark, str(d)).collect()}
+    assert got[1].n_shingles == 3 and got[1].n_novel == 3
+    assert got[2].n_shingles == 3 and got[2].n_novel == 0
+    # doc 3: 4 shingles, 'one two three' already seen → 3 novel
+    assert got[3].n_shingles == 4 and got[3].n_novel == 3
+    assert got[3].novelty_frac == 0.75
+
+
+def test_ngram_novelty_no_window_over_ngram(spark):
+    """First-occurrence must be the partial-agg groupBy form — never a
+    window over the corpus n-gram key (the round-5 hot-key rule)."""
+    from mapreducewordcount_spark.queries.pipeline3 import doc_ngram_novelty
+
+    plan = doc_ngram_novelty(spark, SF_SMOKE)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan, f"hot-key window in novelty plan:\n{plan}"
