@@ -1,6 +1,7 @@
 """Round-5 training-data operators: chunking, quality-aware dedup
 survivor selection, sequence-length/packing-waste profiling,
-time-series gap-fill, and cross-source n-gram contamination.
+time-series gap-fill, cross-source n-gram contamination, video frame
+sampling, deterministic dataset splits, and the n-gram novelty curve.
 
 Every query here is fully deterministic and DuckDB-oracled. Oracle
 notes:
@@ -18,6 +19,13 @@ notes:
   renders under the pinned-UTC session clock like ``events_hourly``.
 - ``source_overlap_matrix`` — distinct shingle sets per source with
   the same tokenizer CTE as the dedup family.
+- ``media_video_frames`` — the stub slicer's stride/modulo byte
+  arithmetic replicated on ASCII-sanitized VARCHAR (DuckDB cannot
+  substring BLOBs); every frame payload hex-hash-checked.
+- ``dataset_split_stats`` — the salted-md5 band thresholds replayed
+  with the per-digit ``instr`` hex arithmetic (pipeline2's _hex4_sql).
+- ``doc_ngram_novelty`` — first-occurrence min + join back, the same
+  shape both engines aggregate exactly.
 """
 
 from __future__ import annotations
