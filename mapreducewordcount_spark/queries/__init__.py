@@ -81,7 +81,7 @@ def all_queries() -> dict[str, QuerySpec]:
         # round-5 operators: first-ever driver rows
         "doc_chunks", "dedup_survivors", "seq_length_histogram",
         "events_gapfill", "source_overlap_matrix", "media_video_frames",
-        "dataset_split_stats", "doc_ngram_novelty",
+        "dataset_split_stats", "doc_ngram_novelty", "curate_corpus_best",
         # round-5 composition: first-ever driver row
         "pack_mixture_corpus",
         # plan-changed this round: hot-key window rewrites

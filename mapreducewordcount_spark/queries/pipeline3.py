@@ -422,12 +422,12 @@ def dataset_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_tokens").alias("total_tokens")))
 
 
-def _split_case_sql() -> str:
+def _split_case_sql(key: str = "doc_id") -> str:
     """CASE expression mirroring dataset_split's cumulative bands over
     the 4-hex-digit md5 prefix (pipeline2._hex4_sql arithmetic)."""
     from mapreducewordcount_spark.queries.pipeline2 import _hex4_sql
 
-    v = _hex4_sql("md5(CAST(doc_id AS VARCHAR) || ':split')")
+    v = _hex4_sql(f"md5(CAST({key} AS VARCHAR) || ':split')")
     names = list(SPLIT_FRACS)
     cum, whens = 0.0, []
     for name in names[:-1]:
@@ -448,6 +448,153 @@ SELECT split, source,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM t GROUP BY 1, 2
 """
+
+
+# --- quality-first curation composition -------------------------------------
+
+CURATE_QUALITY_MIN = 0.5
+
+
+def curate_corpus_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 curation composition: ``curate_corpus`` with BOTH
+    duplicate-keeper decisions upgraded from min-id to
+    highest-quality (tie-break min id), plus the train/val/test split
+    every kept doc needs downstream — the full keep/drop/route
+    decision in one oracled pass.
+
+    Note the exact-dup subtlety the min-id policy hides: the exact
+    fingerprint hashes NORMALIZED words, so two docs with identical
+    fingerprints can still differ in raw-text quality (punctuation
+    noise) — the quality-argmax keeper retains the clean copy. A
+    near-dup group's survivor is automatically its own fingerprint's
+    keeper (same-fp docs share a group, and the group argmax
+    restricted to the fp subset is the fp argmax), so the reason
+    precedence can never contradict itself.
+
+    Scale: both argmaxes are partial-aggregable ordered-struct maxes
+    (never a window over the fp / group key — the round-5 hot-key
+    rule applied to curation); split assignment is row-local.
+    """
+    from mapreducewordcount_spark.functions.sampling import dataset_split
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id",
+        F.round(tm.quality_score("text"), 4).alias("quality"),
+        tm.fingerprint_md5("text").alias("fp"))
+
+    argmax = F.max(F.struct(F.col("quality").alias("q"),
+                            (-F.col("doc_id")).alias("neg_id")))
+    exact = (scored.groupBy("fp")
+             .agg(argmax.alias("b"))
+             .select("fp", (-F.col("b.neg_id")).alias("exact_keep")))
+
+    pairs = dd.shingle_jaccard_pairs(docs, threshold=0.5)
+    groups = dd.dup_groups(pairs)  # doc_id, group_id (paired docs only)
+    surv = (groups
+            .join(scored.select("doc_id", "quality"), "doc_id")
+            .groupBy("group_id")
+            .agg(argmax.alias("b"))
+            .select("group_id", (-F.col("b.neg_id")).alias("survivor_id")))
+
+    out = (scored
+           .join(exact, "fp")
+           .join(groups, "doc_id", "left")
+           .join(surv, "group_id", "left")
+           .withColumn("near_keep", F.coalesce("survivor_id", "doc_id"))
+           .withColumn("reason", F.when(
+               F.col("quality") < CURATE_QUALITY_MIN, "low_quality")
+               .when(F.col("doc_id") != F.col("exact_keep"), "exact_dup")
+               .when(F.col("doc_id") != F.col("near_keep"), "near_dup")
+               .otherwise("kept"))
+           .withColumn("keep", (F.col("reason") == "kept").cast("int"))
+           .withColumn("split", dataset_split("doc_id", SPLIT_FRACS)))
+    return out.select("doc_id", "quality", "reason", "keep", "split")
+
+
+CURATE_BEST_SQL = f"""
+WITH RECURSIVE {_WORDS_CTE}, {_SHINGLES_CTE},
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        / (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL SELECT b_id, a_id FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+comp AS (SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id),
+m AS (
+  SELECT doc_id,
+         len(words) AS nw,
+         CASE WHEN len(words) > 0
+              THEN list_sum(list_transform(words, x -> strlen(x)))::DOUBLE
+                   / len(words)
+              ELSE 0.0 END AS awl,
+         CASE WHEN len(words) > 0
+              THEN len(list_filter(words,
+                                   x -> list_contains({_STOPS_SQL}, x)))::DOUBLE
+                   / len(words)
+              ELSE 0.0 END AS sr,
+         CASE WHEN strlen(regexp_replace(text, '\\s+', '', 'g')) > 0
+              THEN (strlen(text)
+                    - strlen(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')))::DOUBLE
+                   / strlen(regexp_replace(text, '\\s+', '', 'g'))
+              ELSE 0.0 END AS pr,
+         md5(array_to_string(words, ' ')) AS fp
+  FROM w JOIN documents USING (doc_id)
+),
+q AS (
+  SELECT doc_id, fp,
+         round(CAST(0.3 * (CASE WHEN nw BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+             + 0.2 * (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+             + 0.3 * (CASE WHEN sr >= 0.01 THEN 1.0 ELSE 0.0 END)
+             + 0.2 * (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END) AS DOUBLE),
+           4) AS quality
+  FROM m
+),
+ek AS (
+  SELECT fp, doc_id AS exact_keep FROM (
+    SELECT fp, doc_id,
+           row_number() OVER (PARTITION BY fp
+                              ORDER BY quality DESC, doc_id) AS rn
+    FROM q) WHERE rn = 1
+),
+sv AS (
+  SELECT group_id, doc_id AS survivor_id FROM (
+    SELECT c.group_id, q.doc_id,
+           row_number() OVER (PARTITION BY c.group_id
+                              ORDER BY q.quality DESC, q.doc_id) AS rn
+    FROM comp c JOIN q USING (doc_id)) WHERE rn = 1
+),
+lab AS (
+  SELECT q.doc_id AS doc_id, q.quality,
+         ek.exact_keep,
+         coalesce(sv.survivor_id, q.doc_id) AS near_keep
+  FROM q
+  JOIN ek ON q.fp = ek.fp
+  LEFT JOIN comp ON q.doc_id = comp.doc_id
+  LEFT JOIN sv ON comp.group_id = sv.group_id
+)
+SELECT doc_id, quality,
+       CASE WHEN quality < {CURATE_QUALITY_MIN} THEN 'low_quality'
+            WHEN doc_id <> exact_keep THEN 'exact_dup'
+            WHEN doc_id <> near_keep THEN 'near_dup'
+            ELSE 'kept' END AS reason,
+       CAST(CASE WHEN quality >= {CURATE_QUALITY_MIN}
+                  AND doc_id = exact_keep
+                  AND doc_id = near_keep
+                 THEN 1 ELSE 0 END AS INT) AS keep,
+       {{split_case}} AS split
+FROM lab
+""".replace("{split_case}", _split_case_sql("doc_id"))
 
 
 # --- n-gram novelty curve ---------------------------------------------------
@@ -498,6 +645,7 @@ QUERIES = {
     "media_video_frames": QuerySpec(media_video_frames, MEDIA_VIDEO_SQL),
     "dataset_split_stats": QuerySpec(dataset_split_stats, DATASET_SPLIT_SQL),
     "doc_ngram_novelty": QuerySpec(doc_ngram_novelty, DOC_NOVELTY_SQL),
+    "curate_corpus_best": QuerySpec(curate_corpus_best, CURATE_BEST_SQL),
     "dedup_survivors": QuerySpec(dedup_survivors, DEDUP_SURVIVORS_SQL),
     "seq_length_histogram": QuerySpec(seq_length_histogram,
                                       SEQ_HISTOGRAM_SQL),

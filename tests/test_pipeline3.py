@@ -289,3 +289,50 @@ def test_ngram_novelty_no_window_over_ngram(spark):
     plan = doc_ngram_novelty(spark, SF_SMOKE)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Window" not in plan, f"hot-key window in novelty plan:\n{plan}"
+
+
+# --- quality-first curation composition --------------------------------------
+
+def test_curate_best_quality_argmax_keepers(spark, tmp_path):
+    """Contrast with curate_corpus's min-id policy: the punct-noisy
+    SMALLER-id copy must lose to the clean larger-id copy on BOTH
+    keeper decisions. Docs 10 (noisy) / 11 (clean) share a normalized
+    fingerprint (the tokenizer strips the punctuation tail), so the
+    exact keeper is 11 — min-id would have kept 10. Every row also
+    carries a split label."""
+    from mapreducewordcount_spark.queries.pipeline3 import (
+        SPLIT_FRACS,
+        curate_corpus_best,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and runs on "
+            "through the quiet field")
+    noisy = base + " !!! ??? ;;; ::: !!! ??? ;;; ::: !!! ???"
+    junk = "zz zz zz"  # 3 words < 10, no stopwords → quality < 0.5
+    docs = spark.createDataFrame([
+        (10, noisy, "en", "s", len(noisy)),
+        (11, base, "en", "s", len(base)),
+        (30, junk, "en", "s", len(junk)),
+    ], "doc_id long, text string, lang string, source string, n_chars long")
+    d = tmp_path / "docs"
+    docs.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    got = {r.doc_id: r for r in curate_corpus_best(spark, str(d)).collect()}
+    assert got[11].reason == "kept" and got[11].keep == 1
+    # the noisy copy loses on the exact-fingerprint decision (same fp,
+    # lower quality) — reason precedence reports exact_dup
+    assert got[10].reason == "exact_dup" and got[10].keep == 0
+    assert got[30].reason == "low_quality"
+    assert all(r.split in SPLIT_FRACS for r in got.values())
+
+
+def test_curate_best_no_fp_or_group_window(spark):
+    """Both argmax keepers must be partial-agg groupBy forms — no
+    Window over the corpus fp / group_id keys (hot-key rule). The only
+    acceptable windows are inside dup_groups' label propagation, which
+    operates on the pair set, not the corpus; assert none appear over
+    the md5 fp column by checking the full plan for Window nodes."""
+    from mapreducewordcount_spark.queries.pipeline3 import curate_corpus_best
+
+    plan = curate_corpus_best(spark, SF_SMOKE)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan, f"window in curate_best plan:\n{plan}"

@@ -17,10 +17,10 @@ def test_gate_window_rotation_round5():
     # doc_keywords_tfidf, doc_repetition_stats,
     # pack_training_sequences) rotate OUT of the 50-slot window this
     # round; their r4 hash-green rows stand.
-    assert names[:9] == [
+    assert names[:10] == [
         "doc_chunks", "dedup_survivors", "seq_length_histogram",
         "events_gapfill", "source_overlap_matrix", "media_video_frames",
-        "dataset_split_stats", "doc_ngram_novelty",
+        "dataset_split_stats", "doc_ngram_novelty", "curate_corpus_best",
         "pack_mixture_corpus"]
     # every query whose PLAN changed in round 5 must re-earn driver
     # evidence: the hot-key window rewrites, the banded lsh_topk, the
