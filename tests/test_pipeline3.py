@@ -336,3 +336,61 @@ def test_curate_best_no_fp_or_group_window(spark):
     plan = curate_corpus_best(spark, SF_SMOKE)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Window" not in plan, f"window in curate_best plan:\n{plan}"
+
+
+# --- chunking properties -----------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(n=st.integers(min_value=0, max_value=200),
+       chunk_size=st.integers(min_value=2, max_value=32),
+       overlap_frac=st.floats(min_value=0.0, max_value=0.99))
+def test_chunking_reconstruction_property(spark, n, chunk_size, overlap_frac):
+    """For ANY (n, chunk_size, overlap): chunk starts advance by
+    exactly stride; dropping each non-first chunk's first `overlap`
+    tokens and concatenating reconstructs the original token sequence
+    exactly (no token lost, none duplicated beyond the overlap)."""
+    overlap = int(chunk_size * overlap_frac)  # 0 <= overlap < chunk_size
+    stride = chunk_size - overlap
+    toks = [f"w{i}" for i in range(n)]
+    docs = spark.createDataFrame([(1, " ".join(toks))],
+                                 "doc_id long, text string")
+    rows = sorted(chunk_documents(docs, chunk_size, overlap).collect(),
+                  key=lambda r: r.chunk_index)
+    if n == 0:
+        assert rows == []
+        return
+    # chunk count formula
+    expect_chunks = 1 if n <= chunk_size else -(-(n - chunk_size) // stride) + 1
+    assert len(rows) == expect_chunks
+    # reconstruction
+    rebuilt = []
+    for r in rows:
+        ctoks = r.chunk_text.split(" ") if r.chunk_text else []
+        assert len(ctoks) == r.n_chunk_tokens
+        rebuilt.extend(ctoks if r.chunk_index == 0 else ctoks[overlap:])
+    assert rebuilt == toks
+    # every chunk except the last is full-size
+    assert all(r.n_chunk_tokens == chunk_size for r in rows[:-1])
+    assert 1 <= rows[-1].n_chunk_tokens <= chunk_size
+
+
+def test_chunking_scan_prunes_columns(spark):
+    """The chunker must read ONLY (id, text) from parquet — a scan
+    that drags every column through a 100 TB explode is wrong."""
+    from mapreducewordcount_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = chunk_documents(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scan and "ReadSchema" in scan[0]
+    schema_part = scan[0].split("ReadSchema:")[1]
+    assert "text" in schema_part and "doc_id" in schema_part
+    for unwanted in ("lang", "source", "n_chars"):
+        assert unwanted not in schema_part, \
+            f"scan reads pruned column {unwanted}: {scan[0]}"
