@@ -22,7 +22,7 @@ Scale ladder (which one to use at which size):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mapreducewordcount_spark.functions.text_metrics import (
@@ -379,6 +379,41 @@ def dup_groups(pairs: DataFrame, a_col: str = "a_id",
             "(returning here would silently split real dup clusters)")
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("comp").alias("group_id"))
+
+
+def simhash64_expr(text_col: str | Column) -> Column:
+    """Row-local 64-bit SimHash column expression — same hash family
+    and bit semantics as ``simhash_pairs``'s explode+groupBy form
+    (xxhash64 per whitespace word, ±1 per bit, sign vector; ties →
+    bit 0), but computed in ONE ``aggregate`` fold over the word
+    array with a 64-field counter struct, so it needs NO shuffle.
+
+    That makes it usable where the batch shape can't go: per-row in a
+    stream (``stream_simhash_dedup``), inside a narrow projection, or
+    as a write-time column for layout clustering. Equality with the
+    batch form is pinned by a parity test. Empty/blank text → all
+    ties → signature 0.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    ws = F.filter(F.split(F.lower(c), r"(?U)\s+"),
+                  lambda w: F.length(w) > 0)
+
+    zero = F.struct(*[F.lit(0).cast("long").alias(f"c{i}")
+                      for i in range(64)])
+
+    def step(acc: Column, w: Column) -> Column:
+        h = F.xxhash64(w)
+        return F.struct(*[
+            (acc[f"c{i}"]
+             + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
+                      F.lit(1)).otherwise(F.lit(-1))).alias(f"c{i}")
+            for i in range(64)])
+
+    counts = F.aggregate(ws, zero, step)
+    return sum(
+        [F.shiftleft(F.when(counts[f"c{i}"] > 0, F.lit(1).cast("long"))
+                     .otherwise(F.lit(0).cast("long")), i)
+         for i in range(64)])
 
 
 def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",

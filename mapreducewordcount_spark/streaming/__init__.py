@@ -2,6 +2,7 @@ from mapreducewordcount_spark.streaming.jobs import (  # noqa: F401
     stream_hourly_events,
     stream_quality_filter,
     stream_session_windows,
+    stream_simhash_dedup,
     stream_source_token_budget,
     stream_source_token_budget_tws,
     stream_user_running_totals,

@@ -126,6 +126,37 @@ def stream_deduped_docs(docs: DataFrame, watermark: str = "1 hour",
             .dropDuplicatesWithinWatermark([id_col]))
 
 
+def stream_simhash_dedup(docs: DataFrame,
+                         watermark: str = "1 hour") -> DataFrame:
+    """Streaming CONTENT near-dup filter: first-seen-signature wins
+    within the watermark.
+
+    Where ``stream_deduped_docs`` keys on the exact normalized-text
+    fingerprint, this keys on the row-local 64-bit SimHash
+    (``operators.dedup.simhash64_expr`` — the same hash family as the
+    batch ``simhash_pairs``, computed without a shuffle so it rides
+    the micro-batch map). Documents whose word multisets are similar
+    enough that no signature bit flips (small word-frequency
+    perturbations, whitespace/case noise) collapse to one admitted
+    copy; state is one 8-byte signature per distinct simhash within
+    the watermark horizon.
+
+    Honest limitation: this is EXACT-signature dedup — a pair at
+    Hamming distance 1-3 that the batch operator would catch needs
+    banded multi-key state (each doc voting across 8 byte-bands) and
+    a cross-key decision, which the built-in dedup operator cannot
+    express; route near-radius work to the batch ``simhash_pairs``
+    pass and keep this as the cheap in-stream collapse of
+    signature-identical arrivals.
+    """
+    from mapreducewordcount_spark.operators.dedup import simhash64_expr
+
+    return (docs
+            .withColumn("simhash", simhash64_expr("text"))
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["simhash"]))
+
+
 def start_wordcount_to_reference_sink(lines: DataFrame, out_dir: str, m: int,
                                       checkpoint_dir: str):
     """Streaming word count → reference-layout ``out-<bucket>`` files,

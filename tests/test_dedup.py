@@ -255,3 +255,39 @@ def test_pair_generators_release_prior_invocation_cache(spark):
     # ...and the explicit release empties the registry entirely
     dd.release_dedup_cache()
     assert not dd._TRACKED
+
+
+def test_simhash_rowlocal_matches_batch_form(spark):
+    """simhash64_expr (one-pass fold, no shuffle) must equal the
+    explode+groupBy sign-vector form used by simhash_pairs, word for
+    word — same xxhash64 family, same tie-to-zero convention."""
+    from pyspark.sql import functions as F
+
+    from mapreducewordcount_spark.operators.dedup import simhash64_expr
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),   # identical
+         (3, "Alpha  BETA gamma delta epsilon zeta"),  # case/space noise
+         (4, "totally different words entirely here now"),
+         (5, ""), (6, "   ")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.sh for r in docs.select(
+        "doc_id", simhash64_expr("text").alias("sh")).collect()}
+    # batch form: explode + per-bit sum + sign vector
+    ws = (docs.select("doc_id", F.explode(
+        F.split(F.lower("text"), r"(?U)\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .withColumn("h", F.xxhash64("w")))
+    acc = ws.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"b{i}") for i in range(64)])
+    want = {r.doc_id: r.sh for r in acc.select("doc_id", sum(
+        [F.shiftleft(F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long"))
+                     .otherwise(F.lit(0).cast("long")), i)
+         for i in range(64)]).alias("sh")).collect()}
+    for d, sh in want.items():
+        assert got[d] == sh, d
+    assert got[1] == got[2] == got[3]   # noise-invariant
+    assert got[1] != got[4]
+    assert got[5] == got[6] == 0        # empty → all ties → 0

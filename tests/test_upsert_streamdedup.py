@@ -111,3 +111,50 @@ def test_stream_dedup_first_seen_wins(spark, tmp_path):
         assert not (0 in kept and 1 in kept)
     finally:
         q.stop()
+
+
+def test_stream_simhash_dedup_collapses_signature_twins(spark, tmp_path):
+    """Content near-dup filter: case/whitespace-noise twins share a
+    SimHash signature and collapse to one admitted copy ACROSS
+    micro-batches (state persists in the checkpoint); a genuinely
+    different document passes."""
+    import json
+
+    from mapreducewordcount_spark.streaming.jobs import stream_simhash_dedup
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType())])
+
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in [
+        {"doc_id": 0, "text": "alpha beta gamma delta",
+         "ts": "2024-01-01T00:00:00"},
+        {"doc_id": 1, "text": "wholly other content here",
+         "ts": "2024-01-01T00:01:00"},
+    ]))
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (stream_simhash_dedup(stream)
+         .writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .format("memory").queryName("simdeduped").start())
+    try:
+        q.processAllAvailable()
+        # batch 2: a case/space twin of doc 0 (same word multiset →
+        # same signature) and a fresh doc
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in [
+            {"doc_id": 2, "text": "ALPHA  beta   GAMMA delta",
+             "ts": "2024-01-01T00:02:00"},
+            {"doc_id": 3, "text": "yet more novel words now",
+             "ts": "2024-01-01T00:03:00"},
+        ]))
+        q.processAllAvailable()
+        kept = sorted(r.doc_id for r in
+                      spark.sql("SELECT * FROM simdeduped").collect())
+        assert kept == [0, 1, 3], kept  # twin 2 collapsed across batches
+    finally:
+        q.stop()
