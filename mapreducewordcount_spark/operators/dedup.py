@@ -430,10 +430,6 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
     longer guarantees candidacy (a distance-8 pair can differ in all
     8 bytes) and results would silently lose recall.
     """
-    if max_hamming > 7:
-        raise ValueError(
-            f"max_hamming={max_hamming} exceeds the recall guarantee of "
-            "8-byte banding (max 7); use more/narrower bands for larger radii")
     ws = (docs.select(F.col(id_col).alias("doc_id"),
                       F.explode(F.split(F.lower(text_col), r"(?U)\s+")).alias("w"))
           .filter(F.length("w") > 0)
@@ -448,22 +444,46 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
                      .otherwise(F.lit(0).cast("long")), i)
          for i in range(64)]).alias("simhash"))
     release_dedup_cache()
-    sim = _persist_tracked(sim)  # self-joined below
-    bytes_df = sim.select(
-        "doc_id", "simhash",
+    return signature_hamming_pairs(sim, id_col="doc_id",
+                                   sig_col="simhash",
+                                   max_hamming=max_hamming)
+
+
+def signature_hamming_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                            sig_col: str = "signature",
+                            max_hamming: int = 3) -> DataFrame:
+    """Generic near-dup pairs over ANY 64-bit signature column
+    (SimHash, image dHash, audio fingerprint): byte-banded candidate
+    equi-join (pigeonhole: pairs within Hamming 7 agree on ≥1 of 8
+    bytes), exact popcount verify. Output (a_id < b_id, hamming).
+
+    The input frame is persisted here (both self-join sides read it);
+    callers must NOT pre-persist. Signature tables are 16 bytes/row —
+    the shuffle moves signatures, never the underlying content.
+    """
+    if max_hamming > 7:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the recall guarantee of "
+            "8-byte banding (max 7); use more/narrower bands for larger radii")
+    release_dedup_cache()  # bound storage to this invocation (honest-cold)
+    sig = _persist_tracked(
+        sigs.select(F.col(id_col).alias("doc_id"),
+                    F.col(sig_col).alias("__sig")))
+    bytes_df = sig.select(
+        "doc_id", "__sig",
         F.posexplode(F.array(*[
-            F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(255)).cast("int")
+            F.shiftright("__sig", 8 * i).bitwiseAND(F.lit(255)).cast("int")
             for i in range(8)])).alias("byte_pos", "byte_val"))
     a, b = bytes_df.alias("a"), bytes_df.alias("b")
     cand = (a.join(b, (F.col("a.byte_pos") == F.col("b.byte_pos"))
                    & (F.col("a.byte_val") == F.col("b.byte_val"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("a_id"), F.col("a.simhash").alias("a_sim"),
-                    F.col("b.doc_id").alias("b_id"), F.col("b.simhash").alias("b_sim"))
+            .select(F.col("a.doc_id").alias("a_id"), F.col("a.__sig").alias("a_sig"),
+                    F.col("b.doc_id").alias("b_id"), F.col("b.__sig").alias("b_sig"))
             .distinct())
     return (cand
             .withColumn("hamming", F.bit_count(
-                F.col("a_sim").bitwiseXOR(F.col("b_sim"))))
+                F.col("a_sig").bitwiseXOR(F.col("b_sig"))))
             .filter(F.col("hamming") <= max_hamming)
             .select("a_id", "b_id", "hamming"))
 

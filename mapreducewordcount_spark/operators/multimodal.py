@@ -311,6 +311,58 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 
+def image_dhash(payload: bytes) -> int:
+    """Perceptual difference hash (dHash) of a PNG payload.
+
+    The classic near-dup signature for images: decode (REAL stdlib
+    PNG parse), luma-grayscale, nearest-neighbor downsample to 9x8,
+    then one bit per adjacent-pixel comparison (left < right) packed
+    row-major into a signed 64-bit value. Because every bit is a
+    LOCAL intensity comparison, the hash is invariant under any
+    monotone per-pixel brightness shift and robust to small content
+    edits — unlike a byte hash, which any re-encode breaks.
+
+    Pairs within a small Hamming radius are near-duplicate images;
+    feed the signatures to ``operators.dedup.signature_hamming_pairs``
+    (the same banded pigeonhole join SimHash uses).
+    """
+    import numpy as np
+
+    w, h, rgb = png_decode_pixels(payload)
+    small = resize_rgb_nearest(w, h, rgb, 9, 8)
+    a = np.frombuffer(small, np.uint8).reshape(8, 9, 3).astype(np.int32)
+    gray = (a[:, :, 0] * 299 + a[:, :, 1] * 587 + a[:, :, 2] * 114) // 1000
+    bits = (gray[:, 1:] > gray[:, :-1]).flatten()
+    v = 0
+    for i, b in enumerate(bits):
+        v |= int(b) << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def extract_image_dhash(media: DataFrame, id_col: str = "media_id",
+                        payload_col: str = "payload") -> DataFrame:
+    """binary PNG payloads → (id, dhash long), Arrow-batched.
+
+    Same narrow ``mapInPandas`` shape as the feature extractors:
+    per-task memory is one Arrow batch of payloads plus one decoded
+    image at a time; chain after ``size_bucketed`` so no task eats a
+    skewed byte budget. Output is 8 bytes per image — the signature
+    table is what shuffles in the pair join, never pixels.
+    """
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                out.append({id_col: mid,
+                            "dhash": image_dhash(bytes(payload))})
+            yield pd.DataFrame(out, columns=[id_col, "dhash"])
+
+    return media.mapInPandas(run, schema=f"{id_col} long, dhash long")
+
+
 def wav_encode_pcm(samples: bytes, sample_rate: int = 8000) -> bytes:
     """REAL audio encode, pure stdlib: mono 8-bit PCM RIFF/WAVE.
 

@@ -398,6 +398,48 @@ FROM f
 """
 
 
+# --- image perceptual near-dup (dHash) --------------------------------------
+
+def _png_synth(batches):
+    """Manufacture REAL 8x8 PNGs from document bytes (text tiled into
+    the RGB buffer) — deterministic, so documents with identical text
+    yield identical images and the corpus's exact-dup structure
+    surfaces as Hamming-0 dHash pairs."""
+    import pandas as pd
+
+    from mapreducewordcount_spark.operators.multimodal import png_encode
+
+    for pdf in batches:
+        payloads = []
+        for t in pdf["text"]:
+            b = t.encode("ascii", "replace") or b"\x00"
+            buf = (b * (192 // len(b) + 1))[:192]
+            payloads.append(png_encode(8, 8, bytes(buf)))
+        yield pd.DataFrame({"media_id": pdf["doc_id"],
+                            "payload": payloads})
+
+
+def media_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs end-to-end with the REAL codec: documents
+    → genuine PNGs (`png_encode`) → byte-budget repartition → Arrow
+    dHash extraction (decode, luma, 9x8 resample, 64 comparison bits)
+    → the same byte-banded Hamming join SimHash uses. Rows-only (the
+    PNG/zlib codec isn't SQL-replicable); the corpus's exact-dup docs
+    guarantee Hamming-0 pairs, and planted pytests pin the dHash
+    semantics (brightness-shift invariance, edit locality).
+    """
+    from mapreducewordcount_spark.operators.multimodal import (
+        extract_image_dhash,
+        size_bucketed,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = d.mapInPandas(_png_synth, schema="media_id long, payload binary")
+    hashes = extract_image_dhash(size_bucketed(media))
+    return dd.signature_hamming_pairs(hashes, id_col="media_id",
+                                      sig_col="dhash", max_hamming=3)
+
+
 # --- deterministic dataset splits -------------------------------------------
 
 SPLIT_FRACS = {"train": 0.98, "val": 0.01, "test": 0.01}
@@ -646,6 +688,7 @@ QUERIES = {
     "dataset_split_stats": QuerySpec(dataset_split_stats, DATASET_SPLIT_SQL),
     "doc_ngram_novelty": QuerySpec(doc_ngram_novelty, DOC_NOVELTY_SQL),
     "curate_corpus_best": QuerySpec(curate_corpus_best, CURATE_BEST_SQL),
+    "media_image_dhash_pairs": QuerySpec(media_image_dhash_pairs, None),
     "dedup_survivors": QuerySpec(dedup_survivors, DEDUP_SURVIVORS_SQL),
     "seq_length_histogram": QuerySpec(seq_length_histogram,
                                       SEQ_HISTOGRAM_SQL),

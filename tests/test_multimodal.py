@@ -402,3 +402,60 @@ def test_binary_file_ingestion_to_features_end_to_end(spark, tmp_path):
         assert (got.width, got.height) == (want["width"], want["height"])
         assert (got.mean_r, got.mean_g, got.mean_b) == (
             want["mean_r"], want["mean_g"], want["mean_b"])
+
+
+def test_image_dhash_brightness_invariant_and_edit_local():
+    """dHash semantics: every bit is a LOCAL left-vs-right luma
+    comparison, so (a) a uniform brightness shift changes NO bit,
+    (b) a small local edit flips only the few bits its pixels touch,
+    (c) inverting the gradient flips essentially all informative
+    bits."""
+    from mapreducewordcount_spark.operators.multimodal import (
+        image_dhash,
+        png_encode,
+    )
+
+    w, h = 16, 16
+    grad = bytes(min(255, x * 16) for y in range(h) for x in range(w)
+                 for _ in range(3))
+    brighter = bytes(min(255, b + 30) for b in grad)
+    inverted = bytes(255 - b for b in grad)
+    edited = bytearray(grad)
+    edited[0:3] = b"\xff\xff\xff"  # one corner pixel
+
+    d0 = image_dhash(png_encode(w, h, grad))
+    assert image_dhash(png_encode(w, h, brighter)) == d0
+    ham_edit = bin((d0 ^ image_dhash(png_encode(w, h, bytes(edited))))
+                   % (1 << 64)).count("1")
+    assert ham_edit <= 3, ham_edit
+    ham_inv = bin((d0 ^ image_dhash(png_encode(w, h, inverted)))
+                  % (1 << 64)).count("1")
+    assert ham_inv >= 40, ham_inv
+
+
+def test_image_dhash_pairs_via_generic_hamming_join(spark):
+    """End-to-end: two near-identical images (brightness twin) pair at
+    Hamming 0 through extract_image_dhash + signature_hamming_pairs;
+    the inverted image pairs with neither."""
+    from mapreducewordcount_spark.operators.dedup import (
+        signature_hamming_pairs,
+    )
+    from mapreducewordcount_spark.operators.multimodal import (
+        extract_image_dhash,
+        png_encode,
+    )
+
+    w, h = 16, 16
+    grad = bytes(min(255, x * 16) for y in range(h) for x in range(w)
+                 for _ in range(3))
+    brighter = bytes(min(255, b + 30) for b in grad)
+    inverted = bytes(255 - b for b in grad)
+    media = spark.createDataFrame(
+        [(1, bytearray(png_encode(w, h, grad))),
+         (2, bytearray(png_encode(w, h, brighter))),
+         (3, bytearray(png_encode(w, h, inverted)))],
+        "media_id long, payload binary")
+    hashes = extract_image_dhash(media)
+    pairs = signature_hamming_pairs(hashes, id_col="media_id",
+                                    sig_col="dhash", max_hamming=3).collect()
+    assert [(r.a_id, r.b_id, r.hamming) for r in pairs] == [(1, 2, 0)]
