@@ -393,8 +393,40 @@ def wav_decode(payload: bytes) -> dict:
     Supports PCM (format tag 1) at 8-bit unsigned and 16-bit signed
     LE, mono or interleaved multi-channel (channels are averaged to
     one lane before the stats, the usual mono-downmix). Anything else
-    raises ``ValueError`` so bad inputs fail loudly.
+    raises ``ValueError`` so bad inputs fail loudly. Container
+    parsing + downmix live in ``_wav_mono_samples`` (shared with
+    ``audio_fingerprint``).
     """
+    rate, n_ch, x, scale = _wav_mono_samples(payload)
+    import numpy as np
+
+    n_frames = x.size
+    rms = float(np.sqrt(np.mean((x / scale) ** 2))) if n_frames else 0.0
+    if n_frames > 1:
+        sign = x >= 0
+        zcr = float(np.count_nonzero(sign[1:] != sign[:-1])) / (n_frames - 1)
+    else:
+        zcr = 0.0
+
+    def r6(v: float) -> float:
+        # HALF-UP at 6dp, matching Spark's F.round and DuckDB round()
+        # — Python's built-in round is banker's, which flips exact
+        # halves the other way (8-bit PCM hits them: 1/128 = .0078125)
+        import math
+
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    return {"sample_rate": int(rate), "n_channels": int(n_ch),
+            "n_samples": int(n_frames),
+            "duration_s": r6(n_frames / rate) if rate else 0.0,
+            "rms": r6(rms), "zcr": r6(zcr)}
+
+
+def _wav_mono_samples(payload: bytes):
+    """RIFF/WAVE parse + mono downmix shared by ``wav_decode`` and
+    ``audio_fingerprint``: returns ``(rate, n_channels, mono_samples
+    float64 ndarray, fullscale)``. Same loud-failure contract as
+    ``wav_decode`` (truncated chunk / non-PCM / missing chunks raise)."""
     import struct
 
     import numpy as np
@@ -433,25 +465,53 @@ def wav_decode(payload: bytes) -> dict:
         scale = 32768.0
     n_frames = x.size // n_ch
     x = x[:n_frames * n_ch].reshape(n_frames, n_ch).mean(axis=1)
-    rms = float(np.sqrt(np.mean((x / scale) ** 2))) if n_frames else 0.0
-    if n_frames > 1:
-        sign = x >= 0
-        zcr = float(np.count_nonzero(sign[1:] != sign[:-1])) / (n_frames - 1)
-    else:
-        zcr = 0.0
+    return int(rate), int(n_ch), x, scale
 
-    def r6(v: float) -> float:
-        # HALF-UP at 6dp, matching Spark's F.round and DuckDB round()
-        # — Python's built-in round is banker's, which flips exact
-        # halves the other way (8-bit PCM hits them: 1/128 = .0078125)
-        import math
 
-        return math.floor(v * 1e6 + 0.5) / 1e6
+def audio_fingerprint(payload: bytes, n_bands: int = 65) -> int:
+    """Perceptual audio fingerprint: sign of frame-energy deltas.
 
-    return {"sample_rate": int(rate), "n_channels": int(n_ch),
-            "n_samples": int(n_frames),
-            "duration_s": r6(n_frames / rate) if rate else 0.0,
-            "rms": r6(rms), "zcr": r6(zcr)}
+    The audio analog of ``image_dhash``: split the mono-downmixed
+    clip into ``n_bands`` equal index frames, take each frame's
+    energy, and emit one bit per adjacent-frame comparison
+    (energy[i+1] > energy[i]) packed into a signed 64-bit value.
+    Every bit is a LOCAL energy comparison, so the fingerprint is
+    invariant under uniform volume scaling and robust to small
+    edits — pair signatures with
+    ``operators.dedup.signature_hamming_pairs``. Empty clip → 0.
+    """
+    import numpy as np
+
+    _, _, x, scale = _wav_mono_samples(payload)
+    if x.size == 0:
+        return 0
+    idx = (np.arange(x.size, dtype=np.int64) * n_bands) // x.size
+    energy = np.bincount(idx, weights=(x / scale) ** 2,
+                         minlength=n_bands)
+    bits = energy[1:] > energy[:-1]
+    v = 0
+    for i, b in enumerate(bits[:64]):
+        v |= int(b) << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def extract_audio_fingerprints(media: DataFrame, id_col: str = "media_id",
+                               payload_col: str = "payload") -> DataFrame:
+    """binary WAV payloads → (id, fingerprint long), Arrow-batched —
+    the audio twin of ``extract_image_dhash``: 8 bytes out per clip,
+    so only the signature table ever shuffles."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                out.append({id_col: mid,
+                            "fingerprint": audio_fingerprint(bytes(payload))})
+            yield pd.DataFrame(out, columns=[id_col, "fingerprint"])
+
+    return media.mapInPandas(run, schema=f"{id_col} long, fingerprint long")
 
 
 def extract_audio_features(media: DataFrame, id_col: str = "media_id",

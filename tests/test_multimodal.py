@@ -459,3 +459,52 @@ def test_image_dhash_pairs_via_generic_hamming_join(spark):
     pairs = signature_hamming_pairs(hashes, id_col="media_id",
                                     sig_col="dhash", max_hamming=3).collect()
     assert [(r.a_id, r.b_id, r.hamming) for r in pairs] == [(1, 2, 0)]
+
+
+def test_audio_fingerprint_volume_invariant_and_edit_local():
+    """Fingerprint semantics: every bit is a LOCAL frame-energy
+    comparison, so a uniform volume change flips NO bit; zeroing one
+    frame flips only the bits at its boundaries."""
+    from mapreducewordcount_spark.operators.multimodal import (
+        audio_fingerprint,
+        wav_encode_pcm,
+    )
+
+    # 650 samples, 65 frames of 10: frame f has deviation 2*(f % 20)
+    # from the 128 midpoint — distinct, well-separated energies
+    samples = bytes(128 + 2 * ((i // 10) % 20) for i in range(650))
+    half = bytes(128 + (b - 128) // 2 for b in samples)  # exact halving
+    edited = bytearray(samples)
+    edited[300:310] = bytes([128] * 10)  # zero one interior frame
+
+    f0 = audio_fingerprint(wav_encode_pcm(samples))
+    assert audio_fingerprint(wav_encode_pcm(half)) == f0
+    ham = bin((f0 ^ audio_fingerprint(wav_encode_pcm(bytes(edited))))
+              % (1 << 64)).count("1")
+    assert 1 <= ham <= 4, ham
+
+
+def test_audio_fp_pairs_via_generic_hamming_join(spark):
+    """End-to-end: a clip and its half-volume twin pair at Hamming 0;
+    a reversed-pattern clip pairs with neither."""
+    from mapreducewordcount_spark.operators.dedup import (
+        signature_hamming_pairs,
+    )
+    from mapreducewordcount_spark.operators.multimodal import (
+        extract_audio_fingerprints,
+        wav_encode_pcm,
+    )
+
+    samples = bytes(128 + 2 * ((i // 10) % 20) for i in range(650))
+    half = bytes(128 + (b - 128) // 2 for b in samples)
+    reverse = bytes(reversed(samples))
+    media = spark.createDataFrame(
+        [(1, bytearray(wav_encode_pcm(samples))),
+         (2, bytearray(wav_encode_pcm(half))),
+         (3, bytearray(wav_encode_pcm(reverse)))],
+        "media_id long, payload binary")
+    fps = extract_audio_fingerprints(media)
+    pairs = signature_hamming_pairs(fps, id_col="media_id",
+                                    sig_col="fingerprint",
+                                    max_hamming=3).collect()
+    assert [(r.a_id, r.b_id, r.hamming) for r in pairs] == [(1, 2, 0)]

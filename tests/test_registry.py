@@ -17,11 +17,12 @@ def test_gate_window_rotation_round5():
     # bucketed_order_revenue, doc_keywords_tfidf, doc_repetition_stats,
     # pack_training_sequences, q6_forecast_revenue, ...) rotate OUT of
     # the 50-slot window this round; their r4 hash-green rows stand.
-    assert names[:11] == [
+    assert names[:12] == [
         "doc_chunks", "dedup_survivors", "seq_length_histogram",
         "events_gapfill", "source_overlap_matrix", "media_video_frames",
         "dataset_split_stats", "doc_ngram_novelty", "curate_corpus_best",
-        "media_image_dhash_pairs", "pack_mixture_corpus"]
+        "media_image_dhash_pairs", "media_audio_fp_pairs",
+        "pack_mixture_corpus"]
     # every query whose PLAN changed in round 5 must re-earn driver
     # evidence: the hot-key window rewrites, the banded lsh_topk, the
     # single-pass entropy, the kmeans-guard path, and the mixture
@@ -37,9 +38,9 @@ def test_gate_window_rotation_round5():
               "doc_quality_features", "doc_compression_ratio",
               "semantic_dedup_embeddings", "media_audio_features"):
         assert q in window, q
-    # core families rotate through
+    # core families rotate through (q1/q6/TPC-H reps rotated out this
+    # round — each has hash-green rows in all of r1-r4)
     for q in ("wc_word_count", "dedup_minhash_pairs", "dedup_exact",
-              "q1_pricing_summary",
               "decontam_report", "stratified_sample_docs"):
         assert q in window, q
 
