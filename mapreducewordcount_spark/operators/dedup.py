@@ -451,11 +451,24 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 def signature_hamming_pairs(sigs: DataFrame, id_col: str = "doc_id",
                             sig_col: str = "signature",
-                            max_hamming: int = 3) -> DataFrame:
+                            max_hamming: int = 3,
+                            collapse_identical: bool = False) -> DataFrame:
     """Generic near-dup pairs over ANY 64-bit signature column
     (SimHash, image dHash, audio fingerprint): byte-banded candidate
     equi-join (pigeonhole: pairs within Hamming 7 agree on ≥1 of 8
     bytes), exact popcount verify. Output (a_id < b_id, hamming).
+
+    ``collapse_identical=True`` switches the Hamming-0 contract from
+    clique to STAR: members of an identical-signature cluster each
+    pair with the cluster's min-id representative (k-1 rows, same
+    dedup information), and the banded join runs over DISTINCT
+    signatures only, pairing cluster representatives. Without it a
+    k-member identical cluster emits k(k-1)/2 rows — correct, but
+    output grows quadratically in cluster size (measured: the audio
+    gate synth hit 12k pairs at sf0.1 from a handful of hot
+    signatures). Use the star form whenever clusters can be large;
+    the clique form remains for the SimHash text contract where
+    near-identical clusters are bounded by upstream exact dedup.
 
     The input frame is persisted here (both self-join sides read it);
     callers must NOT pre-persist. Signature tables are 16 bytes/row —
@@ -469,7 +482,25 @@ def signature_hamming_pairs(sigs: DataFrame, id_col: str = "doc_id",
     sig = _persist_tracked(
         sigs.select(F.col(id_col).alias("doc_id"),
                     F.col(sig_col).alias("__sig")))
-    bytes_df = sig.select(
+
+    if collapse_identical:
+        # one representative per distinct signature (min id), via a
+        # partial-aggregable groupBy — never a window over __sig
+        reps = _persist_tracked(
+            sig.groupBy("__sig").agg(F.min("doc_id").alias("doc_id")))
+        star = (sig.join(reps.select("__sig",
+                                     F.col("doc_id").alias("__rep")),
+                         "__sig")
+                .filter(F.col("doc_id") != F.col("__rep"))
+                .select(F.col("__rep").alias("a_id"),
+                        F.col("doc_id").alias("b_id"),
+                        F.lit(0).alias("hamming")))
+        join_base = reps
+    else:
+        star = None
+        join_base = sig
+
+    bytes_df = join_base.select(
         "doc_id", "__sig",
         F.posexplode(F.array(*[
             F.shiftright("__sig", 8 * i).bitwiseAND(F.lit(255)).cast("int")
@@ -481,11 +512,19 @@ def signature_hamming_pairs(sigs: DataFrame, id_col: str = "doc_id",
             .select(F.col("a.doc_id").alias("a_id"), F.col("a.__sig").alias("a_sig"),
                     F.col("b.doc_id").alias("b_id"), F.col("b.__sig").alias("b_sig"))
             .distinct())
-    return (cand
+    near = (cand
             .withColumn("hamming", F.bit_count(
                 F.col("a_sig").bitwiseXOR(F.col("b_sig"))))
             .filter(F.col("hamming") <= max_hamming)
-            .select("a_id", "b_id", "hamming"))
+            .select("a_id", "b_id",
+                    F.col("hamming").cast("int").alias("hamming")))
+    if star is None:
+        return near
+    # representatives have distinct signatures, so the banded join
+    # contributes only hamming >= 1 rows; the union is disjoint
+    return star.select("a_id", "b_id",
+                       F.col("hamming").cast("int")
+                       .alias("hamming")).unionByName(near)
 
 
 def embedding_dup_pairs(embeddings: DataFrame, id_col: str = "vec_id",

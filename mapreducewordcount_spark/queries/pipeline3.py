@@ -437,7 +437,8 @@ def media_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = d.mapInPandas(_png_synth, schema="media_id long, payload binary")
     hashes = extract_image_dhash(size_bucketed(media))
     return dd.signature_hamming_pairs(hashes, id_col="media_id",
-                                      sig_col="dhash", max_hamming=3)
+                                      sig_col="dhash", max_hamming=3,
+                                      collapse_identical=True)
 
 
 # --- audio perceptual near-dup (energy-delta fingerprint) -------------------
@@ -490,7 +491,8 @@ def media_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = d.mapInPandas(_afp_synth, schema="media_id long, payload binary")
     fps = extract_audio_fingerprints(size_bucketed(media))
     return dd.signature_hamming_pairs(fps, id_col="media_id",
-                                      sig_col="fingerprint", max_hamming=3)
+                                      sig_col="fingerprint", max_hamming=3,
+                                      collapse_identical=True)
 
 
 # --- deterministic dataset splits -------------------------------------------

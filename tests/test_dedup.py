@@ -291,3 +291,26 @@ def test_simhash_rowlocal_matches_batch_form(spark):
     assert got[1] == got[2] == got[3]   # noise-invariant
     assert got[1] != got[4]
     assert got[5] == got[6] == 0        # empty → all ties → 0
+
+
+def test_signature_pairs_collapse_identical_star_form(spark):
+    """collapse_identical=True: a 3-member identical-signature cluster
+    emits 2 star rows (rep ↔ member, hamming 0) instead of 3 clique
+    rows, and near pairs are reported between cluster REPRESENTATIVES
+    — output linear in cluster size."""
+    from mapreducewordcount_spark.operators.dedup import (
+        signature_hamming_pairs,
+    )
+
+    sigs = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100),      # identical cluster, rep=1
+         (4, 101),                          # hamming 1 from 100
+         (5, 1 << 40)],                     # far away
+        "doc_id long, signature long")
+    rows = sorted(
+        ((r.a_id, r.b_id, r.hamming) for r in
+         signature_hamming_pairs(sigs, collapse_identical=True).collect()))
+    assert rows == [(1, 2, 0), (1, 3, 0), (1, 4, 1)]
+    # clique form for contrast: 3 + 3 = 6 rows (every member pairs 4)
+    clique = signature_hamming_pairs(sigs).collect()
+    assert len(clique) == 6
