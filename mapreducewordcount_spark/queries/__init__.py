@@ -83,6 +83,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "events_gapfill", "source_overlap_matrix", "media_video_frames",
         "dataset_split_stats", "doc_ngram_novelty", "curate_corpus_best",
         "media_image_dhash_pairs", "media_audio_fp_pairs",
+        "incremental_dedup_report",
         # round-5 composition: first-ever driver row
         "pack_mixture_corpus",
         # plan-changed this round: hot-key window rewrites

@@ -694,6 +694,65 @@ FROM lab
 """.replace("{split_case}", _split_case_sql("doc_id"))
 
 
+# --- incremental dedup (new batch vs existing index) ------------------------
+
+INDEX_SOURCE = "src0"
+
+
+def incremental_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup shape: a NEW batch arrives and must dedup
+    against the EXISTING corpus without re-reading it — the existing
+    side is represented by its fingerprint index (16 bytes/doc), not
+    its documents. Here ``source = src0`` plays the indexed history
+    and every other source plays the incoming batch; each batch doc
+    is labeled ``dup_of_index`` (fingerprint already indexed),
+    ``dup_in_batch`` (a smaller-id batch doc has the same
+    fingerprint), or ``kept``.
+
+    Scale: the index side shuffles digests only (or broadcasts, when
+    the index fits); the within-batch decision is the partial-agg
+    ``groupBy(fp).agg(min)`` + join-back form — no fp window. At
+    100 TB the index table is the persisted output of the previous
+    run (`sources/upsert.py` maintains it); nothing about this plan
+    touches historical document bodies.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    with_fp = docs.select("doc_id", "source",
+                          tm.fingerprint_md5("text").alias("fp"))
+    index = (with_fp.filter(F.col("source") == INDEX_SOURCE)
+             .select("fp").distinct())
+    batch = with_fp.filter(F.col("source") != INDEX_SOURCE)
+    first = batch.groupBy("fp").agg(F.min("doc_id").alias("first_id"))
+    return (batch
+            .join(index.withColumn("__indexed", F.lit(1)), "fp", "left")
+            .join(first, "fp")
+            .select("doc_id", "source",
+                    F.when(F.col("__indexed").isNotNull(), "dup_of_index")
+                    .when(F.col("doc_id") != F.col("first_id"),
+                          "dup_in_batch")
+                    .otherwise("kept").alias("status")))
+
+
+INCREMENTAL_DEDUP_SQL = f"""
+WITH {_WORDS_CTE},
+fp AS (
+  SELECT d.doc_id, d.source,
+         md5(array_to_string(w.words, ' ')) AS f
+  FROM documents d JOIN w ON d.doc_id = w.doc_id
+),
+idx AS (SELECT DISTINCT f FROM fp WHERE source = '{INDEX_SOURCE}'),
+batch AS (SELECT * FROM fp WHERE source <> '{INDEX_SOURCE}'),
+first AS (SELECT f, min(doc_id) AS first_id FROM batch GROUP BY 1)
+SELECT b.doc_id, b.source,
+       CASE WHEN idx.f IS NOT NULL THEN 'dup_of_index'
+            WHEN b.doc_id <> first.first_id THEN 'dup_in_batch'
+            ELSE 'kept' END AS status
+FROM batch b
+LEFT JOIN idx ON b.f = idx.f
+JOIN first ON b.f = first.f
+"""
+
+
 # --- n-gram novelty curve ---------------------------------------------------
 
 def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -745,6 +804,8 @@ QUERIES = {
     "curate_corpus_best": QuerySpec(curate_corpus_best, CURATE_BEST_SQL),
     "media_image_dhash_pairs": QuerySpec(media_image_dhash_pairs, None),
     "media_audio_fp_pairs": QuerySpec(media_audio_fp_pairs, None),
+    "incremental_dedup_report": QuerySpec(incremental_dedup_report,
+                                          INCREMENTAL_DEDUP_SQL),
     "dedup_survivors": QuerySpec(dedup_survivors, DEDUP_SURVIVORS_SQL),
     "seq_length_histogram": QuerySpec(seq_length_histogram,
                                       SEQ_HISTOGRAM_SQL),

@@ -10,19 +10,19 @@ from mapreducewordcount_spark.queries import all_queries
 def test_gate_window_rotation_round5():
     names = list(all_queries())
     window = set(names[:50])
-    # the ten round-5 operators and the mixture→packing composition
+    # the twelve round-5 operators and the mixture→packing composition
     # take their first-ever driver rows, up front — first-ever rows
     # outrank keeping already-green rows fresh, so several
     # round-4-green queries (curriculum_epoch_order,
     # bucketed_order_revenue, doc_keywords_tfidf, doc_repetition_stats,
     # pack_training_sequences, q6_forecast_revenue, ...) rotate OUT of
     # the 50-slot window this round; their r4 hash-green rows stand.
-    assert names[:12] == [
+    assert names[:13] == [
         "doc_chunks", "dedup_survivors", "seq_length_histogram",
         "events_gapfill", "source_overlap_matrix", "media_video_frames",
         "dataset_split_stats", "doc_ngram_novelty", "curate_corpus_best",
         "media_image_dhash_pairs", "media_audio_fp_pairs",
-        "pack_mixture_corpus"]
+        "incremental_dedup_report", "pack_mixture_corpus"]
     # every query whose PLAN changed in round 5 must re-earn driver
     # evidence: the hot-key window rewrites, the banded lsh_topk, the
     # single-pass entropy, the kmeans-guard path, and the mixture
@@ -31,12 +31,13 @@ def test_gate_window_rotation_round5():
               "ann_lsh_topk", "doc_char_entropy",
               "embedding_cluster_stats", "mixture_applied_sample"):
         assert q in window, q
-    # round-4 first-rows stay fresh
+    # round-4 first-rows stay fresh (media_audio_features rotated
+    # out at the 50-slot boundary this round — r4 hash-green stands)
     for q in ("pack_curated_corpus", "ann_pq_topk",
               "training_mixture_plan", "doc_quality", "curate_corpus",
               "bpe_pair_stats", "doc_bpe_tokens", "epoch_shuffle_order",
               "doc_quality_features", "doc_compression_ratio",
-              "semantic_dedup_embeddings", "media_audio_features"):
+              "semantic_dedup_embeddings"):
         assert q in window, q
     # core families rotate through (q1/q6/TPC-H reps rotated out this
     # round — each has hash-green rows in all of r1-r4)
