@@ -64,12 +64,13 @@ def all_queries() -> dict[str, QuerySpec]:
     #   r4 window — the last two never-driver-checked entries,
     #   HUGEINT-fix re-verification, the round-4 operators, then the
     #   core families (41/41 oracled rows green);
-    #   r5 window (below) — the six round-5 operators and the new
+    #   r5 window (below) — the twelve round-5 operators and the new
     #   mixture→packing composition (first-ever rows), then every
     #   query whose PLAN changed this round (the hot-key window
     #   rewrites, the banded lsh_topk, the single-pass entropy, the
     #   kmeans guard) so the reworks get fresh driver evidence, then
-    #   the usual rotation of core families.
+    #   the usual rotation of core families (q1/q6/audio-features
+    #   rotate out at the 50-slot boundary; their green rows stand).
     full: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries,
                 pipeline_queries, pipeline2, pipeline3, tpch,

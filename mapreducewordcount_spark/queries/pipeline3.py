@@ -401,10 +401,10 @@ FROM f
 # --- image perceptual near-dup (dHash) --------------------------------------
 
 def _png_synth(batches):
-    """Manufacture REAL 8x8 PNGs from document bytes (text tiled into
-    the RGB buffer) — deterministic, so documents with identical text
-    yield identical images and the corpus's exact-dup structure
-    surfaces as Hamming-0 dHash pairs."""
+    """Manufacture REAL 8x8 PNGs from document bytes (the first 192
+    bytes of text tiled into the RGB buffer) — deterministic, so
+    documents sharing a 192-byte prefix (the corpus's near-dups do)
+    yield identical images and surface as Hamming-0 dHash pairs."""
     import pandas as pd
 
     from mapreducewordcount_spark.operators.multimodal import png_encode
@@ -423,10 +423,12 @@ def media_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup pairs end-to-end with the REAL codec: documents
     → genuine PNGs (`png_encode`) → byte-budget repartition → Arrow
     dHash extraction (decode, luma, 9x8 resample, 64 comparison bits)
-    → the same byte-banded Hamming join SimHash uses. Rows-only (the
-    PNG/zlib codec isn't SQL-replicable); the corpus's exact-dup docs
-    guarantee Hamming-0 pairs, and planted pytests pin the dHash
-    semantics (brightness-shift invariance, edit locality).
+    → the byte-banded Hamming join in its cluster-star mode (a hot
+    identical signature emits k-1 rows, not a k² clique). Rows-only
+    (the PNG/zlib codec isn't SQL-replicable); the corpus's
+    shared-prefix near-dups surface as Hamming-0 pairs, and planted
+    pytests pin the dHash semantics (brightness-shift invariance,
+    edit locality).
     """
     from mapreducewordcount_spark.operators.multimodal import (
         extract_image_dhash,
@@ -452,7 +454,7 @@ def _afp_synth(batches):
     boundaries by under a word's worth of samples — while every frame stays
     informative (padding would zero the tail frames and collapse the
     signature to a handful of effective bits; measured: 84k
-    false pairs at sf0.01)."""
+    false pairs at sf0.1)."""
     import hashlib
 
     import pandas as pd
@@ -474,10 +476,10 @@ def _afp_synth(batches):
 
 def media_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup pairs end-to-end with the REAL codec: documents
-    → genuine fixed-length WAV clips (word-aligned synth above) →
+    → genuine WAV clips (word-aligned synth above) →
     byte-budget repartition → Arrow fingerprint extraction (RIFF
     parse → mono downmix → 65-frame energy deltas → 64 sign bits) →
-    the same byte-banded Hamming join as SimHash/dHash. Rows-only
+    the byte-banded Hamming join in cluster-star mode. Rows-only
     (the codec isn't SQL-replicable); the invariance pytests pin the
     fingerprint semantics and the corpus's near-dup docs surface as
     small-Hamming pairs.
