@@ -394,3 +394,60 @@ def test_chunking_scan_prunes_columns(spark):
     for unwanted in ("lang", "source", "n_chars"):
         assert unwanted not in schema_part, \
             f"scan reads pruned column {unwanted}: {scan[0]}"
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]),
+              st.integers(min_value=0, max_value=6 * 3600),
+              st.floats(min_value=-100, max_value=100,
+                        allow_nan=False, allow_infinity=False)),
+    min_size=1, max_size=40))
+def test_gapfill_dense_grid_property(spark, events_rows):
+    """For ANY event set: per key the output buckets are exactly the
+    consecutive 15-min grid from that key's min to max bucket; filled
+    rows carry n=0/sum=0; non-filled rows match a direct groupBy."""
+    from mapreducewordcount_spark.operators.gapfill import gapfill_series
+
+    df = spark.createDataFrame(
+        [(k, s, float(round(v, 2))) for k, s, v in events_rows],
+        "event_type string, off long, value double")
+    events = df.select(
+        "event_type",
+        F.expr("timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,0,0,off)")
+        .alias("ts"),
+        "value")
+    out = gapfill_series(events).collect()
+
+    import datetime as dt
+    by_key: dict[str, list] = {}
+    for r in out:
+        by_key.setdefault(r.event_type, []).append(r)
+    # direct aggregate for cross-checking
+    direct = {}
+    for k, s, v in events_rows:
+        b = (s // 900) * 900
+        key = (k, b)
+        n, tot = direct.get(key, (0, 0.0))
+        direct[key] = (n + 1, tot + round(v, 2))
+    keys = {k for k, _, _ in events_rows}
+    assert set(by_key) == keys
+    for k, rows_k in by_key.items():
+        stamps = sorted(
+            dt.datetime.strptime(r.bucket_start, "%Y-%m-%d %H:%M:%S")
+            for r in rows_k)
+        # consecutive 15-min grid, no holes, no duplicates
+        for a, b in zip(stamps, stamps[1:]):
+            assert (b - a).total_seconds() == 900, (k, a, b)
+        base = dt.datetime(2024, 3, 1)
+        for r in rows_k:
+            t = dt.datetime.strptime(r.bucket_start, "%Y-%m-%d %H:%M:%S")
+            boff = int((t - base).total_seconds())
+            want = direct.get((k, boff))
+            if want is None:
+                assert r.gap_filled == 1 and r.n == 0 and r.sum_value == 0.0
+            else:
+                assert r.gap_filled == 0 and r.n == want[0]
+                assert abs(r.sum_value - round(want[1], 2)) < 1e-6, \
+                    (k, boff, r.sum_value, want)
