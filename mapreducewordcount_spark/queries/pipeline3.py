@@ -763,21 +763,34 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the diminishing-returns curve data curation decisions read
     ("does adding this shard still contribute new content?").
 
-    Scale shape — the first-occurrence decision is the partial-agg
-    groupBy + join-back form (the round-5 hot-key lesson): a
-    corpus-universal 3-gram map-side-combines to one (ngram, min)
-    row per task instead of concentrating its occurrence set in one
-    window partition; the join back is AQE-splittable on skew.
+    Scale shape — the first-occurrence decision is a partial-agg
+    ``groupBy(ngram).agg(min(doc_id))`` (the round-5 hot-key lesson:
+    a corpus-universal 3-gram map-side-combines to one row per task
+    instead of concentrating in a window partition), and the per-doc
+    novelty count comes from aggregating THAT table's ``first_doc``
+    column directly — no join back of the exploded occurrence rows.
+    The round-5 10× stress run flagged the earlier join-back form: it
+    re-shuffled the full exploded occurrence table to recover
+    information the firsts table already holds. This form shuffles
+    the exploded rows exactly once. Measured at sf0.1 the two are
+    equal (~2.4s warm — the explode+groupBy dominates and Catalyst
+    reuses the exchange in the old form); the win is structural: one
+    fewer full-width shuffle stage for the 100 TB plan, where
+    exchange reuse would still materialize the occurrence table to
+    shuffle storage twice.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    e = (dd._doc_shingles(docs, "doc_id", "text", 3)
-         .select("doc_id", F.explode("shingles").alias("ngram")))
-    firsts = e.groupBy("ngram").agg(F.min("doc_id").alias("first_doc"))
-    return (e.join(firsts, "ngram")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_shingles"),
-                 F.sum((F.col("doc_id") == F.col("first_doc"))
-                       .cast("long")).alias("n_novel"))
+    sh = dd._doc_shingles(docs, "doc_id", "text", 3)
+    e = sh.select("doc_id", F.explode("shingles").alias("ngram"))
+    novel = (e.groupBy("ngram").agg(F.min("doc_id").alias("first_doc"))
+             .groupBy("first_doc").agg(F.count(F.lit(1)).alias("n_novel"))
+             .withColumnRenamed("first_doc", "doc_id"))
+    return (sh.select("doc_id", F.size("shingles").cast("long")
+                      .alias("n_shingles"))
+            .join(novel, "doc_id", "left")
+            .select("doc_id", "n_shingles",
+                    F.coalesce("n_novel", F.lit(0)).cast("long")
+                    .alias("n_novel"))
             .select("doc_id", "n_shingles", "n_novel",
                     F.round(F.col("n_novel").cast("double")
                             / F.col("n_shingles"), 6).alias("novelty_frac")))
