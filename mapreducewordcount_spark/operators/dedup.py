@@ -340,11 +340,16 @@ def dup_groups(pairs: DataFrame, a_col: str = "a_id",
     converged when no label changes. ``group_id`` = min doc id of the
     component — deterministic keeper choice.
 
-    Scale notes: iterations = graph diameter (dup clusters are
-    near-cliques, so 2-3 in practice; ``max_iters`` guards
-    pathological chains — if labels have NOT converged by then the
-    result would be silently wrong, so that case raises instead).
-    Each iteration is one join + one aggregate on the edge list;
+    Scale notes: each iteration combines neighbor-min propagation
+    with POINTER HALVING (``comp := comp(comp)`` via a self-join), so
+    convergence is ~log(diameter) rounds, not diameter — a 100-doc
+    near-dup CHAIN (sliding incremental edits produce exactly that
+    shape) converges in ~8 rounds where plain propagation needed 99
+    and raised at ``max_iters``. Labels only decrease and every label
+    is a live vertex id, so the halving step preserves the min-label
+    invariant. ``max_iters`` still guards the truly pathological — a
+    non-converged result would be silently wrong, so it raises.
+    Each iteration is two joins + one aggregate on the edge list;
     ``localCheckpoint`` truncates the lineage so plan size stays
     constant across iterations (without it the DAG doubles every loop
     and the driver chokes long before the data does).
@@ -364,6 +369,14 @@ def dup_groups(pairs: DataFrame, a_col: str = "a_id",
                            F.least(F.col("comp"),
                                    F.coalesce(F.col("nmin"), F.col("comp")))
                            .alias("comp")))
+        # pointer halving: comp := comp(comp). comp values are vertex
+        # ids, so the self-join always matches; labels only shrink.
+        shortcut = updated.select(F.col("id").alias("cid"),
+                                  F.col("comp").alias("ccomp"))
+        updated = (updated.join(shortcut,
+                                updated.comp == shortcut.cid, "left")
+                   .select(F.col("id"),
+                           F.coalesce("ccomp", "comp").alias("comp")))
         updated = updated.localCheckpoint(eager=True)
         changed = (updated.alias("u")
                    .join(labels.alias("l"), "id")

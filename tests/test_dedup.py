@@ -314,3 +314,16 @@ def test_signature_pairs_collapse_identical_star_form(spark):
     # clique form for contrast: 3 + 3 = 6 rows (every member pairs 4)
     clique = signature_hamming_pairs(sigs).collect()
     assert len(clique) == 6
+
+
+def test_dup_groups_long_chain_converges_log_rounds(spark):
+    """A 100-vertex CHAIN (doc i ~ doc i+1 — the sliding-edit shape)
+    must converge well inside max_iters thanks to pointer halving;
+    plain diameter-bounded propagation needed 99 rounds and raised."""
+    from mapreducewordcount_spark.operators.dedup import dup_groups
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "a_id long, b_id long")
+    got = {r.doc_id: r.group_id for r in dup_groups(pairs).collect()}
+    assert len(got) == 100
+    assert set(got.values()) == {0}  # one component, min-id label
