@@ -415,3 +415,30 @@ def test_admit_micro_batch_chunk_order_invariance():
     byid = {int(r.doc_id): r for r in whole.itertuples()}
     assert [byid[i].admitted for i in (1, 2, 3, 4)] == \
         [True, True, True, False]
+
+
+def test_chunking_is_streamable(spark, tmp_path):
+    """chunk_documents is a stateless narrow map + explode, so the
+    SAME operator chunks a live stream (RAG ingest shape) — append
+    mode with no watermark is itself the statelessness assertion."""
+    import json
+
+    from mapreducewordcount_spark.operators.chunking import chunk_documents
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "b1.json").write_text(json.dumps(
+        {"doc_id": 1, "text": " ".join(f"t{i}" for i in range(10))}))
+
+    docs = spark.readStream.schema("doc_id long, text string").json(str(src))
+    q = (chunk_documents(docs, chunk_size=4, overlap=1)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("chunk_stream").start())
+    try:
+        q.processAllAvailable()
+        got = sorted((r.chunk_index, r.chunk_text) for r in
+                     spark.sql("SELECT * FROM chunk_stream").collect())
+        assert got == [(0, "t0 t1 t2 t3"), (1, "t3 t4 t5 t6"),
+                       (2, "t6 t7 t8 t9")]
+    finally:
+        q.stop()
