@@ -22,6 +22,7 @@ Scale ladder (which one to use at which size):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -398,35 +399,56 @@ def simhash64_expr(text_col: str | Column) -> Column:
     """Row-local 64-bit SimHash column expression — same hash family
     and bit semantics as ``simhash_pairs``'s explode+groupBy form
     (xxhash64 per whitespace word, ±1 per bit, sign vector; ties →
-    bit 0), but computed in ONE ``aggregate`` fold over the word
-    array with a 64-field counter struct, so it needs NO shuffle.
+    bit 0), computed with NO shuffle, so it goes where the batch
+    shape can't: per-row in a stream (``stream_simhash_dedup``),
+    inside a narrow projection, or as a write-time layout column.
 
-    That makes it usable where the batch shape can't go: per-row in a
-    stream (``stream_simhash_dedup``), inside a narrow projection, or
-    as a write-time column for layout clustering. Equality with the
-    batch form is pinned by a parity test. Empty/blank text → all
-    ties → signature 0.
+    Hybrid execution, deliberately: the per-word hashes come from
+    JVM-side ``xxhash64`` over the tokenized array (hash-family
+    parity with the batch operator is non-negotiable), and the
+    64-lane ±1 bit counting runs in an Arrow-batched pandas UDF as
+    one numpy matrix reduction per row. A pure-expression form (an
+    ``aggregate`` fold carrying a 64-field counter struct per word)
+    was measured 4-30× slower at sf0.1 (10-12s vs the hybrid's
+    sub-second compute) and did NOT parallelize — the interpreted
+    fold allocates a 64-field struct per word, making it heap-
+    allocation-bound, not CPU-bound. Equality with the batch form is
+    pinned by a parity test. Empty/blank text → all ties → 0.
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     ws = F.filter(F.split(F.lower(c), r"(?U)\s+"),
                   lambda w: F.length(w) > 0)
+    hashes = F.transform(ws, lambda w: F.xxhash64(w))
+    # the UDF is built at call time: pandas_udf parses its return-type
+    # DDL against the active session, which doesn't exist at import
+    return F.pandas_udf(_simhash_from_hashes, "long")(hashes)
 
-    zero = F.struct(*[F.lit(0).cast("long").alias(f"c{i}")
-                      for i in range(64)])
 
-    def step(acc: Column, w: Column) -> Column:
-        h = F.xxhash64(w)
-        return F.struct(*[
-            (acc[f"c{i}"]
-             + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
-                      F.lit(1)).otherwise(F.lit(-1))).alias(f"c{i}")
-            for i in range(64)])
+def _simhash_from_hashes(hs: pd.Series) -> pd.Series:
+    """array<long> word hashes → signed 64-bit SimHash (Arrow batch).
 
-    counts = F.aggregate(ws, zero, step)
-    return sum(
-        [F.shiftleft(F.when(counts[f"c{i}"] > 0, F.lit(1).cast("long"))
-                     .otherwise(F.lit(0).cast("long")), i)
-         for i in range(64)])
+    numpy ``>>`` on int64 is an arithmetic shift — identical bit
+    extraction (after ``& 1``) to the JVM's ``shiftright`` on the
+    same two's-complement value, so the signature matches the batch
+    form bit-for-bit.
+    """
+    import numpy as np
+
+    shifts = np.arange(64, dtype=np.int64)
+    out = []
+    for arr in hs:
+        a = np.asarray(arr, dtype=np.int64)
+        if a.size == 0:
+            out.append(0)
+            continue
+        ones = ((a[:, None] >> shifts) & 1).sum(axis=0)
+        sign_bits = (2 * ones > a.size)  # (+1 count) > (-1 count)
+        v = 0
+        for i in range(64):
+            if sign_bits[i]:
+                v |= 1 << i
+        out.append(v - (1 << 64) if v >= (1 << 63) else v)
+    return pd.Series(out, dtype="int64")
 
 
 def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
