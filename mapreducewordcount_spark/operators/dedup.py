@@ -461,23 +461,16 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
     (pigeonhole: pairs within Hamming distance 7 must agree on ≥1 of
     8 bytes); exact popcount verification on candidates.
 
-    ``max_hamming`` is capped at 7 — beyond that the byte banding no
-    longer guarantees candidacy (a distance-8 pair can differ in all
-    8 bytes) and results would silently lose recall.
+    Signatures come from the row-local ``simhash64_expr`` (JVM hashes
+    + Arrow bit counting — no explode/groupBy shuffle; bit-identical
+    to the earlier batch form per the parity test, ~4× faster
+    measured at sf0.1). ``max_hamming`` is capped at 7 — beyond that
+    the byte banding no longer guarantees candidacy (a distance-8
+    pair can differ in all 8 bytes) and results would silently lose
+    recall.
     """
-    ws = (docs.select(F.col(id_col).alias("doc_id"),
-                      F.explode(F.split(F.lower(text_col), r"(?U)\s+")).alias("w"))
-          .filter(F.length("w") > 0)
-          .withColumn("h", F.xxhash64("w")))
-    bit_aggs = [
-        F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1)
-              .otherwise(-1)).alias(f"b{i}")
-        for i in range(64)]
-    acc = ws.groupBy("doc_id").agg(*bit_aggs)
-    sim = acc.select("doc_id", sum(
-        [F.shiftleft(F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long"))
-                     .otherwise(F.lit(0).cast("long")), i)
-         for i in range(64)]).alias("simhash"))
+    sim = docs.select(F.col(id_col).alias("doc_id"),
+                      simhash64_expr(text_col).alias("simhash"))
     release_dedup_cache()
     return signature_hamming_pairs(sim, id_col="doc_id",
                                    sig_col="simhash",
