@@ -755,6 +755,76 @@ JOIN first ON b.f = first.f
 """
 
 
+def incremental_neardup_report(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The near-dup half of incremental dedup: label each incoming
+    batch doc (source != src0) by whether it is a 3-gram-Jaccard
+    near-duplicate (>= 0.5) of ANY indexed doc (source = src0).
+
+    Plan: ONE MinHash-banded candidate pass over the union (the
+    existing pair generator — band keys co-locate index and batch
+    docs in the same buckets, so the cross join comes out of the same
+    equi-join that self-dedup uses), then keep only pairs crossing
+    the index/batch boundary and roll up matches per batch doc. At
+    scale the index side's signatures are the persisted artifact of
+    the previous run — bodies are re-shingled here only because the
+    gate tables carry no signature column.
+
+    Output: (doc_id, source, n_index_matches, status) for every batch
+    doc; exact-Jaccard verification makes the result SQL-expressible
+    (same oracle family as dedup_ngram_pairs).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.5)
+    side = docs.select("doc_id",
+                       (F.col("source") == INDEX_SOURCE).alias("is_index"))
+    a = side.select(F.col("doc_id").alias("a_id"),
+                    F.col("is_index").alias("a_idx"))
+    b = side.select(F.col("doc_id").alias("b_id"),
+                    F.col("is_index").alias("b_idx"))
+    cross = (pairs.join(F.broadcast(a), "a_id").join(F.broadcast(b), "b_id")
+             .filter(F.col("a_idx") != F.col("b_idx"))
+             .select(F.when(F.col("a_idx"), F.col("b_id"))
+                     .otherwise(F.col("a_id")).alias("doc_id")))
+    matches = cross.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_index_matches"))
+    batch = docs.filter(F.col("source") != INDEX_SOURCE) \
+        .select("doc_id", "source")
+    return (batch.join(matches, "doc_id", "left")
+            .select("doc_id", "source",
+                    F.coalesce("n_index_matches", F.lit(0)).cast("long")
+                    .alias("n_index_matches"))
+            .withColumn("status",
+                        F.when(F.col("n_index_matches") > 0,
+                               "near_dup_of_index").otherwise("kept")))
+
+
+INCREMENTAL_NEARDUP_SQL = f"""
+WITH {_WORDS_CTE}, {_SHINGLES_CTE},
+sided AS (
+  SELECT s.doc_id, s.shingles, d.source,
+         (d.source = '{INDEX_SOURCE}') AS is_index
+  FROM sh s JOIN documents d USING (doc_id)
+),
+cross_pairs AS (
+  SELECT b.doc_id
+  FROM sided a JOIN sided b
+    ON a.is_index AND NOT b.is_index
+  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        / (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+),
+m AS (SELECT doc_id, count(*) AS n FROM cross_pairs GROUP BY 1)
+SELECT d.doc_id, d.source,
+       CAST(coalesce(m.n, 0) AS BIGINT) AS n_index_matches,
+       CASE WHEN coalesce(m.n, 0) > 0 THEN 'near_dup_of_index'
+            ELSE 'kept' END AS status
+FROM documents d
+LEFT JOIN m ON d.doc_id = m.doc_id
+WHERE d.source <> '{INDEX_SOURCE}'
+"""
+
+
 # --- n-gram novelty curve ---------------------------------------------------
 
 def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -821,6 +891,8 @@ QUERIES = {
     "media_audio_fp_pairs": QuerySpec(media_audio_fp_pairs, None),
     "incremental_dedup_report": QuerySpec(incremental_dedup_report,
                                           INCREMENTAL_DEDUP_SQL),
+    "incremental_neardup_report": QuerySpec(incremental_neardup_report,
+                                            INCREMENTAL_NEARDUP_SQL),
     "dedup_survivors": QuerySpec(dedup_survivors, DEDUP_SURVIVORS_SQL),
     "seq_length_histogram": QuerySpec(seq_length_histogram,
                                       SEQ_HISTOGRAM_SQL),
