@@ -24,8 +24,15 @@ notes:
   substring BLOBs); every frame payload hex-hash-checked.
 - ``dataset_split_stats`` — the salted-md5 band thresholds replayed
   with the per-digit ``instr`` hex arithmetic (pipeline2's _hex4_sql).
-- ``doc_ngram_novelty`` — first-occurrence min + join back, the same
-  shape both engines aggregate exactly.
+- ``doc_ngram_novelty`` — first-occurrence min, aggregated straight
+  off the firsts table; both engines aggregate exactly.
+- ``curate_corpus_best`` / ``incremental_dedup_report`` /
+  ``incremental_neardup_report`` — compositions over the same
+  fingerprint/closure/quality/split fragments, each one oracled SQL
+  statement end-to-end.
+- ``media_image_dhash_pairs`` / ``media_audio_fp_pairs`` — rows-only
+  (PNG/zlib and WAV codecs aren't SQL-replicable); signature
+  semantics pinned by invariance pytests instead.
 """
 
 from __future__ import annotations
