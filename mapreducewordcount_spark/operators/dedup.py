@@ -437,6 +437,12 @@ def _simhash_from_hashes(hs: pd.Series) -> pd.Series:
     shifts = np.arange(64, dtype=np.int64)
     out = []
     for arr in hs:
+        # NULL text → NULL word array → arr is None; all-ties → 0,
+        # same as the empty-document case (pinned by the degenerate-
+        # docs test)
+        if arr is None:
+            out.append(0)
+            continue
         a = np.asarray(arr, dtype=np.int64)
         if a.size == 0:
             out.append(0)
