@@ -293,21 +293,9 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     round-1 bench tail); persisted blocks materialize inside the live
     execution and read back clean.
     """
-    rows = num_hashes // bands
     release_dedup_cache()
     sh = _persist_tracked(_doc_shingles(docs, id_col, text_col, n))
-    sig = _signatures_from_shingles(sh, num_hashes)
-    # persist BANDED (not sig): both self-join sides read it, and
-    # materializing post-explode also covers the band-hash compute —
-    # one 64-permutation pass total instead of two (bands×docs tiny
-    # rows, cheaper to store than to recompute)
-    banded = _persist_tracked(sig.select(
-        "doc_id",
-        F.posexplode(F.array(*[
-            F.xxhash64(F.concat_ws(",", *[
-                F.col("signature")[b * rows + r].cast("string")
-                for r in range(rows)]))
-            for b in range(bands)])).alias("band", "band_hash")))
+    banded = _banded_signatures(sh, num_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (a.join(b, (F.col("a.band") == F.col("b.band"))
                          & (F.col("a.band_hash") == F.col("b.band_hash"))
@@ -328,6 +316,70 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                         / (F.size("a_shingles") + F.size("b_shingles") - F.col("n_inter")))
             .filter(F.col("jaccard") >= threshold)
             .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard")))
+
+
+def _banded_signatures(sh: DataFrame, num_hashes: int,
+                       bands: int) -> DataFrame:
+    """(doc_id, shingles) → persisted (doc_id, band, band_hash) rows.
+
+    Persisted POST-explode: every consumer joins on the banded form,
+    and materializing after the explode also covers the band-hash
+    compute — one 64-permutation pass total (bands×docs tiny rows,
+    cheaper to store than to recompute).
+    """
+    rows = num_hashes // bands
+    sig = _signatures_from_shingles(sh, num_hashes)
+    return _persist_tracked(sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.xxhash64(F.concat_ws(",", *[
+                F.col("signature")[b * rows + r].cast("string")
+                for r in range(rows)]))
+            for b in range(bands)])).alias("band", "band_hash")))
+
+
+def minhash_lsh_cross_pairs(index_docs: DataFrame, batch_docs: DataFrame,
+                            id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 3,
+                            num_hashes: int = 64, bands: int = 16,
+                            threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs ACROSS two corpora (index × batch), never within
+    either side — the incremental-dedup join shape.
+
+    Same banded-MinHash construction as ``minhash_lsh_pairs``, but the
+    candidate equi-join probes the (small) batch bands against the
+    (large) index bands instead of self-joining the union: at scale
+    the index's internal pairs dominate a union self-join and are all
+    discarded, so this form does O(batch × collisions) candidate work
+    instead of O(index²-shaped) work. Output (index_id, batch_id,
+    jaccard ≥ threshold), exact-verified like the self-join form.
+    """
+    release_dedup_cache()
+    sh_i = _persist_tracked(_doc_shingles(index_docs, id_col, text_col, n))
+    sh_b = _persist_tracked(_doc_shingles(batch_docs, id_col, text_col, n))
+    banded_i = _banded_signatures(sh_i, num_hashes, bands)
+    banded_b = _banded_signatures(sh_b, num_hashes, bands)
+    i, b = banded_i.alias("i"), banded_b.alias("b")
+    candidates = (i.join(b, (F.col("i.band") == F.col("b.band"))
+                         & (F.col("i.band_hash") == F.col("b.band_hash")))
+                  .select(F.col("i.doc_id").alias("index_id"),
+                          F.col("b.doc_id").alias("batch_id"))
+                  .distinct())
+    i_sh = sh_i.select(F.col("doc_id").alias("index_id"),
+                       F.col("shingles").alias("i_shingles"))
+    b_sh = sh_b.select(F.col("doc_id").alias("batch_id"),
+                       F.col("shingles").alias("b_shingles"))
+    candidates = F.broadcast(candidates)
+    return (candidates.join(i_sh, "index_id").join(b_sh, "batch_id")
+            .withColumn("n_inter",
+                        F.size(F.array_intersect("i_shingles", "b_shingles")))
+            .withColumn("jaccard",
+                        F.col("n_inter").cast("double")
+                        / (F.size("i_shingles") + F.size("b_shingles")
+                           - F.col("n_inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("index_id", "batch_id",
+                    F.round("jaccard", 4).alias("jaccard")))
 
 
 def dup_groups(pairs: DataFrame, a_col: str = "a_id",

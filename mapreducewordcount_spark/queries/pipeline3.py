@@ -768,33 +768,27 @@ def incremental_neardup_report(spark: SparkSession,
     batch doc (source != src0) by whether it is a 3-gram-Jaccard
     near-duplicate (>= 0.5) of ANY indexed doc (source = src0).
 
-    Plan: ONE MinHash-banded candidate pass over the union (the
-    existing pair generator — band keys co-locate index and batch
-    docs in the same buckets, so the cross join comes out of the same
-    equi-join that self-dedup uses), then keep only pairs crossing
-    the index/batch boundary and roll up matches per batch doc. At
-    scale the index side's signatures are the persisted artifact of
-    the previous run — bodies are re-shingled here only because the
-    gate tables carry no signature column.
+    Plan: the two-sided MinHash band join
+    (``operators/dedup.minhash_lsh_cross_pairs``) — the batch's band
+    table probes the index's band table directly, so candidate work
+    is O(batch × collisions), never the index's internal pair space
+    (a union self-join would enumerate — and discard — the index ×
+    index pairs, which dominate at scale). At scale the index side's
+    signatures are the persisted artifact of the previous run —
+    bodies are re-shingled here only because the gate tables carry no
+    signature column.
 
     Output: (doc_id, source, n_index_matches, status) for every batch
     doc; exact-Jaccard verification makes the result SQL-expressible
     (same oracle family as dedup_ngram_pairs).
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    pairs = dd.minhash_lsh_pairs(docs, threshold=0.5)
-    side = docs.select("doc_id",
-                       (F.col("source") == INDEX_SOURCE).alias("is_index"))
-    a = side.select(F.col("doc_id").alias("a_id"),
-                    F.col("is_index").alias("a_idx"))
-    b = side.select(F.col("doc_id").alias("b_id"),
-                    F.col("is_index").alias("b_idx"))
-    cross = (pairs.join(F.broadcast(a), "a_id").join(F.broadcast(b), "b_id")
-             .filter(F.col("a_idx") != F.col("b_idx"))
-             .select(F.when(F.col("a_idx"), F.col("b_id"))
-                     .otherwise(F.col("a_id")).alias("doc_id")))
-    matches = cross.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_index_matches"))
+    index = docs.filter(F.col("source") == INDEX_SOURCE)
+    batch_docs = docs.filter(F.col("source") != INDEX_SOURCE)
+    pairs = dd.minhash_lsh_cross_pairs(index, batch_docs, threshold=0.5)
+    matches = pairs.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n_index_matches")) \
+        .withColumnRenamed("batch_id", "doc_id")
     batch = docs.filter(F.col("source") != INDEX_SOURCE) \
         .select("doc_id", "source")
     return (batch.join(matches, "doc_id", "left")
