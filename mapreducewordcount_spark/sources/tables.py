@@ -48,12 +48,18 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # self-defensive: callers may hand us a session built without our
+    # defaults (the correctness driver does). Queries whose closures
+    # live in this package (mapInPandas media stages, pandas_udf
+    # signatures) need the package importable on executor Python
+    # workers — a foreign session launched from another CWD throws
+    # ModuleNotFoundError otherwise (caught by a foreign-session sweep
+    # of the rows-only queries, round 5). Ship once per context.
+    _ensure_package_on_executors(spark)
     if name == "events":
-        # self-defensive: callers may hand us a session built without
-        # our defaults (the correctness driver does); both confs are
-        # runtime-settable. nanosAsLong is required to scan events.ts;
-        # UTC pins timestamp rendering to match UTC-naive oracles on
-        # any host timezone.
+        # both confs are runtime-settable. nanosAsLong is required to
+        # scan events.ts; UTC pins timestamp rendering to match
+        # UTC-naive oracles on any host timezone.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -63,6 +69,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # arrival type to one TimestampType contract.
         df = normalize_events_ts(df)
     return df
+
+
+def _ensure_package_on_executors(spark: SparkSession) -> None:
+    """Idempotent per-SparkContext package shipping (session.py's
+    ``_ship_package``, guarded so hot loaders don't re-zip/re-add)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_mrwc_pkg_shipped", False):
+        return
+    from mapreducewordcount_spark.session import _ship_package
+
+    try:
+        _ship_package(spark)
+    except Exception:  # noqa: BLE001 — shipping is best-effort; a
+        # same-CWD session imports the package fine without it
+        pass
+    sc._mrwc_pkg_shipped = True
 
 
 def load_tables(spark: SparkSession, sf_dir: str,
