@@ -64,7 +64,7 @@ def all_queries() -> dict[str, QuerySpec]:
     #   r4 window — the last two never-driver-checked entries,
     #   HUGEINT-fix re-verification, the round-4 operators, then the
     #   core families (41/41 oracled rows green);
-    #   r5 window (below) — the thirteen round-5 operators and the new
+    #   r5 window (below) — the fourteen round-5 operators and the new
     #   mixture→packing composition (first-ever rows), then every
     #   query whose PLAN changed this round (the hot-key window
     #   rewrites, the banded lsh_topk, the single-pass entropy, the
@@ -85,6 +85,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "dataset_split_stats", "doc_ngram_novelty", "curate_corpus_best",
         "media_image_dhash_pairs", "media_audio_fp_pairs",
         "incremental_dedup_report", "incremental_neardup_report",
+        "knn_label_accuracy",
         # round-5 composition: first-ever driver row
         "pack_mixture_corpus",
         # plan-changed this round: hot-key window rewrites

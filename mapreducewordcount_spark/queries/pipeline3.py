@@ -504,6 +504,103 @@ def media_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       collapse_identical=True)
 
 
+# --- k-NN label accuracy (embedding-quality probe) --------------------------
+
+KNN_K = 5
+KNN_N_QUERIES = 50
+
+
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard embedding-quality probe: predict each query
+    vector's label by MAJORITY VOTE of its k nearest neighbors
+    (exact cosine, self excluded) and score against the true label,
+    rolled up per label — the number an embedding-model eval reads
+    before anything trains on those vectors.
+
+    Deterministic end-to-end: exact top-k with id tie-breaks, vote
+    ties broken by smallest label. Plan: the query set (first
+    ``KNN_N_QUERIES`` ids) broadcasts through the exact top-k scan
+    (zero corpus shuffle — `operators/similarity.cosine_topk`), then
+    two tiny aggregations (votes per (query, label), argmax per
+    query, rollup per true label). At real scale swap the top-k
+    stage for the IVF/PQ rungs — the vote/rollup algebra is
+    unchanged.
+    """
+    from mapreducewordcount_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < KNN_N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    knn = cosine_topk(emb, queries, k=KNN_K)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("label").alias("n_label"))
+    votes = (knn.join(labels, "neighbor_id")
+             .groupBy("query_id", "n_label")
+             .agg(F.count(F.lit(1)).alias("v")))
+    # argmax by (votes desc, label asc) — ordered-struct max
+    pred = (votes.groupBy("query_id")
+            .agg(F.max(F.struct(F.col("v").alias("v"),
+                                (-F.col("n_label")).alias("neg_label")))
+                 .alias("b"))
+            .select("query_id",
+                    (-F.col("b.neg_label")).cast("int").alias("predicted")))
+    truth = emb.select(F.col("vec_id").alias("query_id"),
+                       F.col("label").alias("true_label"))
+    return (pred.join(truth, "query_id")
+            .groupBy("true_label")
+            .agg(F.count(F.lit(1)).alias("n_queries"),
+                 F.sum((F.col("predicted") == F.col("true_label"))
+                       .cast("long")).alias("n_correct"))
+            .select("true_label", "n_queries", "n_correct",
+                    F.round(F.col("n_correct").cast("double")
+                            / F.col("n_queries"), 6).alias("accuracy")))
+
+
+KNN_ACCURACY_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, label AS true_label
+  FROM embeddings WHERE vec_id < {KNN_N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, q.true_label, e.label AS n_label,
+         CASE WHEN sqrt(list_dot_product(q.q_vec::DOUBLE[], q.q_vec::DOUBLE[])) > 0
+               AND sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) > 0
+              THEN list_dot_product(q.q_vec::DOUBLE[], e.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(q.q_vec::DOUBLE[], q.q_vec::DOUBLE[]))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+              ELSE 0.0 END AS cos,
+         e.vec_id AS neighbor_id
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+),
+knn AS (
+  SELECT query_id, true_label, n_label FROM (
+    SELECT query_id, true_label, n_label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(cos, 6) DESC, neighbor_id)
+             AS rank
+    FROM scored) WHERE rank <= {KNN_K}
+),
+votes AS (
+  SELECT query_id, true_label, n_label, count(*) AS v
+  FROM knn GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT query_id, true_label, n_label AS predicted FROM (
+    SELECT query_id, true_label, n_label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY v DESC, n_label) AS rn
+    FROM votes) WHERE rn = 1
+)
+SELECT true_label,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       round(CAST(sum(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS accuracy
+FROM pred GROUP BY 1
+"""
+
+
 # --- deterministic dataset splits -------------------------------------------
 
 SPLIT_FRACS = {"train": 0.98, "val": 0.01, "test": 0.01}
@@ -894,6 +991,7 @@ QUERIES = {
                                           INCREMENTAL_DEDUP_SQL),
     "incremental_neardup_report": QuerySpec(incremental_neardup_report,
                                             INCREMENTAL_NEARDUP_SQL),
+    "knn_label_accuracy": QuerySpec(knn_label_accuracy, KNN_ACCURACY_SQL),
     "dedup_survivors": QuerySpec(dedup_survivors, DEDUP_SURVIVORS_SQL),
     "seq_length_histogram": QuerySpec(seq_length_histogram,
                                       SEQ_HISTOGRAM_SQL),

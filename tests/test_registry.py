@@ -10,20 +10,20 @@ from mapreducewordcount_spark.queries import all_queries
 def test_gate_window_rotation_round5():
     names = list(all_queries())
     window = set(names[:50])
-    # the thirteen round-5 operators and the mixture→packing composition
+    # the fourteen round-5 operators and the mixture→packing composition
     # take their first-ever driver rows, up front — first-ever rows
     # outrank keeping already-green rows fresh, so several
     # round-4-green queries (curriculum_epoch_order,
     # bucketed_order_revenue, doc_keywords_tfidf, doc_repetition_stats,
     # pack_training_sequences, q6_forecast_revenue, ...) rotate OUT of
     # the 50-slot window this round; their r4 hash-green rows stand.
-    assert names[:14] == [
+    assert names[:15] == [
         "doc_chunks", "dedup_survivors", "seq_length_histogram",
         "events_gapfill", "source_overlap_matrix", "media_video_frames",
         "dataset_split_stats", "doc_ngram_novelty", "curate_corpus_best",
         "media_image_dhash_pairs", "media_audio_fp_pairs",
         "incremental_dedup_report", "incremental_neardup_report",
-        "pack_mixture_corpus"]
+        "knn_label_accuracy", "pack_mixture_corpus"]
     # every query whose PLAN changed in round 5 must re-earn driver
     # evidence: the hot-key window rewrites, the banded lsh_topk, the
     # single-pass entropy, the kmeans-guard path, and the mixture
