@@ -1,7 +1,8 @@
 """Round-5 training-data operators: chunking, quality-aware dedup
 survivor selection, sequence-length/packing-waste profiling,
 time-series gap-fill, cross-source n-gram contamination, video frame
-sampling, deterministic dataset splits, and the n-gram novelty curve.
+sampling, deterministic dataset splits, the n-gram novelty curve,
+incremental exact/near dedup, and the k-NN label-accuracy probe.
 
 Every query here is fully deterministic and DuckDB-oracled. Oracle
 notes:
@@ -30,6 +31,9 @@ notes:
   ``incremental_neardup_report`` — compositions over the same
   fingerprint/closure/quality/split fragments, each one oracled SQL
   statement end-to-end.
+- ``knn_label_accuracy`` — both engines rank on the ROUNDED cosine
+  (matching ann_cosine_topk's contract) and break vote ties by
+  smallest label, so prediction is deterministic end-to-end.
 - ``media_image_dhash_pairs`` / ``media_audio_fp_pairs`` — rows-only
   (PNG/zlib and WAV codecs aren't SQL-replicable); signature
   semantics pinned by invariance pytests instead.

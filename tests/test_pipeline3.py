@@ -451,3 +451,43 @@ def test_gapfill_dense_grid_property(spark, events_rows):
                 assert r.gap_filled == 0 and r.n == want[0]
                 assert abs(r.sum_value - round(want[1], 2)) < 1e-6, \
                     (k, boff, r.sum_value, want)
+
+
+def test_knn_label_accuracy_majority_and_tiebreak(spark, tmp_path):
+    """Planted geometry: query 0 sits among three label-1 vectors and
+    two label-2 vectors (majority 1 wins, accuracy 0 since its true
+    label is 2); query 1 sits in a perfect 1-vs-1 vote tie at k=2
+    scale... keep it simple: verify majority voting and the per-label
+    rollup on a 2D plant where neighborhoods are unambiguous."""
+    import mapreducewordcount_spark.queries.pipeline3 as p3
+
+    rows = [
+        # cluster A around (1, 0): labels 1 — queries 0 and 1 live here
+        (0, [1.0, 0.0], 1), (1, [0.99, 0.01], 1), (2, [0.98, 0.02], 1),
+        (3, [0.97, 0.03], 1), (4, [0.96, 0.04], 1), (5, [0.95, 0.05], 1),
+        # cluster B around (0, 1): labels 2 — query 6 lives here but
+        # carries the WRONG true label (3), so its prediction (2) is
+        # counted incorrect under true_label=3
+        (6, [0.0, 1.0], 3), (7, [0.01, 0.99], 2), (8, [0.02, 0.98], 2),
+        (9, [0.03, 0.97], 2), (10, [0.04, 0.96], 2), (11, [0.05, 0.95], 2),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id long, embedding array<float>, label int")
+    d = tmp_path / "emb"
+    emb.coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+    old_nq = p3.KNN_N_QUERIES
+    p3.KNN_N_QUERIES = 12  # every vector is a query on this plant
+    try:
+        got = {r.true_label: r for r in
+               p3.knn_label_accuracy(spark, str(d)).collect()}
+    finally:
+        p3.KNN_N_QUERIES = old_nq
+    # all label-1 queries predict 1 (their 5-NN are cluster A)
+    assert got[1].n_queries == 6 and got[1].n_correct == 6
+    assert got[1].accuracy == 1.0
+    # label-2 queries predict 2; the mislabeled vec 6 predicts 2 but
+    # its true label is 3 → 0/1 for label 3
+    assert got[2].n_queries == 5 and got[2].n_correct == 5
+    assert got[3].n_queries == 1 and got[3].n_correct == 0
+    assert got[3].accuracy == 0.0
