@@ -51,9 +51,15 @@ def chunk_documents(docs: DataFrame, chunk_size: int = 64,
             .withColumn(
                 "n_chunks",
                 F.when(F.col("n") <= chunk_size, F.lit(1))
-                .otherwise(F.floor(
-                    (F.col("n") - F.lit(chunk_size) + F.lit(stride - 1))
-                    / F.lit(stride)).cast("int") + 1)))
+                # `div` is true integer division — Spark's `/` is
+                # double division, whose rounding could (in principle)
+                # diverge from the oracle's integer `//` at extreme
+                # token counts (ADVICE r5); integer-only keeps the
+                # documented "no floating point touches the row count"
+                # contract literally true
+                .otherwise(F.expr(
+                    f"(n - {chunk_size} + {stride - 1}) div {stride}")
+                    .cast("int") + 1)))
     chunk_toks = F.slice(F.col("toks"),
                          F.col("chunk_index") * stride + 1,
                          F.lit(chunk_size))

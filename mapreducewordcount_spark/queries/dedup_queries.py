@@ -4,11 +4,16 @@ Oracle notes:
 - ``dedup_exact`` / ``dedup_ngram_pairs`` / ``dedup_embedding_pairs`` /
   ``ann_cosine_topk`` are exactly SQL-expressible → full DuckDB oracles.
 - ``dedup_minhash_pairs`` shares the *exact-Jaccard* oracle: its LSH
-  candidate stage is probabilistic, but at 64 hashes / 16 bands the
-  miss probability for pairs at the 0.5 threshold is < 1e-7 per pair
-  and the final filter re-verifies with exact Jaccard, so its output
-  is expected identical to the exact operator (recall measured in
-  tests as well).
+  candidate stage is probabilistic, and the guarantee is
+  corpus-measured, not absolute — at 64 hashes / 16 bands a pair AT
+  the 0.5 threshold would miss every band with probability ~0.36,
+  but every actual ≥0.45 pair in the gate corpora sits at j ≥ 0.89
+  (measured sf0.001/sf0.01, DuckDB exact enumeration), where the
+  per-pair miss is < 2e-7; the hash family is deterministic, so the
+  pass is frozen, not lucky. A corpus with near-threshold pairs
+  needs the 128-hash / 64-band (2-row) operating point that
+  ``incremental_neardup_report`` uses (at-threshold miss ~1e-8) —
+  the exact-verify stage then absorbs the extra low-j candidates.
 - ``dedup_simhash_pairs`` / ``ann_lsh_topk`` depend on a specific
   64-bit hash family (xxhash64) that DuckDB does not implement → no
   SQL oracle (driver records rows-only); pytest checks them against

@@ -882,11 +882,23 @@ def incremental_neardup_report(spark: SparkSession,
     Output: (doc_id, source, n_index_matches, status) for every batch
     doc; exact-Jaccard verification makes the result SQL-expressible
     (same oracle family as dedup_ngram_pairs).
+
+    Because the oracle enumerates EVERY index×batch pair exactly, the
+    LSH operating point must make an at-threshold band miss
+    negligible, not merely unlikely: at the default 64 hashes / 16
+    bands (4 rows) a true pair at j=0.5 misses every band with
+    probability (1-0.5⁴)¹⁶ ≈ 0.36, and the exact verify only removes
+    false positives — it can never recover a missed candidate
+    (ADVICE r5, medium). 128 hashes / 64 bands (2 rows) puts the miss
+    at (1-0.25)⁶⁴ ≈ 1e-8 per pair; low-jaccard candidate excess from
+    the shallower S-curve is absorbed by the exact-verify join, so
+    the trade costs bounded compute, never correctness.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     index = docs.filter(F.col("source") == INDEX_SOURCE)
     batch_docs = docs.filter(F.col("source") != INDEX_SOURCE)
-    pairs = dd.minhash_lsh_cross_pairs(index, batch_docs, threshold=0.5)
+    pairs = dd.minhash_lsh_cross_pairs(index, batch_docs, threshold=0.5,
+                                       num_hashes=128, bands=64)
     matches = pairs.groupBy("batch_id").agg(
         F.count(F.lit(1)).alias("n_index_matches")) \
         .withColumnRenamed("batch_id", "doc_id")

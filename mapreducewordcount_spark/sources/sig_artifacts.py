@@ -1,0 +1,121 @@
+"""Signature-artifact materialization: hash oracles for hash-family ops.
+
+The three 64-bit-signature queries (``dedup_simhash_pairs``,
+``media_image_dhash_pairs``, ``media_audio_fp_pairs``) depend on hash
+families DuckDB cannot reproduce (xxhash64 simhash, PNG-decode dHash,
+WAV energy-delta fingerprints), so through round 5 they carried
+rows-only driver checks. This module flips their JOIN STAGE to a full
+value-hash oracle (VERDICT r5 next#5): the engine materializes its
+(id, signature) table to a parquet artifact inside the repo, re-reads
+it as the join input, and the DuckDB oracle recomputes the banded
+Hamming join + popcount verify from the same artifact with plain SQL
+(``xor`` + ``bit_count``). The signature computation itself stays
+pytest-pinned (parity, invariance, planted-pair tests); everything
+downstream of it — candidate banding, popcount verify, the
+clique/star Hamming-0 contract — gets the same three-check driver row
+as any SQL query.
+
+Artifact addressing: the oracle SQL is a static string, but the gate
+runs at whatever sf_dir the driver registered its views on, so each
+artifact directory is keyed by a corpus fingerprint computable on
+BOTH sides — (row count, total text chars) of the ``documents``
+table — and every row carries the key so the oracle's glob scan can
+select the right corpus with a WHERE clause. Artifacts for the three
+driver sfs are committed to git, which makes the oracle independent
+of execution order: a fresh checkout already holds the (deterministic)
+bytes the next engine run would write.
+
+Scale note: materializing signatures is not a test-only detour — it
+is exactly the production shape (a 16-byte/doc signature table is the
+persisted index that incremental dedup probes; see
+``incremental_dedup_report``). The ``coalesce(1)`` here is sized for
+the oracle artifact, not for a 100 TB run, where the write would keep
+its natural partitioning.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+REPO_ROOT = Path(__file__).resolve().parents[2]
+ARTIFACT_ROOT = REPO_ROOT / "artifacts" / "sig_oracle"
+
+
+def corpus_key(docs: DataFrame) -> tuple[int, int]:
+    """(n_rows, total text chars) — the cross-engine corpus id.
+
+    Distinguishes every driver corpus (sf0.001 and sf0.01 both have
+    500 docs but 153,156 vs 149,174 chars); DuckDB computes the same
+    pair as ``(count(*), sum(length(text)))``.
+    """
+    row = docs.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.length("text")).alias("chars")).first()
+    return int(row.n), int(row.chars or 0)
+
+
+def materialize_signatures(sigs: DataFrame, query_name: str,
+                           key: tuple[int, int],
+                           id_col: str, sig_col: str) -> DataFrame:
+    """Write (id, sig) + corpus-key columns to the artifact dir for
+    ``query_name`` and return the frame RE-READ from the written
+    parquet — the join below consumes byte-for-byte what the oracle
+    scans."""
+    n, chars = key
+    path = ARTIFACT_ROOT / query_name / f"k={n}_{chars}"
+    (sigs.select(F.col(id_col).cast("long").alias("id"),
+                 F.col(sig_col).cast("long").alias("sig"))
+     .withColumn("n_docs", F.lit(n).cast("long"))
+     .withColumn("text_chars", F.lit(chars).cast("long"))
+     .coalesce(1)
+     .write.mode("overwrite").parquet(str(path)))
+    return (sigs.sparkSession.read.parquet(str(path))
+            .select("id", "sig"))
+
+
+def _artifact_cte(query_name: str) -> str:
+    glob = str(ARTIFACT_ROOT / query_name / "*" / "*.parquet")
+    return f"""
+s AS (
+  SELECT id, sig FROM read_parquet('{glob}')
+  WHERE n_docs = (SELECT count(*) FROM documents)
+    AND text_chars = (SELECT sum(length(text)) FROM documents)
+)
+"""
+
+
+def clique_pairs_sql(query_name: str, max_hamming: int) -> str:
+    """Oracle for ``signature_hamming_pairs`` in clique mode: every
+    (a < b) pair within the radius, exact popcount."""
+    return f"""
+WITH {_artifact_cte(query_name)}
+SELECT a.id AS a_id, b.id AS b_id,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM s a JOIN s b ON a.id < b.id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+"""
+
+
+def star_pairs_sql(query_name: str, max_hamming: int) -> str:
+    """Oracle for ``collapse_identical=True``: identical-signature
+    clusters emit (min-id rep, member) Hamming-0 rows; the in-radius
+    join runs over cluster representatives only."""
+    return f"""
+WITH {_artifact_cte(query_name)},
+reps AS (SELECT sig, min(id) AS rid FROM s GROUP BY sig),
+star AS (
+  SELECT r.rid AS a_id, s.id AS b_id, 0 AS hamming
+  FROM s JOIN reps r ON s.sig = r.sig AND s.id <> r.rid
+),
+near AS (
+  SELECT a.rid AS a_id, b.rid AS b_id,
+         bit_count(xor(a.sig, b.sig)) AS hamming
+  FROM reps a JOIN reps b ON a.rid < b.rid
+  WHERE bit_count(xor(a.sig, b.sig)) BETWEEN 1 AND {max_hamming}
+)
+SELECT a_id, b_id, CAST(hamming AS INT) AS hamming FROM star
+UNION ALL
+SELECT a_id, b_id, CAST(hamming AS INT) AS hamming FROM near
+"""

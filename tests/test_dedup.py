@@ -64,9 +64,29 @@ def test_exact_dedup_finds_planted_copies(spark):
 
 
 def test_simhash_rejects_radius_beyond_banding_guarantee(spark):
+    """Adaptive banding carries the pigeonhole guarantee to any radius
+    with ≥1-bit bands (≤63); beyond that there aren't enough bits for
+    max_hamming+1 non-empty bands and the operator must refuse rather
+    than silently lose recall. (The old fixed 8×8-byte banding capped
+    the radius at 7 — that cap is gone by design, VERDICT r5 next#1.)"""
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
-    with pytest.raises(ValueError, match="max 7"):
-        dd.simhash_pairs(df, max_hamming=8)
+    with pytest.raises(ValueError, match=r"\[0, 63\]"):
+        dd.simhash_pairs(df, max_hamming=64)
+    with pytest.raises(ValueError, match=r"\[0, 63\]"):
+        dd.hamming_band_plan(-1)
+
+
+def test_signature_pairs_radius_beyond_old_byte_cap(spark):
+    """Radius 8+ was impossible under byte banding; the adaptive plan
+    (9 bands) must find a planted Hamming-8 pair exactly."""
+    base = 0x0123456789ABCDEF
+    flipped = base ^ 0xFF  # flip the low 8 bits → Hamming 8
+    far = base ^ ((1 << 40) - 1)  # Hamming 40 — far outside the radius
+    sigs = spark.createDataFrame(
+        [(1, base), (2, flipped), (3, far)],
+        "doc_id long, signature long")
+    rows = dd.signature_hamming_pairs(sigs, max_hamming=8).collect()
+    assert {(r.a_id, r.b_id, r.hamming) for r in rows} == {(1, 2, 8)}
 
 
 def test_dup_groups_raises_instead_of_silently_splitting(spark):
@@ -327,3 +347,51 @@ def test_dup_groups_long_chain_converges_log_rounds(spark):
     got = {r.doc_id: r.group_id for r in dup_groups(pairs).collect()}
     assert len(got) == 100
     assert set(got.values()) == {0}  # one component, min-id label
+
+
+def test_adaptive_banding_cuts_candidates_vs_byte_banding():
+    """The scale claim behind hamming_band_plan (VERDICT r5 next#1):
+    at radius 3, 4 bands × 16 bits must generate orders of magnitude
+    fewer spurious candidates on UNCORRELATED signatures than the old
+    8 bands × 8 bits — same pigeonhole recall, ~512× fewer random
+    collisions ((4/2^16) vs (8/2^8) of the pair space). Counted here
+    as the banded join counts them: same-value rows per (band, value)
+    bucket, summed over bands."""
+    import collections
+
+    import numpy as np
+
+    from mapreducewordcount_spark.operators.dedup import hamming_band_plan
+
+    rng = np.random.RandomState(11)
+    sigs = rng.randint(-2**63, 2**63 - 1, size=4000, dtype=np.int64)
+
+    def candidate_rows(plan):
+        total = 0
+        for off, w in plan:
+            vals = (sigs.astype(np.uint64) >> np.uint64(off)) \
+                & np.uint64((1 << w) - 1)
+            for c in collections.Counter(vals.tolist()).values():
+                total += c * (c - 1) // 2
+        return total
+
+    old_plan = [(8 * i, 8) for i in range(8)]
+    new_plan = hamming_band_plan(3)
+    assert new_plan == [(0, 16), (16, 16), (32, 16), (48, 16)]
+    old_c, new_c = candidate_rows(old_plan), candidate_rows(new_plan)
+    # n=4000 → expect ~250k old candidates vs ~490 new (512× ratio);
+    # assert two orders of magnitude with slack for variance
+    assert old_c > 100 * max(new_c, 1), (old_c, new_c)
+
+
+def test_simhash_pairs_ignore_blank_documents(spark):
+    """k blank/whitespace docs must not fabricate a Hamming-0 clique
+    via the shared simhash=0 signature (ADVICE r5): empty docs emit
+    no signature row at all."""
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "\t\n"), (3, None),
+         (4, "real content words here " * 10),
+         (5, "real content words here " * 10)],
+        "doc_id long, text string")
+    rows = dd.simhash_pairs(df, max_hamming=3).collect()
+    assert {(r.a_id, r.b_id, r.hamming) for r in rows} == {(4, 5, 0)}
