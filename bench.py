@@ -3,22 +3,30 @@
 
 Prints ONE JSON line:
   {"metric": "headline_total", "value": <sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <dir>}
+   "queries": {name: sec, ...}, "sf": <dir>, "sessions": {...}}
 
 Each query is executed to completion through the ``noop`` sink
 (full computation, no driver collect, no disk write) — the same
 shape a cluster job has, so the timings reflect scan+shuffle+agg
 cost rather than toPandas serialization.
 
-Noise control (round-5, VERDICT r4 #3): the round-4 report showed
-~25% uniform inflation on untouched queries, attributed to
-session-level contention (leftover cached blocks, JVM GC/JIT
-pressure accumulating across a 21-query session). Each query is
-now measured as the MEDIAN of 3 runs (median absorbs a one-off GC
-pause that best-of-N hides and mean amplifies), and between
-queries the harness clears Spark's block-manager cache and asks
-both the JVM and CPython for a GC so query N+1 does not pay query
-N's heap debt. Methodology documented in BASELINE.md.
+Noise control, two levels:
+
+- WITHIN a session (round-5, VERDICT r4 #3): each query is the
+  MEDIAN of 3 runs (absorbs one-off GC pauses), and between queries
+  the harness clears Spark's block-manager cache and asks both heaps
+  for a GC so query N+1 does not pay query N's heap debt.
+- ACROSS sessions (round-6, VERDICT r5 wrong#1): session-level
+  variance on heavyweight queries is ±10-35% (JIT state, OS cache,
+  heap shape), and a single committed session can sit far outside
+  the builder's own measured band — the r5 artifact did. The
+  harness now runs ``$SPARK_GRAFT_BENCH_SESSIONS`` (default 2)
+  FRESH-JVM sessions sequentially and reports the per-session
+  totals plus min/median/max, with the headline = the MEDIAN
+  session's total and per-query times = across-session medians.
+  Cross-round comparisons should read the band, not the point.
+
+Methodology details in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -27,6 +35,7 @@ import gc
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -34,9 +43,6 @@ from pathlib import Path
 _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
-
-from mapreducewordcount_spark.queries import all_queries  # noqa: E402
-from mapreducewordcount_spark.session import get_spark  # noqa: E402
 
 #: representative slice of the operator surface: scan+agg, joins,
 #: window, as-of, sessionize, wordcount, dedup (exact + LSH), ANN,
@@ -80,7 +86,11 @@ HEADLINE = (
 )
 
 
-def main() -> None:
+def run_session() -> dict:
+    """One fresh-session measurement pass: per-query median-of-3."""
+    from mapreducewordcount_spark.queries import all_queries
+    from mapreducewordcount_spark.session import get_spark
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
     specs = all_queries()
@@ -135,8 +145,67 @@ def main() -> None:
               "method": "median-of-3, cache-cleared+GC between queries"}
     if errors:
         report["errors"] = errors
-    print(json.dumps(report))
     spark.stop()
+    return report
+
+
+def main() -> None:
+    if "--session" in sys.argv:
+        print(json.dumps(run_session()))
+        return
+    n_sessions = int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "2"))
+    if n_sessions <= 1:
+        print(json.dumps(run_session()))
+        return
+
+    # each session in a FRESH interpreter/JVM — the only isolation
+    # that actually resets JIT state, heap shape, and codegen caches
+    reports: list[dict] = []
+    for i in range(n_sessions):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--session"],
+            capture_output=True, text=True)
+        sys.stderr.write(proc.stderr[-2000:])
+        line = next((ln for ln in reversed(proc.stdout.splitlines())
+                     if ln.startswith("{")), None)
+        if line is None:
+            print(f"bench session {i} produced no report "
+                  f"(exit {proc.returncode})", file=sys.stderr)
+            continue
+        reports.append(json.loads(line))
+    if not reports:
+        raise SystemExit("all bench sessions failed")
+
+    totals = sorted(r["value"] for r in reports)
+    queries: dict[str, float | None] = {}
+    for name in HEADLINE:
+        vals = [r["queries"].get(name) for r in reports]
+        vals = [v for v in vals if v is not None]
+        queries[name] = round(statistics.median(vals), 3) if vals else None
+    errors: dict[str, str] = {}
+    for r in reports:
+        errors.update(r.get("errors", {}))
+
+    report = {
+        "metric": "headline_total",
+        # the median SESSION total — a total that actually happened,
+        # not a sum of cross-session per-query medians. Even counts
+        # take the UPPER median (conservative: never flatters the
+        # engine with the lucky session).
+        "value": totals[len(totals) // 2],
+        "unit": "sec",
+        "queries": queries,  # per-query: median across sessions
+        "sf": reports[0]["sf"],
+        "sessions": {"n": len(reports), "totals": totals,
+                     "min": totals[0], "median": totals[len(totals) // 2],
+                     "max": totals[-1]},
+        "method": (f"{len(reports)} fresh-JVM sessions x (median-of-3 "
+                   "per query, cache-cleared+GC between queries); "
+                   "headline = median session total"),
+    }
+    if errors:
+        report["errors"] = errors
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":

@@ -2,8 +2,12 @@
 
 Extension scope (SURVEY.md §2.5 / driver north star): the reference
 has no dedup surface; these are built Spark-first as compositions of
-DataFrame ops — no Python UDFs anywhere, so every stage stays in
-whole-stage codegen and scales by adding executors.
+DataFrame ops — no row-at-a-time Python UDFs anywhere. The only
+Python in any hot path is Arrow-batched numpy matrix work
+(``simhash64_expr``'s bit counting, ``band_keys_udf``'s sign
+projections) where the measured hybrid beats both pure expressions
+and row loops; every other stage stays in whole-stage codegen and
+scales by adding executors.
 
 Scale ladder (which one to use at which size):
 
@@ -715,78 +719,102 @@ def embedding_dup_pairs(embeddings: DataFrame, id_col: str = "vec_id",
             .select("a_id", "b_id", F.round("cos", 4).alias("cos")))
 
 
-def embedding_dup_pairs_lsh(embeddings: DataFrame, id_col: str = "vec_id",
-                            vec_col: str = "embedding",
-                            threshold: float = 0.45, dim: int = 64,
-                            n_planes: int = 8,
-                            hamming_radius: int = 3) -> DataFrame:
-    """Scale path for semantic near-dups: banded-LSH candidate pairs.
+def lsh_candidate_pairs(embeddings: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding", dim: int = 64,
+                        n_bands: int = 64,
+                        band_width: int | None = None,
+                        corpus_size: int | None = None) -> DataFrame:
+    """OR-banded sign-LSH candidate pairs (a_id < b_id) — the
+    candidate stage of ``embedding_dup_pairs_lsh``, exposed so the
+    candidate-growth contract can be measured directly.
 
-    Every vector gets a sign-random-projection bit string (fixed
-    seeds); a pair is emitted iff its signatures agree on all but
-    ``hamming_radius`` of ``n_planes`` bits AND exact cosine clears
-    ``threshold``. Output contract matches ``embedding_dup_pairs`` up
-    to LSH recall (measured in tests; cosine-close pairs agree on
-    most signs, so recall concentrates where the threshold matters).
+    Each vector gets ``n_bands × band_width`` sign bits packed into
+    ``n_bands`` integer band keys (one Arrow matrix product per
+    batch — ``similarity.band_keys_udf``); a pair is a candidate iff
+    it agrees exactly on ≥1 band. ``band_width`` defaults to
+    ``derive_band_width(|corpus|)`` ≈ log2 n bits, giving each band
+    ~n buckets: random bucket mass stays O(1) and candidates grow
+    ~O(n × bands), sub-quadratic by construction (pinned by
+    tests/test_dedup.py::test_lsh_candidate_growth_subquadratic).
+    The r5 pigeonhole form's 2-bit bands (4 buckets) degenerated
+    toward all-pairs at any real corpus size — VERDICT r5 weak#2.
 
-    Candidate generation is an **equi-join on banded signature keys**,
-    the same pigeonhole construction as ``simhash_pairs``: the bit
-    string is cut into ``hamming_radius + 1`` equal bands, and any
-    pair within the radius must agree exactly on at least one whole
-    band (``hamming_radius`` flipped bits can dirty at most that many
-    bands). Shuffle cost is O(vectors × bands) short keys — the pair
-    space is never enumerated, unlike a ``a_id < b_id`` theta-join,
-    which Spark can only execute as a broadcast-nested-loop over all
-    O(n²)/2 pairs (the plan shape round 1 shipped; pinned away in
-    tests/test_plans.py). The exact mismatch-count + cosine checks on
-    the surviving candidates make the banding a pure recall guarantee,
-    not an output change.
+    The caller's exact verify makes candidate excess a compute cost,
+    never an output change; candidate MISSES are the recall trade,
+    measured per pair at sign-agreement rate p as ``1-(1-p^w)^b``
+    (high for cosine-close pairs, pinned vs the exact operator in
+    tests). The vector frame is persisted here (keys + both verify
+    sides read it); callers must NOT pre-persist.
     """
-    from mapreducewordcount_spark.functions.vectors import dot, hyperplane_bits, norm
-    from mapreducewordcount_spark.operators.similarity import _fixed_planes
-
-    bands = hamming_radius + 1
-    if n_planes % bands:
-        raise ValueError(
-            f"n_planes={n_planes} must divide into hamming_radius+1={bands} "
-            "equal bands — unequal bands void the pigeonhole recall guarantee")
-    width = n_planes // bands
-    planes = _fixed_planes(dim, n_planes)
+    from mapreducewordcount_spark.functions.vectors import norm
+    from mapreducewordcount_spark.operators.similarity import (
+        _fixed_planes,
+        band_keys_udf,
+        derive_band_width,
+    )
     from mapreducewordcount_spark.sources.tables import spread
 
+    if band_width is None:
+        n = (corpus_size if corpus_size is not None
+             else embeddings.count())
+        band_width = derive_band_width(n)
+    planes = _fixed_planes(dim, n_bands * band_width)
+    mk_keys = band_keys_udf(planes, n_bands, band_width)
     release_dedup_cache()
     sig = _persist_tracked(
         spread(embeddings)
         .select(F.col(id_col).alias("id"),
                 F.col(vec_col).alias("vec"),
                 norm(vec_col).alias("nrm"),
-                hyperplane_bits(vec_col, planes).alias("bits")))  # banded + joined twice below
-    banded = sig.select(
-        "id",
-        F.posexplode(F.array(*[
-            F.substring("bits", b * width + 1, width) for b in range(bands)
-        ])).alias("band", "band_bits"))
+                mk_keys(F.col(vec_col)).alias("keys")))
+    banded = sig.select("id", F.posexplode("keys").alias("band", "key"))
     a, b = banded.alias("a"), banded.alias("b")
-    candidates = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                         & (F.col("a.band_bits") == F.col("b.band_bits"))
-                         & (F.col("a.id") < F.col("b.id")))
-                  .select(F.col("a.id").alias("a_id"),
-                          F.col("b.id").alias("b_id"))
-                  .distinct())
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("a_id"),
+                    F.col("b.id").alias("b_id"))
+            .distinct())
+    return cand, sig
+
+
+def embedding_dup_pairs_lsh(embeddings: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.45, dim: int = 64,
+                            n_bands: int = 64,
+                            band_width: int | None = None,
+                            corpus_size: int | None = None) -> DataFrame:
+    """Scale path for semantic near-dups: OR-banded LSH candidates
+    (``lsh_candidate_pairs`` — corpus-derived band width, ~O(n×bands)
+    candidate growth) + exact cosine verification. Output contract
+    matches ``embedding_dup_pairs`` up to LSH recall: the exact
+    verify emits no false positives, and recall per pair at
+    sign-agreement rate p is ``1-(1-p^w)^b`` — near 1 for
+    cosine-close pairs, measured against the exact operator on the
+    gate corpus (whose pairs sit at cos≈0.5, sign-LSH's adversarial
+    case) in tests.
+
+    Shuffle cost is O(vectors × bands) short integer keys — the pair
+    space is never enumerated, unlike an ``a_id < b_id`` theta-join,
+    which Spark can only execute as a broadcast-nested-loop over all
+    O(n²)/2 pairs (the round-1 plan shape; pinned away in
+    tests/test_plans.py).
+    """
+    from mapreducewordcount_spark.functions.vectors import dot
+
+    candidates, sig = lsh_candidate_pairs(embeddings, id_col, vec_col,
+                                          dim, n_bands, band_width,
+                                          corpus_size)
     a_sig = sig.select(F.col("id").alias("a_id"), F.col("vec").alias("a_vec"),
-                       F.col("nrm").alias("a_n"), F.col("bits").alias("a_bits"))
+                       F.col("nrm").alias("a_n"))
     b_sig = sig.select(F.col("id").alias("b_id"), F.col("vec").alias("b_vec"),
-                       F.col("nrm").alias("b_n"), F.col("bits").alias("b_bits"))
-    mismatches = sum([
-        F.when(F.substring("a_bits", i, 1) != F.substring("b_bits", i, 1), 1)
-        .otherwise(0) for i in range(1, n_planes + 1)])
+                       F.col("nrm").alias("b_n"))
     cos = F.when((F.col("a_n") > 0) & (F.col("b_n") > 0),
                  dot("a_vec", "b_vec") / (F.col("a_n") * F.col("b_n"))) \
         .otherwise(F.lit(0.0))
     # survivors ≪ corpus: broadcast the pair list into both verify
     # joins so the (larger) vector table never shuffles
     return (F.broadcast(candidates).join(a_sig, "a_id").join(b_sig, "b_id")
-            .filter(mismatches <= hamming_radius)
             .withColumn("cos", cos)
             .filter(F.col("cos") >= threshold)
             .select("a_id", "b_id", F.round("cos", 4).alias("cos")))

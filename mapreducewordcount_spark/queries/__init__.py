@@ -64,13 +64,20 @@ def all_queries() -> dict[str, QuerySpec]:
     #   r4 window — the last two never-driver-checked entries,
     #   HUGEINT-fix re-verification, the round-4 operators, then the
     #   core families (41/41 oracled rows green);
-    #   r5 window (below) — the fourteen round-5 operators and the new
-    #   mixture→packing composition (first-ever rows), then every
-    #   query whose PLAN changed this round (the hot-key window
-    #   rewrites, the banded lsh_topk, the single-pass entropy, the
-    #   kmeans guard) so the reworks get fresh driver evidence, then
-    #   the usual rotation of core families (q1/q6/audio-features
-    #   rotate out at the 50-slot boundary; their green rows stand).
+    #   r5 window — the fourteen round-5 operators and the new
+    #   mixture→packing composition (first-ever rows), then the r5
+    #   plan-changed set, then core-family rotation (39/39 oracled
+    #   green, 11 rows-only);
+    #   r6 window (below) — the three signature queries whose
+    #   rows-only checks flip to full artifact oracles, then every
+    #   query whose plan/operating point changed this round (adaptive
+    #   banding, the OR-banded embedding LSH, √n SemDeDup, the
+    #   128-hash incremental near-dup, integer-div chunking), then
+    #   the 16 queries that rotated out of r5's window (their last
+    #   green is r4 — VERDICT r5 next#7 keeps every operator's last
+    #   green ≤2 rounds old), then the stalest core families (last
+    #   green r2, then a 15-query slice of the r3 cohort; the
+    #   remaining r3 queries rotate through r7).
     full: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries,
                 pipeline_queries, pipeline2, pipeline3, tpch,
@@ -79,40 +86,33 @@ def all_queries() -> dict[str, QuerySpec]:
         full.update(mod.QUERIES)
 
     gate_first = (
-        # round-5 operators: first-ever driver rows
-        "doc_chunks", "dedup_survivors", "seq_length_histogram",
-        "events_gapfill", "source_overlap_matrix", "media_video_frames",
-        "dataset_split_stats", "doc_ngram_novelty", "curate_corpus_best",
-        "media_image_dhash_pairs", "media_audio_fp_pairs",
-        "incremental_dedup_report", "incremental_neardup_report",
-        "knn_label_accuracy",
-        # round-5 composition: first-ever driver row
-        "pack_mixture_corpus",
-        # plan-changed this round: hot-key window rewrites
-        "c4_line_dedup", "boilerplate_lines", "doc_dup_spans",
-        # plan-changed: banded LSH top-k (rows-only) + entropy rewrite
-        "ann_lsh_topk", "doc_char_entropy",
-        # guard-changed kmeans path + mixture selector (docstring-only
-        # but shares apply_mixture with the new composition)
-        "embedding_cluster_stats", "mixture_applied_sample",
-        # round-4 first-rows kept fresh
-        "pack_curated_corpus", "ann_pq_topk", "training_mixture_plan",
-        "doc_quality", "curate_corpus",
-        "bpe_pair_stats", "doc_bpe_tokens", "epoch_shuffle_order",
-        "doc_quality_features", "doc_compression_ratio",
+        # rows-only → artifact-oracle flips: first-ever ORACLED rows
+        "dedup_simhash_pairs", "media_image_dhash_pairs",
+        "media_audio_fp_pairs",
+        # plan / operating-point changes this round
+        "incremental_neardup_report", "doc_chunks",
+        "dedup_embedding_pairs_lsh", "ann_lsh_topk",
         "semantic_dedup_embeddings",
-        # core families
-        "wc_word_count", "wc_word_count_salted",
-        *dedup_queries.QUERIES,
-        *pipeline_queries.QUERIES,
-        # TPC-H batch 1: bench headliners + one grouping-sets rep
-        "q1_pricing_summary", "q6_forecast_revenue", "q3_top_orders",
-        "q5_region_revenue", "top_orders_per_customer",
-        "rollup_revenue",
-        *bucketed_join.QUERIES,
-        "doc_keywords_tfidf", "curriculum_epoch_order",
-        "doc_repetition_stats", "pack_training_sequences",
-        "doc_lm_quality",
+        # rotated out of the r5 window (last green r4)
+        "doc_length_deciles", "media_image_features",
+        "media_audio_features", "q1_pricing_summary",
+        "q6_forecast_revenue", "q3_top_orders", "q5_region_revenue",
+        "top_orders_per_customer", "rollup_revenue",
+        "bucketed_order_revenue", "doc_keywords_tfidf",
+        "curriculum_epoch_order", "doc_repetition_stats",
+        "pack_training_sequences", "doc_lm_quality", "wc_bucket_hist",
+        # stalest core families: last green r2
+        "big_spender_segments", "churned_customers",
+        "content_word_counts", "customers_without_orders",
+        "distinct_stats", "part_brand_stats", "retained_customers",
+        "running_revenue", "top_bigrams", "top_customers", "wc_top20",
+        # last green r3: events family, TPC-H batch-2 reps, text reps
+        "events_asof_orders", "events_sessions", "events_hourly",
+        "events_json_stats", "events_props_keys",
+        "events_after_purchase", "q2_min_cost_supplier",
+        "q4_priority_late", "q7_nation_volume", "q8_market_share",
+        "q9_type_profit", "q10_returned_customers", "doc_language_id",
+        "doc_fingerprints", "sketch_stats",
     )
     out = {n: full[n] for n in gate_first}
     out.update(full)  # remainder keeps its original relative order

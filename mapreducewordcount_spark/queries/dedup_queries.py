@@ -14,10 +14,15 @@ Oracle notes:
   needs the 128-hash / 64-band (2-row) operating point that
   ``incremental_neardup_report`` uses (at-threshold miss ~1e-8) —
   the exact-verify stage then absorbs the extra low-j candidates.
-- ``dedup_simhash_pairs`` / ``ann_lsh_topk`` depend on a specific
-  64-bit hash family (xxhash64) that DuckDB does not implement → no
-  SQL oracle (driver records rows-only); pytest checks them against
-  the exact operators (planted-pair recall / neighbor overlap).
+- ``dedup_simhash_pairs`` depends on a hash family (xxhash64) DuckDB
+  does not implement, but its JOIN stage is fully oracled via the
+  signature-artifact scheme (``sources/sig_artifacts.py``): the
+  engine's signature table goes to a committed parquet artifact and
+  DuckDB recomputes the banded Hamming join + popcount verify from
+  it. The hash family itself stays pytest-pinned.
+- ``ann_lsh_topk`` remains rows-only (its recall-bearing candidate
+  stage is the approximation under test); pytest checks it against
+  the exact operator (neighbor overlap).
 """
 
 from __future__ import annotations
@@ -28,6 +33,7 @@ from pyspark.sql import functions as F
 from mapreducewordcount_spark.operators import dedup as dd
 from mapreducewordcount_spark.operators import similarity as sim
 from mapreducewordcount_spark.queries import QuerySpec
+from mapreducewordcount_spark.sources import sig_artifacts as _sig_artifacts
 from mapreducewordcount_spark.sources.tables import load_table
 
 # Words CTE shared by the shingle oracles — mirrors the native
@@ -99,8 +105,26 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the join stage under a full hash
+    oracle: the engine-computed signature table is materialized to a
+    repo-local parquet artifact (the persisted-index production
+    shape), the banded Hamming join consumes the re-read artifact,
+    and DuckDB recomputes the same join + popcount verify from the
+    same artifact (``xor`` + ``bit_count``) — flipping this row from
+    rows-only to three-check green (VERDICT r5 next#5). The xxhash64
+    hash family itself stays pytest-pinned (parity + planted-pair
+    tests); DuckDB cannot recompute it."""
+    from mapreducewordcount_spark.sources.sig_artifacts import (
+        corpus_key,
+        materialize_signatures,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    return dd.simhash_pairs(docs, max_hamming=3)
+    sig = materialize_signatures(dd.simhash_docs(docs),
+                                 "dedup_simhash_pairs", corpus_key(docs),
+                                 "doc_id", "simhash")
+    return dd.signature_hamming_pairs(sig, id_col="id", sig_col="sig",
+                                      max_hamming=3)
 
 
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,7 +302,9 @@ QUERIES = {
     "dedup_ngram_pairs": QuerySpec(dedup_ngram_pairs, DEDUP_PAIRS_SQL),
     "dedup_prefix_pairs": QuerySpec(dedup_prefix_pairs, DEDUP_PAIRS_SQL),
     "dedup_minhash_pairs": QuerySpec(dedup_minhash_pairs, DEDUP_PAIRS_SQL),
-    "dedup_simhash_pairs": QuerySpec(dedup_simhash_pairs, None),
+    "dedup_simhash_pairs": QuerySpec(
+        dedup_simhash_pairs,
+        _sig_artifacts.clique_pairs_sql("dedup_simhash_pairs", 3)),
     "dedup_groups": QuerySpec(dedup_groups, DEDUP_GROUPS_SQL),
     "doc_winnow_fingerprints": QuerySpec(doc_winnow_fingerprints,
                                          DOC_WINNOW_SQL),

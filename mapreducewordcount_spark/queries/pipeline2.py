@@ -643,11 +643,22 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cluster cosine pairs at 0.8, min-id keeper per component.
     Approximate by construction (k-means routing) → rows-only gate
     entry; semantics pinned by planted-ground-truth pytest
-    (tests/test_semdedup.py), like the LSH/ANN family."""
+    (tests/test_semdedup.py), like the LSH/ANN family.
+
+    ``n_lists ≈ √n`` — the paper's operating point scaled to the
+    corpus (Abbas et al. use ~10⁴ clusters for web scale ≈ √(10⁸
+    docs)): the within-cluster pair space is Σ|cluster|² ≈ n²/k, so
+    k=√n bounds it at n^1.5 and the gate now exercises the
+    configuration the 100 TB story depends on instead of a fixed
+    test-scale k=16 (VERDICT r5 next#8)."""
+    import math
+
     from mapreducewordcount_spark.operators.semdedup import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, n_lists=16, threshold=0.8, kmeans_iters=2)
+    n_lists = max(8, round(math.sqrt(emb.count())))
+    return semantic_dedup(emb, n_lists=n_lists, threshold=0.8,
+                          kmeans_iters=2)
 
 
 #: the applied-sample query uses a deliberately SMALL budget so the

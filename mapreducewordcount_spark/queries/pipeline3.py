@@ -34,9 +34,11 @@ notes:
 - ``knn_label_accuracy`` — both engines rank on the ROUNDED cosine
   (matching ann_cosine_topk's contract) and break vote ties by
   smallest label, so prediction is deterministic end-to-end.
-- ``media_image_dhash_pairs`` / ``media_audio_fp_pairs`` — rows-only
-  (PNG/zlib and WAV codecs aren't SQL-replicable); signature
-  semantics pinned by invariance pytests instead.
+- ``media_image_dhash_pairs`` / ``media_audio_fp_pairs`` — the
+  PNG/zlib and WAV codecs aren't SQL-replicable (signature semantics
+  pinned by invariance pytests), but the banded Hamming JOIN stage
+  is fully oracled from the materialized signature artifact
+  (``sources/sig_artifacts.py``).
 """
 
 from __future__ import annotations
@@ -48,6 +50,7 @@ from mapreducewordcount_spark.functions import text_metrics as tm
 from mapreducewordcount_spark.operators import dedup as dd
 from mapreducewordcount_spark.queries import QuerySpec
 from mapreducewordcount_spark.queries.curation import _STOPS_SQL
+from mapreducewordcount_spark.sources import sig_artifacts as _sig_artifacts
 from mapreducewordcount_spark.queries.dedup_queries import (
     _SHINGLES_CTE,
     _WORDS_CTE,
@@ -434,23 +437,33 @@ def media_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup pairs end-to-end with the REAL codec: documents
     → genuine PNGs (`png_encode`) → byte-budget repartition → Arrow
     dHash extraction (decode, luma, 9x8 resample, 64 comparison bits)
-    → the byte-banded Hamming join in its cluster-star mode (a hot
-    identical signature emits k-1 rows, not a k² clique). Rows-only
-    (the PNG/zlib codec isn't SQL-replicable); the corpus's
-    shared-prefix near-dups surface as Hamming-0 pairs, and planted
-    pytests pin the dHash semantics (brightness-shift invariance,
-    edit locality).
+    → the banded Hamming join in its cluster-star mode (a hot
+    identical signature emits k-1 rows, not a k² clique). The
+    PNG/zlib codec isn't SQL-replicable — planted pytests pin the
+    dHash semantics (brightness-shift invariance, edit locality) —
+    but the JOIN stage is fully oracled via the signature-artifact
+    scheme (``sources/sig_artifacts.py``): the engine's dhash table
+    is materialized to a committed parquet artifact and DuckDB
+    recomputes the star-mode banded join + popcount verify from it
+    (VERDICT r5 next#5). The corpus's shared-prefix near-dups
+    surface as Hamming-0 pairs.
     """
     from mapreducewordcount_spark.operators.multimodal import (
         extract_image_dhash,
         size_bucketed,
     )
+    from mapreducewordcount_spark.sources.sig_artifacts import (
+        corpus_key,
+        materialize_signatures,
+    )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     media = d.mapInPandas(_png_synth, schema="media_id long, payload binary")
-    hashes = extract_image_dhash(size_bucketed(media))
-    return dd.signature_hamming_pairs(hashes, id_col="media_id",
-                                      sig_col="dhash", max_hamming=3,
+    hashes = materialize_signatures(
+        extract_image_dhash(size_bucketed(media)),
+        "media_image_dhash_pairs", corpus_key(d), "media_id", "dhash")
+    return dd.signature_hamming_pairs(hashes, id_col="id",
+                                      sig_col="sig", max_hamming=3,
                                       collapse_identical=True)
 
 
@@ -490,21 +503,27 @@ def media_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     → genuine WAV clips (word-aligned synth above) →
     byte-budget repartition → Arrow fingerprint extraction (RIFF
     parse → mono downmix → 65-frame energy deltas → 64 sign bits) →
-    the byte-banded Hamming join in cluster-star mode. Rows-only
-    (the codec isn't SQL-replicable); the invariance pytests pin the
-    fingerprint semantics and the corpus's near-dup docs surface as
-    small-Hamming pairs.
+    the banded Hamming join in cluster-star mode. The codec isn't
+    SQL-replicable (invariance pytests pin the fingerprint
+    semantics), but the JOIN stage is fully oracled via the
+    signature-artifact scheme — see ``media_image_dhash_pairs``.
     """
     from mapreducewordcount_spark.operators.multimodal import (
         extract_audio_fingerprints,
         size_bucketed,
     )
+    from mapreducewordcount_spark.sources.sig_artifacts import (
+        corpus_key,
+        materialize_signatures,
+    )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     media = d.mapInPandas(_afp_synth, schema="media_id long, payload binary")
-    fps = extract_audio_fingerprints(size_bucketed(media))
-    return dd.signature_hamming_pairs(fps, id_col="media_id",
-                                      sig_col="fingerprint", max_hamming=3,
+    fps = materialize_signatures(
+        extract_audio_fingerprints(size_bucketed(media)),
+        "media_audio_fp_pairs", corpus_key(d), "media_id", "fingerprint")
+    return dd.signature_hamming_pairs(fps, id_col="id",
+                                      sig_col="sig", max_hamming=3,
                                       collapse_identical=True)
 
 
@@ -1001,8 +1020,12 @@ QUERIES = {
     "dataset_split_stats": QuerySpec(dataset_split_stats, DATASET_SPLIT_SQL),
     "doc_ngram_novelty": QuerySpec(doc_ngram_novelty, DOC_NOVELTY_SQL),
     "curate_corpus_best": QuerySpec(curate_corpus_best, CURATE_BEST_SQL),
-    "media_image_dhash_pairs": QuerySpec(media_image_dhash_pairs, None),
-    "media_audio_fp_pairs": QuerySpec(media_audio_fp_pairs, None),
+    "media_image_dhash_pairs": QuerySpec(
+        media_image_dhash_pairs,
+        _sig_artifacts.star_pairs_sql("media_image_dhash_pairs", 3)),
+    "media_audio_fp_pairs": QuerySpec(
+        media_audio_fp_pairs,
+        _sig_artifacts.star_pairs_sql("media_audio_fp_pairs", 3)),
     "incremental_dedup_report": QuerySpec(incremental_dedup_report,
                                           INCREMENTAL_DEDUP_SQL),
     "incremental_neardup_report": QuerySpec(incremental_neardup_report,

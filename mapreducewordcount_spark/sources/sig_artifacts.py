@@ -70,8 +70,19 @@ def materialize_signatures(sigs: DataFrame, query_name: str,
      .withColumn("n_docs", F.lit(n).cast("long"))
      .withColumn("text_chars", F.lit(chars).cast("long"))
      .coalesce(1)
+     .sortWithinPartitions("id")  # stable row order → byte-stable artifact
      .write.mode("overwrite").parquet(str(path)))
-    return (sigs.sparkSession.read.parquet(str(path))
+    # normalize to one stable filename (the writer's uuid part names
+    # would churn git on every deterministic re-run) and drop the
+    # committer's _SUCCESS/.crc side files
+    import os
+
+    part, = sorted(path.glob("part-*.parquet"))
+    os.replace(part, path / "sig.parquet")
+    for extra in path.iterdir():
+        if extra.name != "sig.parquet":
+            extra.unlink()
+    return (sigs.sparkSession.read.parquet(str(path / "sig.parquet"))
             .select("id", "sig"))
 
 

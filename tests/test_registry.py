@@ -7,44 +7,43 @@ from __future__ import annotations
 from mapreducewordcount_spark.queries import all_queries
 
 
-def test_gate_window_rotation_round5():
+def test_gate_window_rotation_round6():
     names = list(all_queries())
     window = set(names[:50])
-    # the fourteen round-5 operators and the mixture→packing composition
-    # take their first-ever driver rows, up front — first-ever rows
-    # outrank keeping already-green rows fresh, so several
-    # round-4-green queries (curriculum_epoch_order,
-    # bucketed_order_revenue, doc_keywords_tfidf, doc_repetition_stats,
-    # pack_training_sequences, q6_forecast_revenue, ...) rotate OUT of
-    # the 50-slot window this round; their r4 hash-green rows stand.
-    assert names[:15] == [
-        "doc_chunks", "dedup_survivors", "seq_length_histogram",
-        "events_gapfill", "source_overlap_matrix", "media_video_frames",
-        "dataset_split_stats", "doc_ngram_novelty", "curate_corpus_best",
-        "media_image_dhash_pairs", "media_audio_fp_pairs",
-        "incremental_dedup_report", "incremental_neardup_report",
-        "knn_label_accuracy", "pack_mixture_corpus"]
-    # every query whose PLAN changed in round 5 must re-earn driver
-    # evidence: the hot-key window rewrites, the banded lsh_topk, the
-    # single-pass entropy, the kmeans-guard path, and the mixture
-    # selector the new composition shares
-    for q in ("c4_line_dedup", "boilerplate_lines", "doc_dup_spans",
-              "ann_lsh_topk", "doc_char_entropy",
-              "embedding_cluster_stats", "mixture_applied_sample"):
+    # the three signature queries whose rows-only checks flip to full
+    # artifact oracles take the head (first-ever ORACLED rows), then
+    # everything whose plan or operating point changed this round:
+    # adaptive Hamming banding rides the same three, the OR-banded
+    # embedding LSH, the 128-hash incremental near-dup, integer-div
+    # chunking, √n SemDeDup
+    assert names[:8] == [
+        "dedup_simhash_pairs", "media_image_dhash_pairs",
+        "media_audio_fp_pairs", "incremental_neardup_report",
+        "doc_chunks", "dedup_embedding_pairs_lsh", "ann_lsh_topk",
+        "semantic_dedup_embeddings"]
+    # the 16 queries that rotated out of the r5 window re-verify
+    # (last green r4 — VERDICT r5 next#7: every operator's last green
+    # stays ≤2 rounds old)
+    for q in ("doc_length_deciles", "media_image_features",
+              "media_audio_features", "q1_pricing_summary",
+              "q6_forecast_revenue", "q3_top_orders",
+              "q5_region_revenue", "top_orders_per_customer",
+              "rollup_revenue", "bucketed_order_revenue",
+              "doc_keywords_tfidf", "curriculum_epoch_order",
+              "doc_repetition_stats", "pack_training_sequences",
+              "doc_lm_quality", "wc_bucket_hist"):
         assert q in window, q
-    # round-4 first-rows stay fresh (media_audio_features rotated
-    # out at the 50-slot boundary this round — r4 hash-green stands)
-    for q in ("pack_curated_corpus", "ann_pq_topk",
-              "training_mixture_plan", "doc_quality", "curate_corpus",
-              "bpe_pair_stats", "doc_bpe_tokens", "epoch_shuffle_order",
-              "doc_quality_features", "doc_compression_ratio",
-              "semantic_dedup_embeddings"):
+    # stalest core families fill the remaining slots: the full
+    # last-green-r2 cohort and a 15-query slice of the r3 cohort
+    for q in ("big_spender_segments", "wc_top20", "running_revenue",
+              "events_asof_orders", "events_sessions",
+              "q7_nation_volume", "doc_language_id", "sketch_stats"):
         assert q in window, q
-    # core families rotate through (q1/q6/TPC-H reps rotated out this
-    # round — each has hash-green rows in all of r1-r4)
-    for q in ("wc_word_count", "dedup_minhash_pairs", "dedup_exact",
-              "decontam_report", "stratified_sample_docs"):
-        assert q in window, q
+    # every r5-window query is freshly green (CORRECTNESS_r05) and
+    # correctly rotates OUT this round
+    for q in ("doc_chunks", "incremental_neardup_report"):
+        assert q in window  # unless its plan changed again (above)
+    assert "wc_word_count" not in window  # green in r1/r2/r5
 
 
 def test_registry_is_complete_and_unique():

@@ -1,0 +1,61 @@
+"""Signature-artifact oracle plumbing (sources/sig_artifacts.py).
+
+The full three-check comparison of the signature queries against
+their artifact oracles runs in tests/test_oracle.py's registry sweep;
+here we pin the plumbing that sweep relies on: the cross-engine
+corpus key, and the artifact's byte-stable layout.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from mapreducewordcount_spark.sources.sig_artifacts import (
+    ARTIFACT_ROOT,
+    corpus_key,
+    materialize_signatures,
+)
+from tests.conftest import SF_ORACLE
+
+
+def test_corpus_key_matches_duckdb(spark):
+    """The Spark side of the key must equal what the oracle's WHERE
+    clause computes — (count(*), sum(length(text))) — or the glob scan
+    selects no artifact and the oracle silently returns zero rows."""
+    from mapreducewordcount_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    n, chars = corpus_key(docs)
+    dn, dchars = duckdb.sql(
+        f"SELECT count(*), sum(length(text)) "
+        f"FROM '{SF_ORACLE}/documents.parquet'").fetchone()
+    assert (n, chars) == (dn, dchars)
+
+
+def test_corpus_key_distinguishes_driver_corpora(spark):
+    """sf0.001 and sf0.01 both have 500 documents; the chars component
+    must tell them apart or their artifacts would collide."""
+    from mapreducewordcount_spark.sources.tables import load_table
+
+    keys = {corpus_key(load_table(spark, sf, "documents"))
+            for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01")}
+    assert len(keys) == 2
+
+
+def test_materialize_roundtrip_and_stable_layout(spark, tmp_path):
+    sigs = spark.createDataFrame(
+        [(3, 7), (1, -5), (2, 0)], "doc_id long, s long")
+    key = (3, 42)
+    back = materialize_signatures(sigs, "test_roundtrip", key,
+                                  "doc_id", "s")
+    assert {(r.id, r.sig) for r in back.collect()} == {(3, 7), (1, -5), (2, 0)}
+    art = ARTIFACT_ROOT / "test_roundtrip" / "k=3_42"
+    assert [p.name for p in art.iterdir()] == ["sig.parquet"]
+    # key columns ride every row so the oracle's WHERE can select
+    row = duckdb.sql(f"SELECT DISTINCT n_docs, text_chars "
+                     f"FROM '{art}/sig.parquet'").fetchone()
+    assert row == (3, 42)
+    import shutil
+
+    shutil.rmtree(ARTIFACT_ROOT / "test_roundtrip")
