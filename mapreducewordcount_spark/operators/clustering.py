@@ -91,14 +91,30 @@ def cluster_stats(assignments: DataFrame,
 
     The exemplar is picked with a ``max_by`` over a struct ordered
     (cos desc, id asc) — no window, no second shuffle.
+
+    ``mean_cos`` is computed ORDER-INDEPENDENTLY: the input ``cos``
+    values are 6dp-rounded, so scaling by 10⁶ and rounding to long is
+    exact, the integer sum is associative (no float summation-order
+    ulps), and one final double division + round is deterministic on
+    any engine. A plain ``avg(double)`` was observed 1 ulp across the
+    6dp rounding boundary between Spark's shuffle order and DuckDB's
+    sequential sum (round-6 gate work) — this form hash-matches by
+    construction.
     """
     pick = F.struct(F.col("cos").alias("c"),
                     (-F.col(id_col)).alias("negid"))
+    scaled = F.round(F.col("cos") * F.lit(1000000.0)).cast("long")
     return (assignments.groupBy("cluster_id")
             .agg(F.count(F.lit(1)).alias("n_members"),
-                 F.round(F.avg("cos"), 6).alias("mean_cos"),
+                 F.sum(scaled).alias("__sum6"),
                  F.round(F.min("cos"), 6).alias("min_cos"),
                  F.max_by(F.col(id_col), pick).alias("exemplar_id"))
+            .withColumn("mean_cos",
+                        F.round(F.col("__sum6")
+                                / (F.col("n_members") * F.lit(1000000.0)),
+                                6))
+            .select("cluster_id", "n_members", "mean_cos", "min_cos",
+                    "exemplar_id")
             .orderBy("cluster_id"))
 
 

@@ -820,6 +820,69 @@ def embedding_dup_pairs_lsh(embeddings: DataFrame, id_col: str = "vec_id",
             .select("a_id", "b_id", F.round("cos", 4).alias("cos")))
 
 
+def embedding_band_keys(embeddings: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding", dim: int = 64,
+                        n_bands: int = 64,
+                        band_width: int | None = None,
+                        corpus_size: int | None = None) -> DataFrame:
+    """(id, band, key) exploded band table — the same fixed-plane
+    construction ``lsh_candidate_pairs`` bands on, exposed standalone
+    so the gate queries can materialize it as an oracle artifact
+    (``sources/sig_artifacts.materialize_frame``) and at scale so a
+    write-time job can persist it as the corpus's LSH index."""
+    from mapreducewordcount_spark.operators.similarity import (
+        _fixed_planes,
+        band_keys_udf,
+        derive_band_width,
+    )
+    from mapreducewordcount_spark.sources.tables import spread
+
+    if band_width is None:
+        n = (corpus_size if corpus_size is not None
+             else embeddings.count())
+        band_width = derive_band_width(n)
+    planes = _fixed_planes(dim, n_bands * band_width)
+    mk_keys = band_keys_udf(planes, n_bands, band_width)
+    return (spread(embeddings)
+            .select(F.col(id_col).alias("id"),
+                    mk_keys(F.col(vec_col)).alias("keys"))
+            .select("id", F.posexplode("keys").alias("band", "key")))
+
+
+def embedding_pairs_from_banded(banded: DataFrame, embeddings: DataFrame,
+                                threshold: float = 0.45,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding") -> DataFrame:
+    """Candidate equi-join + exact-cosine verify over a PRE-COMPUTED
+    (id, band, key) band table — the downstream half of
+    ``embedding_dup_pairs_lsh``, runnable against an artifact
+    readback or a persisted write-time LSH index. Identical output
+    to the one-shot operator for the same band table."""
+    from mapreducewordcount_spark.functions.vectors import dot, norm
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("a_id"),
+                    F.col("b.id").alias("b_id"))
+            .distinct())
+    v = embeddings.select(F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("vec"),
+                          norm(vec_col).alias("nrm"))
+    a_v = v.select(F.col("id").alias("a_id"), F.col("vec").alias("a_vec"),
+                   F.col("nrm").alias("a_n"))
+    b_v = v.select(F.col("id").alias("b_id"), F.col("vec").alias("b_vec"),
+                   F.col("nrm").alias("b_n"))
+    cos = F.when((F.col("a_n") > 0) & (F.col("b_n") > 0),
+                 dot("a_vec", "b_vec") / (F.col("a_n") * F.col("b_n"))) \
+        .otherwise(F.lit(0.0))
+    return (F.broadcast(cand).join(a_v, "a_id").join(b_v, "b_id")
+            .withColumn("cos", cos)
+            .filter(F.col("cos") >= threshold)
+            .select("a_id", "b_id", F.round("cos", 4).alias("cos")))
+
+
 def winnow_fingerprint_docs(docs: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", n: int = 3,
                             w: int = 4) -> DataFrame:

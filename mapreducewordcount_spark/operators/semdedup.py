@@ -60,14 +60,45 @@ def semantic_dedup(embeddings: DataFrame, n_lists: int = 16,
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold={threshold} must be in (0, 1]")
+    return semantic_dedup_from_assignments(
+        semantic_assignments(embeddings, n_lists, kmeans_iters,
+                             id_col, vec_col),
+        embeddings, threshold, id_col, vec_col)
+
+
+def semantic_assignments(embeddings: DataFrame, n_lists: int = 16,
+                         kmeans_iters: int = 2, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """(id, list_id) cluster routing — SemDeDup's write-time half,
+    split out so the gate query can materialize it as an oracle
+    artifact and a production pipeline can persist it partitioned by
+    ``list_id`` (the index build runs once; pruning re-runs as
+    thresholds change)."""
     assigned, _cent = ivf_build(embeddings, id_col, vec_col,
                                 n_lists=n_lists, kmeans_iters=kmeans_iters)
+    return assigned.select(F.col("neighbor_id").alias("id"), "list_id")
+
+
+def semantic_dedup_from_assignments(assignments: DataFrame,
+                                    embeddings: DataFrame,
+                                    threshold: float = 0.8,
+                                    id_col: str = "vec_id",
+                                    vec_col: str = "embedding") -> DataFrame:
+    """The prune half of SemDeDup over a PRE-COMPUTED (id, list_id)
+    assignment table (artifact readback or persisted index):
+    within-cluster exact-cosine pairs → min-label components →
+    (vec_id, list_id, group_id, keep). Everything here is plain
+    joins/aggregates — which is what lets the DuckDB oracle recompute
+    it end-to-end from the same assignment artifact."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold={threshold} must be in (0, 1]")
     from mapreducewordcount_spark.functions.vectors import dot, norm
 
-    base = assigned.select("list_id",
-                           F.col("neighbor_id").alias("id"),
-                           F.col("c_vec").alias("vec"),
-                           norm("c_vec").alias("nrm"))
+    base = (assignments
+            .join(embeddings.select(F.col(id_col).alias("id"),
+                                    F.col(vec_col).alias("vec"),
+                                    norm(vec_col).alias("nrm")), "id")
+            .select("list_id", "id", "vec", "nrm"))
     a = base.select("list_id", F.col("id").alias("a_id"),
                     F.col("vec").alias("a_vec"), F.col("nrm").alias("a_n"))
     b = base.select("list_id", F.col("id").alias("b_id"),
@@ -88,8 +119,8 @@ def semantic_dedup(embeddings: DataFrame, n_lists: int = 16,
     # survivor set (≥-threshold only), cheap to hold.
     pairs = pairs.localCheckpoint(eager=True)
     groups = dup_groups(pairs)  # (doc_id, group_id) for paired ids only
-    return (assigned
-            .select(F.col("neighbor_id").alias(id_col), "list_id")
+    return (assignments
+            .select(F.col("id").alias(id_col), "list_id")
             .join(groups.withColumnRenamed("doc_id", id_col),
                   id_col, "left")
             .withColumn("group_id",

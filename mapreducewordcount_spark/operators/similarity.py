@@ -343,10 +343,41 @@ def ivf_probe(assigned: DataFrame, centroids: DataFrame,
     Same output contract as ``cosine_topk``; recall vs brute force is
     pinned in tests. Clustered real embeddings do far better than the
     near-random test vectors (which are ANN's adversarial case).
+
+    Composed of ``ivf_route`` (centroid argmax — numpy model step)
+    and ``ivf_rerank`` (joins + exact cosine — plain relational
+    algebra), split so the gate query can materialize the routing as
+    an oracle artifact and let DuckDB recompute the rerank.
     """
+    routed = ivf_route(queries, centroids, n_probe, vec_col,
+                       query_id_col)
+    return ivf_rerank(assigned, routed, queries, k, vec_col,
+                      query_id_col)
+
+
+def ivf_route(queries: DataFrame, centroids: DataFrame,
+              n_probe: int = 4, vec_col: str = "embedding",
+              query_id_col: str = "query_id") -> DataFrame:
+    """(query_id, list_id) probe routing: each query's ``n_probe``
+    nearest centroids (broadcast-centroid Arrow argmax; ties →
+    smallest list_id). The model half of ``ivf_probe``."""
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"))
-    probed = _nearest_lists(q, centroids, "q_vec", "query_id", n_probe)
+    return (_nearest_lists(q, centroids, "q_vec", "query_id", n_probe)
+            .select("query_id", "list_id"))
+
+
+def ivf_rerank(assigned: DataFrame, routed: DataFrame,
+               queries: DataFrame, k: int = 5,
+               vec_col: str = "embedding",
+               query_id_col: str = "query_id") -> DataFrame:
+    """Exact-cosine re-rank of the probed lists: join the (query_id,
+    list_id) routing against the assignment table, score candidates,
+    window top-k. Pure joins/window — SQL-expressible, which is what
+    the artifact oracle recomputes."""
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    probed = routed.join(F.broadcast(q), "query_id")
     w = (Window.partitionBy("query_id")
          .orderBy(F.col("cos").desc(), F.col("neighbor_id")))
     return (assigned.join(F.broadcast(probed), "list_id")

@@ -68,11 +68,12 @@ def all_queries() -> dict[str, QuerySpec]:
     #   mixture→packing composition (first-ever rows), then the r5
     #   plan-changed set, then core-family rotation (39/39 oracled
     #   green, 11 rows-only);
-    #   r6 window (below) — the three signature queries whose
-    #   rows-only checks flip to full artifact oracles, then every
-    #   query whose plan/operating point changed this round (adaptive
-    #   banding, the OR-banded embedding LSH, √n SemDeDup, the
-    #   128-hash incremental near-dup, integer-div chunking), then
+    #   r6 window (below) — the EIGHT queries whose rows-only checks
+    #   flip to full artifact oracles this round (signature Hamming
+    #   joins, banded embedding LSH, LSH/IVF ANN, SemDeDup prune,
+    #   k-means cluster stats — sources/sig_artifacts.py), then the
+    #   remaining plan/operating-point changes (128-hash incremental
+    #   near-dup, integer-div chunking), then
     #   the 16 queries that rotated out of r5's window (their last
     #   green is r4 — VERDICT r5 next#7 keeps every operator's last
     #   green ≤2 rounds old), then the stalest core families (last
@@ -88,11 +89,11 @@ def all_queries() -> dict[str, QuerySpec]:
     gate_first = (
         # rows-only → artifact-oracle flips: first-ever ORACLED rows
         "dedup_simhash_pairs", "media_image_dhash_pairs",
-        "media_audio_fp_pairs",
+        "media_audio_fp_pairs", "dedup_embedding_pairs_lsh",
+        "ann_lsh_topk", "ann_ivf_topk", "semantic_dedup_embeddings",
+        "embedding_cluster_stats",
         # plan / operating-point changes this round
         "incremental_neardup_report", "doc_chunks",
-        "dedup_embedding_pairs_lsh", "ann_lsh_topk",
-        "semantic_dedup_embeddings",
         # rotated out of the r5 window (last green r4)
         "doc_length_deciles", "media_image_features",
         "media_audio_features", "q1_pricing_summary",
@@ -112,7 +113,6 @@ def all_queries() -> dict[str, QuerySpec]:
         "events_after_purchase", "q2_min_cost_supplier",
         "q4_priority_late", "q7_nation_volume", "q8_market_share",
         "q9_type_profit", "q10_returned_customers", "doc_language_id",
-        "doc_fingerprints", "sketch_stats",
     )
     out = {n: full[n] for n in gate_first}
     out.update(full)  # remainder keeps its original relative order

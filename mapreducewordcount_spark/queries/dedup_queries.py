@@ -14,15 +14,17 @@ Oracle notes:
   needs the 128-hash / 64-band (2-row) operating point that
   ``incremental_neardup_report`` uses (at-threshold miss ~1e-8) —
   the exact-verify stage then absorbs the extra low-j candidates.
-- ``dedup_simhash_pairs`` depends on a hash family (xxhash64) DuckDB
-  does not implement, but its JOIN stage is fully oracled via the
-  signature-artifact scheme (``sources/sig_artifacts.py``): the
-  engine's signature table goes to a committed parquet artifact and
-  DuckDB recomputes the banded Hamming join + popcount verify from
-  it. The hash family itself stays pytest-pinned.
-- ``ann_lsh_topk`` remains rows-only (its recall-bearing candidate
-  stage is the approximation under test); pytest checks it against
-  the exact operator (neighbor overlap).
+- ``dedup_simhash_pairs`` / ``dedup_embedding_pairs_lsh`` /
+  ``ann_lsh_topk`` / ``ann_ivf_topk`` depend on model steps DuckDB
+  cannot recompute (xxhash64, numpy sign projections, k-means), but
+  their JOIN/verify/rerank stages are fully oracled via the
+  artifact scheme (``sources/sig_artifacts.py``): the engine's model
+  table (signatures / band keys / assignments+routing) goes to a
+  committed parquet artifact and DuckDB recomputes everything
+  downstream of it — banded joins, popcount or cosine verifies,
+  rankings — from the artifact + the raw views. The model steps
+  themselves stay pytest-pinned (parity, planted-pair recall,
+  neighbor overlap).
 """
 
 from __future__ import annotations
@@ -229,9 +231,39 @@ FROM reach GROUP BY id
 
 
 def dedup_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-pruned semantic near-dups (recall vs exact pinned in tests)."""
+    """LSH-pruned semantic near-dups, join+verify under a full hash
+    oracle: the engine's (id, band, key) sign-LSH band table is
+    materialized to a committed artifact, the candidate equi-join
+    consumes the readback, and DuckDB recomputes the same join PLUS
+    the exact-cosine verify from the raw embeddings view — so
+    everything downstream of the (pytest-pinned, numpy-computed)
+    banding is value-checked. Recall vs the exact operator stays
+    pinned in tests. Output identical to
+    ``dd.embedding_dup_pairs_lsh(emb, threshold=0.45)`` — same
+    planes, same defaults."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return dd.embedding_dup_pairs_lsh(emb, threshold=0.45)
+    banded = _sig_artifacts.materialize_frame(
+        dd.embedding_band_keys(emb), "dedup_embedding_pairs_lsh",
+        _sig_artifacts.embeddings_corpus_key(emb), ["id", "band"])
+    return dd.embedding_pairs_from_banded(banded, emb, threshold=0.45)
+
+
+LSH_PAIRS_SQL = f"""
+WITH {_sig_artifacts.frame_cte('kb', 'dedup_embedding_pairs_lsh')},
+cand AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+  FROM kb a JOIN kb b
+    ON a.band = b.band AND a."key" = b."key" AND a.id < b.id
+)
+SELECT c.a_id, c.b_id,
+       round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                    eb.embedding::DOUBLE[]), 4) AS cos
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.a_id
+JOIN embeddings eb ON eb.vec_id = c.b_id
+WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                             eb.embedding::DOUBLE[]) >= 0.45
+"""
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,19 +296,127 @@ QUALIFY rank <= 5
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate ANN (recall measured in tests)."""
+    """LSH-bucketed approximate ANN with the probe+rerank under a
+    full hash oracle: the corpus band table (identical construction
+    to ``sim.lsh_topk``'s — same planes, same derived width) goes to
+    a committed artifact; query rows (vec_id < 10) probe the
+    readback's buckets, and the exact-cosine re-rank runs on
+    candidates only. DuckDB recomputes probe, join, cosine and
+    ranking from the same artifact + the raw embeddings view; the
+    banding itself stays pytest-pinned (recall vs exact top-k).
+    Output matches ``sim.lsh_topk(emb, queries, k=5)``."""
+    from pyspark.sql import Window
+
+    from mapreducewordcount_spark.functions.vectors import cosine
+
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = (emb.filter(F.col("vec_id") < 10)
-               .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return sim.lsh_topk(emb, queries, k=5)
+    kb = _sig_artifacts.materialize_frame(
+        dd.embedding_band_keys(emb), "ann_lsh_topk",
+        _sig_artifacts.embeddings_corpus_key(emb), ["id", "band"])
+    qb = (kb.filter(F.col("id") < 10)
+          .select(F.col("id").alias("query_id"), "band", "key"))
+    cand = (kb.join(F.broadcast(qb), ["band", "key"])
+            .filter(F.col("id") != F.col("query_id"))
+            .select("query_id", F.col("id").alias("neighbor_id"))
+            .distinct())
+    vecs = emb.select(F.col("vec_id"), F.col("embedding"))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("cos").desc(), F.col("neighbor_id")))
+    return (F.broadcast(cand)
+            .join(vecs.select(F.col("vec_id").alias("neighbor_id"),
+                              F.col("embedding").alias("c_vec")),
+                  "neighbor_id")
+            .join(F.broadcast(vecs.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_vec"))), "query_id")
+            .withColumn("cos", F.round(cosine("q_vec", "c_vec"), 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id", "rank", "cos"))
+
+
+_GUARDED_COS_6 = """round(CASE WHEN sqrt(list_dot_product(eq.embedding::DOUBLE[], eq.embedding::DOUBLE[])) > 0
+                     AND sqrt(list_dot_product(en.embedding::DOUBLE[], en.embedding::DOUBLE[])) > 0
+               THEN list_dot_product(eq.embedding::DOUBLE[], en.embedding::DOUBLE[])
+                    / (sqrt(list_dot_product(eq.embedding::DOUBLE[], eq.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(en.embedding::DOUBLE[], en.embedding::DOUBLE[])))
+               ELSE 0.0 END, 6)"""
+
+
+ANN_LSH_SQL = f"""
+WITH {_sig_artifacts.frame_cte('kb', 'ann_lsh_topk')},
+cand AS (
+  SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+  FROM kb q JOIN kb c
+    ON q.band = c.band AND q."key" = c."key"
+   AND q.id < 10 AND c.id <> q.id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id, {_GUARDED_COS_6} AS cos
+  FROM cand
+  JOIN embeddings eq ON eq.vec_id = cand.query_id
+  JOIN embeddings en ON en.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+       cos
+FROM scored
+QUALIFY rank <= 5
+"""
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF centroid-routed approximate ANN (recall measured in tests)."""
+    """IVF centroid-routed approximate ANN with the rerank under a
+    full hash oracle: the two model tables — the (id, list_id)
+    assignment and the (query_id, list_id) probe routing, both
+    products of the numpy k-means/argmax steps that SQL can't
+    replicate — are materialized as committed artifacts, and DuckDB
+    recomputes the probed-list join, exact cosine and top-k ranking
+    from those artifacts + the raw embeddings view. Recall vs brute
+    force stays pytest-pinned. Output matches
+    ``sim.ivf_topk(emb, queries, k=5)`` (same build parameters)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = (emb.filter(F.col("vec_id") < 10)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return sim.ivf_topk(emb, queries, k=5)
+    assigned, cent = sim.ivf_build(emb, n_lists=16, kmeans_iters=2)
+    key = _sig_artifacts.embeddings_corpus_key(emb)
+    asn = _sig_artifacts.materialize_frame(
+        assigned.select(F.col("neighbor_id").alias("id"), "list_id"),
+        "ann_ivf_topk_assign", key, ["id"])
+    routed = _sig_artifacts.materialize_frame(
+        sim.ivf_route(queries, cent), "ann_ivf_topk_routed", key,
+        ["query_id", "list_id"])
+    assigned_vecs = (asn
+                     .join(emb.select(F.col("vec_id").alias("id"),
+                                      F.col("embedding").alias("c_vec")),
+                           "id")
+                     .select(F.col("id").alias("neighbor_id"), "c_vec",
+                             "list_id"))
+    return sim.ivf_rerank(assigned_vecs, routed, queries, k=5)
+
+
+ANN_IVF_SQL = f"""
+WITH {_sig_artifacts.frame_cte('asn', 'ann_ivf_topk_assign')},
+{_sig_artifacts.frame_cte('routed', 'ann_ivf_topk_routed')},
+cand AS (
+  SELECT r.query_id, a.id AS neighbor_id
+  FROM routed r JOIN asn a USING (list_id)
+  WHERE a.id <> r.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id, {_GUARDED_COS_6} AS cos
+  FROM cand
+  JOIN embeddings eq ON eq.vec_id = cand.query_id
+  JOIN embeddings en ON en.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+       cos
+FROM scored
+QUALIFY rank <= 5
+"""
 
 
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -294,8 +434,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ann_lsh_topk / ann_ivf_topk lead: they were the registry tail in
 # round 1 and never reached the driver gate (see queries/__init__.py).
 QUERIES = {
-    "ann_lsh_topk": QuerySpec(ann_lsh_topk, None),
-    "ann_ivf_topk": QuerySpec(ann_ivf_topk, None),
+    "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_SQL),
+    "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_SQL),
     "ann_pq_topk": QuerySpec(ann_pq_topk, None),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_COSINE_SQL),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
@@ -310,5 +450,6 @@ QUERIES = {
                                          DOC_WINNOW_SQL),
     "dedup_winnow_pairs": QuerySpec(dedup_winnow_pairs, WINNOW_PAIRS_SQL),
     "dedup_embedding_pairs": QuerySpec(dedup_embedding_pairs, DEDUP_EMBEDDING_SQL),
-    "dedup_embedding_pairs_lsh": QuerySpec(dedup_embedding_pairs_lsh, None),
+    "dedup_embedding_pairs_lsh": QuerySpec(dedup_embedding_pairs_lsh,
+                                           LSH_PAIRS_SQL),
 }

@@ -29,6 +29,7 @@ from mapreducewordcount_spark.operators.packing import (
     pack_sequences,
 )
 from mapreducewordcount_spark.queries import QuerySpec
+from mapreducewordcount_spark.sources import sig_artifacts as _sig_artifacts
 from mapreducewordcount_spark.sources.tables import load_table, spread
 
 #: DuckDB twin of functions/repetition._lines — split on newline,
@@ -650,15 +651,65 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs)): the within-cluster pair space is Σ|cluster|² ≈ n²/k, so
     k=√n bounds it at n^1.5 and the gate now exercises the
     configuration the 100 TB story depends on instead of a fixed
-    test-scale k=16 (VERDICT r5 next#8)."""
+    test-scale k=16 (VERDICT r5 next#8).
+
+    Round 6: the prune half is under a FULL hash oracle — the
+    k-means assignment (the only non-SQL-expressible piece) is
+    materialized to a committed artifact, the engine prunes from the
+    readback, and DuckDB recomputes within-cluster cosine pairs,
+    the recursive-CTE transitive closure, min-id keepers and keep
+    flags from the same artifact + the raw embeddings view."""
     import math
 
-    from mapreducewordcount_spark.operators.semdedup import semantic_dedup
+    from mapreducewordcount_spark.operators.semdedup import (
+        semantic_assignments,
+        semantic_dedup_from_assignments,
+    )
+    from mapreducewordcount_spark.sources import sig_artifacts
 
     emb = load_table(spark, sf_dir, "embeddings")
     n_lists = max(8, round(math.sqrt(emb.count())))
-    return semantic_dedup(emb, n_lists=n_lists, threshold=0.8,
-                          kmeans_iters=2)
+    asn = sig_artifacts.materialize_frame(
+        semantic_assignments(emb, n_lists=n_lists, kmeans_iters=2),
+        "semantic_dedup_embeddings",
+        sig_artifacts.embeddings_corpus_key(emb), ["id"])
+    return semantic_dedup_from_assignments(asn, emb, threshold=0.8)
+
+
+_SEM_COS = """CASE WHEN sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) > 0
+            AND sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) > 0
+       THEN list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+            / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+       ELSE 0.0 END"""
+
+SEMDEDUP_SQL = f"""
+WITH RECURSIVE {_sig_artifacts.frame_cte('asn', 'semantic_dedup_embeddings')},
+v AS (
+  SELECT a.id, a.list_id, e.embedding
+  FROM asn a JOIN embeddings e ON e.vec_id = a.id
+),
+pairs AS (
+  SELECT a.id AS a_id, b.id AS b_id
+  FROM v a JOIN v b ON a.list_id = b.list_id AND a.id < b.id
+  WHERE {_SEM_COS} >= 0.8
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL SELECT b_id, a_id FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+comp AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id)
+SELECT asn.id AS vec_id, asn.list_id,
+       coalesce(comp.group_id, asn.id) AS group_id,
+       CAST(CASE WHEN coalesce(comp.group_id, asn.id) = asn.id
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM asn LEFT JOIN comp ON asn.id = comp.id
+"""
 
 
 #: the applied-sample query uses a deliberately SMALL budget so the
@@ -710,17 +761,73 @@ ORDER BY d.doc_id
 def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-class k-means over the embeddings table: spherical
     Lloyd (k=8, 2 rounds), then the k-row per-cluster summary (size,
-    mean/min cosine-to-centroid, deterministic exemplar). K-means
-    semantics are seed/iteration-dependent → rows-only gate entry;
-    planted-cluster recovery is pinned in tests/test_clustering.py."""
+    mean/min cosine-to-centroid, deterministic exemplar).
+    Planted-cluster recovery is pinned in tests/test_clustering.py.
+
+    Round 6: the summary half is under a FULL hash oracle — the two
+    model tables the Lloyd loop produces (the (vec_id, cluster_id)
+    assignment and the (cluster_id, cent_vec) centroids) go to
+    committed artifacts, the engine recomputes cosine-to-centroid
+    from the readbacks, and DuckDB recomputes the same cosines and
+    all the aggregates (size, mean/min, argmax exemplar) from the
+    artifacts + the raw embeddings view."""
+    from mapreducewordcount_spark.functions.vectors import cosine
     from mapreducewordcount_spark.operators.clustering import (
         cluster_stats,
         kmeans,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned, _cent = kmeans(emb, k=8, iters=2)
-    return cluster_stats(assigned)
+    assigned, cent = kmeans(emb, k=8, iters=2)
+    key = _sig_artifacts.embeddings_corpus_key(emb)
+    asn = _sig_artifacts.materialize_frame(
+        assigned.select("vec_id", "cluster_id"),
+        "embedding_cluster_stats_assign", key, ["vec_id"])
+    cent_rb = _sig_artifacts.materialize_frame(
+        cent, "embedding_cluster_stats_cent", key, ["cluster_id"])
+    scored = (asn
+              .join(emb.select("vec_id",
+                               F.col("embedding").alias("__vec")),
+                    "vec_id")
+              .join(F.broadcast(cent_rb), "cluster_id")
+              .withColumn("cos", F.round(cosine("__vec", "cent_vec"), 6))
+              .select("vec_id", "cluster_id", "cos"))
+    return cluster_stats(scored)
+
+
+_CLUSTER_COS = """CASE WHEN sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) > 0
+            AND sqrt(list_dot_product(c.cent_vec::DOUBLE[], c.cent_vec::DOUBLE[])) > 0
+       THEN list_dot_product(e.embedding::DOUBLE[], c.cent_vec::DOUBLE[])
+            / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(c.cent_vec::DOUBLE[], c.cent_vec::DOUBLE[])))
+       ELSE 0.0 END"""
+
+CLUSTER_STATS_SQL = f"""
+WITH {_sig_artifacts.frame_cte('asn', 'embedding_cluster_stats_assign')},
+{_sig_artifacts.frame_cte('cent', 'embedding_cluster_stats_cent')},
+scored AS (
+  SELECT a.vec_id, a.cluster_id, round({_CLUSTER_COS}, 6) AS cos
+  FROM asn a
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN cent c ON c.cluster_id = a.cluster_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY cos DESC, vec_id) AS rn
+  FROM scored
+),
+ex AS (SELECT cluster_id, vec_id AS exemplar_id FROM ranked WHERE rn = 1)
+SELECT s.cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       -- order-independent mean: 6dp cos scaled to exact integers,
+       -- one final division (matches operators/clustering.py)
+       round(CAST(sum(CAST(round(cos * 1000000) AS BIGINT)) AS BIGINT)
+             / (count(*) * 1000000.0), 6) AS mean_cos,
+       round(min(cos), 6) AS min_cos,
+       ex.exemplar_id
+FROM scored s JOIN ex USING (cluster_id)
+GROUP BY s.cluster_id, ex.exemplar_id
+"""
 
 
 # --- end-to-end dataset build (curate ∘ pack) -------------------------------
@@ -831,8 +938,10 @@ QUERIES = {
     "doc_lm_quality": QuerySpec(doc_lm_quality, LM_QUALITY_SQL),
     "doc_dup_spans": QuerySpec(doc_dup_spans, DUP_SPANS_SQL),
     "pack_curated_corpus": QuerySpec(pack_curated_corpus, _pack_kept_sql()),
-    "semantic_dedup_embeddings": QuerySpec(semantic_dedup_embeddings, None),
-    "embedding_cluster_stats": QuerySpec(embedding_cluster_stats, None),
+    "semantic_dedup_embeddings": QuerySpec(semantic_dedup_embeddings,
+                                           SEMDEDUP_SQL),
+    "embedding_cluster_stats": QuerySpec(embedding_cluster_stats,
+                                         CLUSTER_STATS_SQL),
     "bpe_pair_stats": QuerySpec(bpe_pair_stats, BPE_PAIRS_SQL),
     "doc_bpe_tokens": QuerySpec(doc_bpe_tokens, None),
     "epoch_shuffle_order": QuerySpec(epoch_shuffle_order, EPOCH_SHUFFLE_SQL),

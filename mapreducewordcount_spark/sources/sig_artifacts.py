@@ -56,6 +56,120 @@ def corpus_key(docs: DataFrame) -> tuple[int, int]:
     return int(row.n), int(row.chars or 0)
 
 
+#: DuckDB-side expressions for the embeddings corpus key — must stay
+#: in lockstep with ``embeddings_corpus_key``. ``floor`` (not round)
+#: because both engines floor IEEE doubles identically; the *1000
+#: double product is bit-identical on both sides (same float32 →
+#: float64 widening, same multiply), so the sum is integer-exact.
+EMB_KEY_SQL = (
+    "(SELECT count(*) FROM embeddings)",
+    "(SELECT sum(CAST(floor(embedding[1] * 1000) AS BIGINT)) "
+    "FROM embeddings)",
+)
+
+
+def embeddings_corpus_key(emb: DataFrame,
+                          vec_col: str = "embedding") -> tuple[int, int]:
+    """(n_rows, Σ floor(first_component × 1000)) — the embeddings
+    analog of ``corpus_key``: sf0.001 and sf0.01 both have 500
+    vectors, but the floor-sums differ (-1712 vs 826). Integer-only
+    on both engines, so the artifact WHERE clause matches exactly."""
+    row = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col(vec_col)[0] * 1000).cast("long")).alias("s")
+    ).first()
+    return int(row.n), int(row.s or 0)
+
+
+def materialize_frame(df: DataFrame, query_name: str,
+                      key: tuple[int, int],
+                      sort_cols: list[str]) -> DataFrame:
+    """Generalized artifact writer: persist ALL columns of ``df``
+    (plus the two key columns ``k_rows``/``k_sum``) to the artifact
+    dir for ``query_name`` and return the frame re-read from the
+    written parquet, key columns dropped. ``sort_cols`` pins a
+    byte-stable row order so deterministic re-runs leave git clean.
+
+    Same contract as ``materialize_signatures`` but for arbitrary
+    engine-computed model tables (band keys, cluster assignments,
+    centroid tables): the DuckDB oracle recomputes everything
+    DOWNSTREAM of the artifact in SQL, while the artifact content
+    itself stays pytest-pinned.
+    """
+    n, s = key
+    path = ARTIFACT_ROOT / query_name / f"k={n}_{s}"
+    out = (df.withColumn("k_rows", F.lit(n).cast("long"))
+           .withColumn("k_sum", F.lit(s).cast("long")))
+    target = _write_artifact(out, path, "data.parquet", sort_cols)
+    return (df.sparkSession.read.parquet(str(target))
+            .drop("k_rows", "k_sum"))
+
+
+def _content_hash(df: DataFrame) -> tuple:
+    """Order-independent value fingerprint: bit_xor of xxhash64 over
+    the stringified row (sorted column order), plus the row count.
+    XOR (not sum) — an ANSI session raises on long-sum overflow, and
+    artifact rows are unique so XOR's duplicate-pair cancellation
+    can't bite."""
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in sorted(df.columns)]
+    row = (df.select(F.xxhash64(*cols).alias("__h"))
+           .agg(F.expr("bit_xor(__h)").alias("h"),
+                F.count(F.lit(1)).alias("n")).first())
+    return (row.h, row.n)
+
+
+def _write_artifact(out: DataFrame, path, filename: str,
+                    sort_cols: list[str]):
+    """Write ``out`` as a single stable-named parquet file — UNLESS an
+    existing artifact already holds exactly these values, in which
+    case the committed file is left byte-for-byte untouched.
+
+    The skip matters twice over: parquet bytes are NOT deterministic
+    across sessions (the footer's column-chunk encodings list is
+    serialized in varying order), so an unconditional rewrite would
+    churn git on every gate/test run; and leaving the committed bytes
+    in place is what lets an oracle-first execution order (fresh
+    checkout) read the same values the engine would produce. Value
+    drift (a changed hash family) still rewrites — the artifact
+    self-heals and the freshness test fails loudly.
+    """
+    import os
+
+    spark = out.sparkSession
+    target = path / filename
+    if target.exists():
+        try:
+            existing = spark.read.parquet(str(target))
+            if (sorted(existing.columns) == sorted(out.columns)
+                    and _content_hash(existing) == _content_hash(out)):
+                return target
+        except Exception:  # noqa: BLE001 — unreadable artifact → rewrite
+            pass
+    (out.coalesce(1)
+     .sortWithinPartitions(*sort_cols)
+     .write.mode("overwrite").parquet(str(path)))
+    part, = sorted(path.glob("part-*.parquet"))
+    os.replace(part, target)
+    for extra in path.iterdir():
+        if extra.name != filename:
+            extra.unlink()
+    return target
+
+
+def frame_cte(name: str, query_name: str,
+              key_sql: tuple[str, str] = EMB_KEY_SQL) -> str:
+    """`name AS (SELECT ... FROM <artifact glob> WHERE key matches)`
+    CTE body for a ``materialize_frame`` artifact."""
+    glob = str(ARTIFACT_ROOT / query_name / "*" / "*.parquet")
+    return f"""
+{name} AS (
+  SELECT * EXCLUDE (k_rows, k_sum) FROM read_parquet('{glob}')
+  WHERE k_rows = {key_sql[0]} AND k_sum = {key_sql[1]}
+)
+"""
+
+
 def materialize_signatures(sigs: DataFrame, query_name: str,
                            key: tuple[int, int],
                            id_col: str, sig_col: str) -> DataFrame:
@@ -65,24 +179,12 @@ def materialize_signatures(sigs: DataFrame, query_name: str,
     scans."""
     n, chars = key
     path = ARTIFACT_ROOT / query_name / f"k={n}_{chars}"
-    (sigs.select(F.col(id_col).cast("long").alias("id"),
-                 F.col(sig_col).cast("long").alias("sig"))
-     .withColumn("n_docs", F.lit(n).cast("long"))
-     .withColumn("text_chars", F.lit(chars).cast("long"))
-     .coalesce(1)
-     .sortWithinPartitions("id")  # stable row order → byte-stable artifact
-     .write.mode("overwrite").parquet(str(path)))
-    # normalize to one stable filename (the writer's uuid part names
-    # would churn git on every deterministic re-run) and drop the
-    # committer's _SUCCESS/.crc side files
-    import os
-
-    part, = sorted(path.glob("part-*.parquet"))
-    os.replace(part, path / "sig.parquet")
-    for extra in path.iterdir():
-        if extra.name != "sig.parquet":
-            extra.unlink()
-    return (sigs.sparkSession.read.parquet(str(path / "sig.parquet"))
+    out = (sigs.select(F.col(id_col).cast("long").alias("id"),
+                       F.col(sig_col).cast("long").alias("sig"))
+           .withColumn("n_docs", F.lit(n).cast("long"))
+           .withColumn("text_chars", F.lit(chars).cast("long")))
+    target = _write_artifact(out, path, "sig.parquet", ["id"])
+    return (sigs.sparkSession.read.parquet(str(target))
             .select("id", "sig"))
 
 

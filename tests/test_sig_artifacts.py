@@ -59,3 +59,30 @@ def test_materialize_roundtrip_and_stable_layout(spark, tmp_path):
     import shutil
 
     shutil.rmtree(ARTIFACT_ROOT / "test_roundtrip")
+
+
+def test_committed_artifact_matches_fresh_recompute(spark):
+    """The committed artifact bytes are what make the oracle
+    independent of execution order (a fresh checkout's oracle may
+    read them before the engine ever runs). If an operator's hash
+    family changes without regenerating artifacts, the gate would
+    self-heal (Spark runs first and overwrites) but the
+    committed-bytes guarantee would silently rot — pin it here for
+    the cheapest signature query."""
+    import hashlib
+
+    from mapreducewordcount_spark.operators.dedup import simhash_docs
+    from mapreducewordcount_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    n, chars = corpus_key(docs)
+    art = (ARTIFACT_ROOT / "dedup_simhash_pairs" / f"k={n}_{chars}"
+           / "sig.parquet")
+    assert art.exists(), "artifact for the gate corpus must be committed"
+    before = hashlib.md5(art.read_bytes()).hexdigest()
+    materialize_signatures(simhash_docs(docs), "dedup_simhash_pairs",
+                           (n, chars), "doc_id", "simhash")
+    assert hashlib.md5(art.read_bytes()).hexdigest() == before, \
+        "regenerated artifact differs from the committed bytes — " \
+        "the hash family changed; re-run the three-sf generation and " \
+        "commit the new artifacts"
