@@ -23,8 +23,11 @@ Nearest Neighbor Search*; the FAISS IndexPQ design):
   cosine re-ranks only those, so the output contract matches
   ``cosine_topk`` (query_id, neighbor_id, rank, cos).
 
-Approximate by design → no SQL oracle (rows-only gate row); recall
-vs the exact scan is pinned in tests like LSH/IVF.
+Approximate by design; recall vs the exact scan is pinned in tests
+like LSH/IVF. Since round 6 the gate row is a FULL hash oracle via
+the artifact scheme: the ADC shortlist (the float-sum model stage
+SQL can't replicate bit-for-bit) is materialized, and DuckDB
+recomputes the exact-cosine rerank + ranking from it.
 """
 
 from __future__ import annotations
@@ -151,7 +154,9 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             id_col: str = "vec_id", vec_col: str = "embedding",
             query_id_col: str = "query_id", m: int = 8, n_cent: int = 16,
             refine: int = 32, adc_mode: str = "auto") -> DataFrame:
-    """One-shot PQ ANN: build + ADC prefilter + exact cosine re-rank.
+    """One-shot PQ ANN: ``pq_shortlist`` (build + ADC prefilter) +
+    ``pq_rerank`` (exact cosine re-rank) — split so the gate query
+    can materialize the shortlist as an oracle artifact.
 
     Anything serving repeated query batches should ``pq_build`` once,
     persist the codes, and run only the ADC+refine read path. The ADC
@@ -178,6 +183,23 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     refine + exact-re-rank tail (recall pinned through both in
     tests/test_similarity_asof.py).
     """
+    cand = pq_shortlist(corpus, queries, id_col, vec_col, query_id_col,
+                        m, n_cent, refine, adc_mode)
+    return pq_rerank(cand, corpus, queries, k, id_col, vec_col,
+                     query_id_col)
+
+
+def pq_shortlist(corpus: DataFrame, queries: DataFrame,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 query_id_col: str = "query_id", m: int = 8,
+                 n_cent: int = 16, refine: int = 32,
+                 adc_mode: str = "auto") -> DataFrame:
+    """(query_id, neighbor_id) ADC shortlist — the ``refine``
+    lowest-ADC candidates per query (ties on neighbor_id). The model
+    half of PQ ANN: everything here rides the trained codebooks and
+    the float ADC sums, which SQL can't replicate bit-for-bit; the
+    gate materializes this table and the oracle recomputes the exact
+    rerank downstream of it."""
     if adc_mode not in ("auto", "closure", "join"):
         raise ValueError(f"adc_mode={adc_mode!r} not in auto/closure/join")
     codes, books = pq_build(corpus, id_col, vec_col, m=m, k=n_cent)
@@ -244,11 +266,20 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     wa = (Window.partitionBy("query_id")
           .orderBy(F.col("adc"), F.col("neighbor_id")))
-    cand = (scored
+    return (scored
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .withColumn("__r", F.row_number().over(wa))
             .filter(F.col("__r") <= refine)
             .select("query_id", "neighbor_id"))
+
+
+def pq_rerank(cand: DataFrame, corpus: DataFrame, queries: DataFrame,
+              k: int = 5, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              query_id_col: str = "query_id") -> DataFrame:
+    """Exact-cosine top-k over a (query_id, neighbor_id) shortlist —
+    pure joins + window, SQL-expressible (the artifact-oracled
+    tail)."""
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),

@@ -68,9 +68,9 @@ def all_queries() -> dict[str, QuerySpec]:
     #   mixture→packing composition (first-ever rows), then the r5
     #   plan-changed set, then core-family rotation (39/39 oracled
     #   green, 11 rows-only);
-    #   r6 window (below) — the EIGHT queries whose rows-only checks
+    #   r6 window (below) — the NINE queries whose rows-only checks
     #   flip to full artifact oracles this round (signature Hamming
-    #   joins, banded embedding LSH, LSH/IVF ANN, SemDeDup prune,
+    #   joins, banded embedding LSH, LSH/IVF/PQ ANN, SemDeDup prune,
     #   k-means cluster stats — sources/sig_artifacts.py), then the
     #   remaining plan/operating-point changes (128-hash incremental
     #   near-dup, integer-div chunking), then
@@ -90,7 +90,8 @@ def all_queries() -> dict[str, QuerySpec]:
         # rows-only → artifact-oracle flips: first-ever ORACLED rows
         "dedup_simhash_pairs", "media_image_dhash_pairs",
         "media_audio_fp_pairs", "dedup_embedding_pairs_lsh",
-        "ann_lsh_topk", "ann_ivf_topk", "semantic_dedup_embeddings",
+        "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
+        "semantic_dedup_embeddings",
         "embedding_cluster_stats",
         # plan / operating-point changes this round
         "incremental_neardup_report", "doc_chunks",
@@ -112,7 +113,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "events_json_stats", "events_props_keys",
         "events_after_purchase", "q2_min_cost_supplier",
         "q4_priority_late", "q7_nation_volume", "q8_market_share",
-        "q9_type_profit", "q10_returned_customers", "doc_language_id",
+        "q9_type_profit", "q10_returned_customers",
     )
     out = {n: full[n] for n in gate_first}
     out.update(full)  # remainder keeps its original relative order

@@ -15,11 +15,12 @@ Oracle notes:
   ``incremental_neardup_report`` uses (at-threshold miss ~1e-8) —
   the exact-verify stage then absorbs the extra low-j candidates.
 - ``dedup_simhash_pairs`` / ``dedup_embedding_pairs_lsh`` /
-  ``ann_lsh_topk`` / ``ann_ivf_topk`` depend on model steps DuckDB
-  cannot recompute (xxhash64, numpy sign projections, k-means), but
+  ``ann_lsh_topk`` / ``ann_ivf_topk`` / ``ann_pq_topk`` depend on
+  model steps DuckDB cannot recompute (xxhash64, numpy sign
+  projections, k-means, ADC float sums), but
   their JOIN/verify/rerank stages are fully oracled via the
   artifact scheme (``sources/sig_artifacts.py``): the engine's model
-  table (signatures / band keys / assignments+routing) goes to a
+  table (signatures / band keys / assignments+routing / ADC shortlist) goes to a
   committed parquet artifact and DuckDB recomputes everything
   downstream of it — banded joins, popcount or cosine verifies,
   rankings — from the artifact + the raw views. The model steps
@@ -422,13 +423,38 @@ QUALIFY rank <= 5
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: 8×16 codebooks, ADC prefilter, exact
     cosine re-rank (recall measured in tests; 32× vector compression
-    is the 100 TB memory story — see operators/pq.py)."""
-    from mapreducewordcount_spark.operators.pq import pq_topk
+    is the 100 TB memory story — see operators/pq.py). The ADC
+    shortlist — the float-sum model stage SQL can't replicate
+    bit-for-bit — is materialized as a committed artifact and DuckDB
+    recomputes the exact rerank + ranking from it. Output matches
+    ``pq_topk(emb, queries, k=5)``."""
+    from mapreducewordcount_spark.operators.pq import pq_rerank, pq_shortlist
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = (emb.filter(F.col("vec_id") < 10)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return pq_topk(emb, queries, k=5)
+    sl = _sig_artifacts.materialize_frame(
+        pq_shortlist(emb, queries), "ann_pq_topk_shortlist",
+        _sig_artifacts.embeddings_corpus_key(emb),
+        ["query_id", "neighbor_id"])
+    return pq_rerank(sl, emb, queries, k=5)
+
+
+ANN_PQ_SQL = f"""
+WITH {_sig_artifacts.frame_cte('sl', 'ann_pq_topk_shortlist')},
+scored AS (
+  SELECT sl.query_id, sl.neighbor_id, {_GUARDED_COS_6} AS cos
+  FROM sl
+  JOIN embeddings eq ON eq.vec_id = sl.query_id
+  JOIN embeddings en ON en.vec_id = sl.neighbor_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+       cos
+FROM scored
+QUALIFY rank <= 5
+"""
 
 
 # ann_lsh_topk / ann_ivf_topk lead: they were the registry tail in
@@ -436,7 +462,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_SQL),
-    "ann_pq_topk": QuerySpec(ann_pq_topk, None),
+    "ann_pq_topk": QuerySpec(ann_pq_topk, ANN_PQ_SQL),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_COSINE_SQL),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_pairs": QuerySpec(dedup_ngram_pairs, DEDUP_PAIRS_SQL),

@@ -10,16 +10,16 @@ from mapreducewordcount_spark.queries import all_queries
 def test_gate_window_rotation_round6():
     names = list(all_queries())
     window = set(names[:50])
-    # the eight queries whose rows-only checks flip to full artifact
+    # the nine queries whose rows-only checks flip to full artifact
     # oracles this round take the head (first-ever ORACLED rows),
     # then the remaining plan/operating-point changes (128-hash
     # incremental near-dup, integer-div chunking)
-    assert names[:10] == [
+    assert names[:11] == [
         "dedup_simhash_pairs", "media_image_dhash_pairs",
         "media_audio_fp_pairs", "dedup_embedding_pairs_lsh",
-        "ann_lsh_topk", "ann_ivf_topk", "semantic_dedup_embeddings",
-        "embedding_cluster_stats", "incremental_neardup_report",
-        "doc_chunks"]
+        "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
+        "semantic_dedup_embeddings", "embedding_cluster_stats",
+        "incremental_neardup_report", "doc_chunks"]
     # the 16 queries that rotated out of the r5 window re-verify
     # (last green r4 — VERDICT r5 next#7: every operator's last green
     # stays ≤2 rounds old)
@@ -36,7 +36,7 @@ def test_gate_window_rotation_round6():
     # last-green-r2 cohort and a 15-query slice of the r3 cohort
     for q in ("big_spender_segments", "wc_top20", "running_revenue",
               "events_asof_orders", "events_sessions",
-              "q7_nation_volume", "doc_language_id"):
+              "q7_nation_volume"):
         assert q in window, q
     # every r5-window query is freshly green (CORRECTNESS_r05) and
     # correctly rotates OUT this round
