@@ -289,6 +289,25 @@ def char_entropy(col: Column | str) -> Column:
         .otherwise(F.lit(0.0))
 
 
+def compressed_size_udf():
+    """Arrow-batched zlib compressed byte count (level 6) of the
+    UTF-8 text — the numerator of ``compression_ratio_udf``, exposed
+    standalone so the gate can materialize it as the model artifact
+    and let the oracle recompute the ratio arithmetic (the
+    denominator is plain ``octet_length``). Empty/NULL → 0."""
+    import zlib
+
+    @F.pandas_udf("long")
+    def size(texts: pd.Series) -> pd.Series:
+        def one(t) -> int:
+            raw = (t or "").encode("utf-8")
+            return len(zlib.compress(raw, 6)) if raw else 0
+
+        return texts.map(one)
+
+    return size
+
+
 def compression_ratio_udf():
     """Arrow-batched zlib compression ratio: compressed/raw bytes of
     the UTF-8 text (level 6). Repetitive/spammy text compresses far

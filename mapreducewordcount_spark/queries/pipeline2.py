@@ -334,16 +334,43 @@ FROM u
 
 def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc zlib compressibility (compressed/raw bytes, level 6).
-    Codec output is a library artifact → rows-only gate entry;
-    thresholds pinned on planted repetitive-vs-natural text in
-    tests/test_text_metrics.py."""
+    Thresholds pinned on planted repetitive-vs-natural text in
+    tests/test_text_metrics.py.
+
+    Round 6: the zlib byte count — the only non-SQL piece — is
+    materialized as a committed artifact, and DuckDB recomputes the
+    denominator (``octet_length`` of the UTF-8 text), the division
+    and the rounding from it, flipping this row from rows-only to a
+    full value-hash check of the ratio arithmetic."""
     from mapreducewordcount_spark.functions.text_metrics import (
-        compression_ratio_udf,
+        compressed_size_udf,
     )
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id", compression_ratio_udf()("text").alias("zlib_ratio"))
+    comp = docs.select("doc_id",
+                       compressed_size_udf()("text").alias("comp_bytes"))
+    rb = _sig_artifacts.materialize_frame(
+        comp, "doc_compression_ratio",
+        _sig_artifacts.corpus_key(docs), ["doc_id"])
+    return (rb.join(docs.select("doc_id", "text"), "doc_id")
+            .select("doc_id",
+                    F.when(F.octet_length("text") > 0,
+                           F.round(F.col("comp_bytes")
+                                   / F.octet_length("text").cast("double"),
+                                   6))
+                    .otherwise(F.lit(0.0)).alias("zlib_ratio")))
+
+
+COMPRESSION_SQL = f"""
+WITH {_sig_artifacts.frame_cte('cm', 'doc_compression_ratio',
+                               _sig_artifacts.DOC_KEY_SQL)}
+SELECT d.doc_id,
+       CASE WHEN octet_length(encode(d.text)) > 0
+            THEN round(cm.comp_bytes
+                       / CAST(octet_length(encode(d.text)) AS DOUBLE), 6)
+            ELSE 0.0 END AS zlib_ratio
+FROM documents d JOIN cm ON cm.doc_id = d.doc_id
+"""
 
 
 # --- quality feature vector (classifier input) ------------------------------
@@ -951,7 +978,8 @@ QUERIES = {
     "doc_quality_features": QuerySpec(doc_quality_features,
                                       _quality_features_sql()),
     "doc_char_entropy": QuerySpec(doc_char_entropy, CHAR_ENTROPY_SQL),
-    "doc_compression_ratio": QuerySpec(doc_compression_ratio, None),
+    "doc_compression_ratio": QuerySpec(doc_compression_ratio,
+                                       COMPRESSION_SQL),
     "pack_mixture_corpus": QuerySpec(pack_mixture_corpus,
                                      PACK_MIXTURE_SQL),
 }

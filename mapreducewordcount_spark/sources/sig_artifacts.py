@@ -56,6 +56,13 @@ def corpus_key(docs: DataFrame) -> tuple[int, int]:
     return int(row.n), int(row.chars or 0)
 
 
+#: DuckDB-side expressions for the documents corpus key — must stay
+#: in lockstep with ``corpus_key``.
+DOC_KEY_SQL = (
+    "(SELECT count(*) FROM documents)",
+    "(SELECT sum(length(text)) FROM documents)",
+)
+
 #: DuckDB-side expressions for the embeddings corpus key — must stay
 #: in lockstep with ``embeddings_corpus_key``. ``floor`` (not round)
 #: because both engines floor IEEE doubles identically; the *1000
