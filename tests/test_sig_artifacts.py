@@ -86,3 +86,40 @@ def test_committed_artifact_matches_fresh_recompute(spark):
         "regenerated artifact differs from the committed bytes — " \
         "the hash family changed; re-run the three-sf generation and " \
         "commit the new artifacts"
+
+
+def test_artifact_query_paths_match_one_shot_operators(spark):
+    """The gate queries route through materialize→readback; their
+    docstrings claim output identical to the one-shot operators for
+    the same parameters. Pin it — a drifted default (band count,
+    refine, k) would silently decouple what the gate verifies from
+    what the library ships."""
+    from mapreducewordcount_spark.operators import dedup as dd
+    from mapreducewordcount_spark.operators.pq import pq_topk
+    from mapreducewordcount_spark.operators.similarity import lsh_topk
+    from mapreducewordcount_spark.queries.dedup_queries import (
+        ann_lsh_topk,
+        ann_pq_topk,
+        dedup_embedding_pairs_lsh,
+    )
+    from mapreducewordcount_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+
+    via_artifact = {tuple(r) for r in
+                    dedup_embedding_pairs_lsh(spark, SF_ORACLE).collect()}
+    direct = {tuple(r) for r in
+              dd.embedding_dup_pairs_lsh(emb, threshold=0.45).collect()}
+    assert via_artifact == direct
+
+    via_artifact = {tuple(r) for r in
+                    ann_lsh_topk(spark, SF_ORACLE).collect()}
+    direct = {tuple(r) for r in lsh_topk(emb, queries, k=5).collect()}
+    assert via_artifact == direct
+
+    via_artifact = {tuple(r) for r in ann_pq_topk(spark, SF_ORACLE).collect()}
+    direct = {tuple(r) for r in pq_topk(emb, queries, k=5).collect()}
+    assert via_artifact == direct
