@@ -138,6 +138,33 @@ def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
+def bpe_vocab_token_counts(docs: DataFrame,
+                           merges: list[tuple[str, str]],
+                           text_col: str = "text") -> DataFrame:
+    """(word, n_tokens) for every DISTINCT corpus word under the
+    trained merges — the serving-table form of the BPE model (each
+    word encoded exactly once, corpus-wide, instead of once per
+    batch-local cache). This is the table a production tokenizer
+    service ships; the gate materializes it as the oracle artifact so
+    DuckDB can recompute the per-document counting (tokenize → join →
+    sum) downstream of it."""
+    ranks = {p: i for i, p in enumerate(merges)}
+    vocab = (docs.select(F.explode(words(text_col)).alias("word"))
+             .distinct())
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "word": pdf["word"],
+                "n_tokens": [len(bpe_encode_word(w, ranks))
+                             for w in pdf["word"]],
+            })
+
+    return vocab.mapInPandas(enc, schema="word string, n_tokens int")
+
+
 def bpe_token_stats(docs: DataFrame, merges: list[tuple[str, str]],
                     id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:

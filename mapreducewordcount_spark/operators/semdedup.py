@@ -28,8 +28,11 @@ Spark-first composition of pieces this engine already has:
 At 100 TB: clusters ≫ executors, so the ``list_id`` shuffle spreads
 evenly (n_lists is a knob — SemDeDup's paper uses ~10⁴ clusters for
 web scale); the only driver-side state is the n_lists×dim centroid
-table. Approximate by construction (k-means) → rows-only gate entry
-with planted-ground-truth pytest, like the other hash-family ops.
+table. Approximate by construction (k-means); planted-ground-truth pytest
+pins the semantics, and since round 6 the gate row is a FULL hash
+oracle — the assignment table is the materialized artifact and
+DuckDB recomputes the prune half (pairs, recursive-CTE closure,
+keepers) from it.
 
 No reference parity: the reference (/root/reference/src/, 549-line
 word-count) has no embedding surface; extension scope per SURVEY §2.5.

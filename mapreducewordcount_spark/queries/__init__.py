@@ -68,10 +68,11 @@ def all_queries() -> dict[str, QuerySpec]:
     #   mixture→packing composition (first-ever rows), then the r5
     #   plan-changed set, then core-family rotation (39/39 oracled
     #   green, 11 rows-only);
-    #   r6 window (below) — the TEN queries whose rows-only checks
+    #   r6 window (below) — the ELEVEN queries whose rows-only checks
     #   flip to full artifact oracles this round (signature Hamming
     #   joins, banded embedding LSH, LSH/IVF/PQ ANN, SemDeDup prune,
-    #   k-means cluster stats, zlib byte counts —
+    #   k-means cluster stats, zlib byte counts, the BPE word
+    #   table —
     #   sources/sig_artifacts.py), then the
     #   remaining plan/operating-point changes (128-hash incremental
     #   near-dup, integer-div chunking), then
@@ -94,6 +95,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
         "semantic_dedup_embeddings",
         "embedding_cluster_stats", "doc_compression_ratio",
+        "doc_bpe_tokens",
         # plan / operating-point changes this round
         "incremental_neardup_report", "doc_chunks",
         # rotated out of the r5 window (last green r4)
@@ -114,7 +116,6 @@ def all_queries() -> dict[str, QuerySpec]:
         "events_json_stats", "events_props_keys",
         "events_after_purchase", "q2_min_cost_supplier",
         "q4_priority_late", "q7_nation_volume", "q8_market_share",
-        "q9_type_profit",
     )
     out = {n: full[n] for n in gate_first}
     out.update(full)  # remainder keeps its original relative order

@@ -651,17 +651,55 @@ FROM p GROUP BY 1, 2
 def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc subword token counts under a corpus-trained 32-merge
     BPE. Train = distributed word count + central merge loop on the
-    bounded top-V table; apply = Arrow map with per-batch word cache.
-    Iterative training → rows-only gate entry; merge semantics pinned
-    against hand-computed ground truth in tests/test_bpe.py."""
+    bounded top-V table; merge semantics pinned against hand-computed
+    ground truth in tests/test_bpe.py.
+
+    Round 6: the per-WORD token-count table — the iterative BPE apply
+    SQL can't replicate — is materialized as a committed artifact
+    (the serving-table form of the tokenizer model), and both engines
+    recompute the per-document counting from it: tokenize → join the
+    word table → per-doc count/sum, with empty docs kept at 0/0. The
+    output is identical to the Arrow-cached ``bpe_token_stats`` form
+    (same tokenizer, same merges; pinned in tests/test_bpe.py)."""
+    from mapreducewordcount_spark.functions.text_metrics import words
     from mapreducewordcount_spark.operators.bpe import (
-        bpe_token_stats,
         bpe_train,
+        bpe_vocab_token_counts,
     )
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     merges = bpe_train(docs, n_merges=32, v_max_words=4096)
-    return bpe_token_stats(docs, merges)
+    vt = _sig_artifacts.materialize_frame(
+        bpe_vocab_token_counts(docs, merges), "doc_bpe_tokens",
+        _sig_artifacts.corpus_key(docs), ["word"])
+    tok = docs.select("doc_id", F.explode(words("text")).alias("word"))
+    agg = (tok.join(F.broadcast(vt), "word")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("__nw"),
+                F.sum("n_tokens").alias("__nt")))
+    return (docs.select("doc_id").join(agg, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("__nw", F.lit(0)).cast("int")
+                    .alias("n_words"),
+                    F.coalesce("__nt", F.lit(0)).cast("int")
+                    .alias("n_bpe_tokens")))
+
+
+BPE_TOKENS_SQL = rf"""
+WITH {_W_CTE},
+{_sig_artifacts.frame_cte('vt', 'doc_bpe_tokens',
+                          _sig_artifacts.DOC_KEY_SQL)},
+tok AS (SELECT doc_id, unnest(words) AS word FROM w),
+agg AS (
+  SELECT t.doc_id, count(*) AS nw, sum(vt.n_tokens) AS nt
+  FROM tok t JOIN vt ON vt.word = t.word
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(agg.nw, 0) AS INT) AS n_words,
+       CAST(coalesce(agg.nt, 0) AS INT) AS n_bpe_tokens
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
 
 
 # --- semantic dedup (SemDeDup cluster-then-prune) ---------------------------
@@ -970,7 +1008,7 @@ QUERIES = {
     "embedding_cluster_stats": QuerySpec(embedding_cluster_stats,
                                          CLUSTER_STATS_SQL),
     "bpe_pair_stats": QuerySpec(bpe_pair_stats, BPE_PAIRS_SQL),
-    "doc_bpe_tokens": QuerySpec(doc_bpe_tokens, None),
+    "doc_bpe_tokens": QuerySpec(doc_bpe_tokens, BPE_TOKENS_SQL),
     "epoch_shuffle_order": QuerySpec(epoch_shuffle_order, EPOCH_SHUFFLE_SQL),
     "curriculum_epoch_order": QuerySpec(curriculum_epoch_order,
                                         _curriculum_sql()),

@@ -10,17 +10,17 @@ from mapreducewordcount_spark.queries import all_queries
 def test_gate_window_rotation_round6():
     names = list(all_queries())
     window = set(names[:50])
-    # the ten queries whose rows-only checks flip to full artifact
+    # the eleven queries whose rows-only checks flip to full artifact
     # oracles this round take the head (first-ever ORACLED rows),
     # then the remaining plan/operating-point changes (128-hash
     # incremental near-dup, integer-div chunking)
-    assert names[:12] == [
+    assert names[:13] == [
         "dedup_simhash_pairs", "media_image_dhash_pairs",
         "media_audio_fp_pairs", "dedup_embedding_pairs_lsh",
         "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
         "semantic_dedup_embeddings", "embedding_cluster_stats",
-        "doc_compression_ratio", "incremental_neardup_report",
-        "doc_chunks"]
+        "doc_compression_ratio", "doc_bpe_tokens",
+        "incremental_neardup_report", "doc_chunks"]
     # the 16 queries that rotated out of the r5 window re-verify
     # (last green r4 — VERDICT r5 next#7: every operator's last green
     # stays ≤2 rounds old)
