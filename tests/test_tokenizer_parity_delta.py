@@ -96,3 +96,39 @@ def test_corpus_divergence_pinned():
     # the headline bound: <0.1% of tokens diverge from the Treebank
     # rule cascade after reference normalization
     assert sum_abs / sum(ref.values()) < 0.001
+
+
+# --- real-nltk golden hook (FIXTURES.md F2 open item) -----------------------
+
+NLTK_GOLDEN = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "nltk_golden.json")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(NLTK_GOLDEN),
+    reason="real-nltk golden not generated yet — needs one offline run "
+           "on an nltk-enabled machine (see FIXTURES.md F2); this test "
+           "activates the moment the fixture lands")
+def test_real_nltk_golden_parity():
+    """Token-for-token comparison against output captured from REAL
+    ``nltk.word_tokenize``. Fixture format: a JSON list of
+    {"text": ..., "tokens": [...]} objects, where ``tokens`` is the
+    raw nltk output (pre-normalization). Generate with:
+
+        import json, nltk
+        nltk.download("punkt_tab")
+        cases = [{"text": t, "tokens": nltk.word_tokenize(t)}
+                 for t in TEXTS]
+        json.dump(cases, open("nltk_golden.json", "w"))
+    """
+    import json
+
+    with open(NLTK_GOLDEN) as fh:
+        cases = json.load(fh)
+    assert cases, "golden fixture exists but is empty"
+    mismatches = [(c["text"], treebank_lite_tokenize(c["text"]), c["tokens"])
+                  for c in cases
+                  if treebank_lite_tokenize(c["text"]) != c["tokens"]]
+    # exact parity is the goal; record the measured delta loudly if
+    # a future fixture exposes residual Punkt edge cases
+    assert not mismatches, mismatches[:5]
