@@ -159,9 +159,21 @@ def main() -> None:
         return
 
     # each session in a FRESH interpreter/JVM — the only isolation
-    # that actually resets JIT state, heap shape, and codegen caches
+    # that actually resets JIT state, heap shape, and codegen caches.
+    # A wall-clock budget bounds the whole run: a slow environment
+    # degrades to fewer sessions (n recorded in the JSON) instead of
+    # risking an external timeout that erases the report entirely.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
+    t_start = time.perf_counter()
     reports: list[dict] = []
     for i in range(n_sessions):
+        elapsed = time.perf_counter() - t_start
+        per_session = elapsed / max(len(reports), 1) if reports else 0.0
+        if reports and elapsed + per_session * 1.3 > budget_s:
+            print(f"bench budget: stopping after {len(reports)} of "
+                  f"{n_sessions} sessions ({elapsed:.0f}s elapsed, "
+                  f"{budget_s:.0f}s budget)", file=sys.stderr)
+            break
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--session"],
             capture_output=True, text=True)
