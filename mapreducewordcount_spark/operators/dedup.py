@@ -723,10 +723,17 @@ def lsh_candidate_pairs(embeddings: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding", dim: int = 64,
                         n_bands: int = 64,
                         band_width: int | None = None,
-                        corpus_size: int | None = None) -> DataFrame:
-    """OR-banded sign-LSH candidate pairs (a_id < b_id) — the
-    candidate stage of ``embedding_dup_pairs_lsh``, exposed so the
-    candidate-growth contract can be measured directly.
+                        corpus_size: int | None = None
+                        ) -> tuple[DataFrame, DataFrame]:
+    """OR-banded sign-LSH candidate pairs — the candidate stage of
+    ``embedding_dup_pairs_lsh``, exposed so the candidate-growth
+    contract can be measured directly.
+
+    Returns ``(candidates, sig)``: the distinct ``(a_id, b_id)``
+    candidate frame (a_id < b_id) plus the persisted
+    ``(id, vec, nrm, keys)`` signature frame it was banded from —
+    callers feed ``sig`` to both sides of the exact verify so the
+    vectors are computed once.
 
     Each vector gets ``n_bands × band_width`` sign bits packed into
     ``n_bands`` integer band keys (one Arrow matrix product per

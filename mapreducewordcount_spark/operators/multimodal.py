@@ -245,6 +245,8 @@ def resize_images(media: DataFrame, out_w: int, out_h: int,
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:  # NULL image → no output row
+                    continue
                 w, h, px = png_decode_pixels(bytes(payload))
                 resized = resize_rgb_nearest(w, h, px, out_w, out_h)
                 out.append({id_col: mid,
@@ -289,6 +291,8 @@ def extract_image_features(media: DataFrame, id_col: str = "media_id",
             out = []
             for mid, payload, fmt in zip(pdf[id_col], pdf[payload_col],
                                          pdf[format_col]):
+                if payload is None:  # NULL image → no feature row
+                    continue
                 d = decoder(bytes(payload), fmt)
                 out.append({id_col: mid, "n_bytes": len(payload),
                             "format": fmt, **d})
@@ -356,6 +360,8 @@ def extract_image_dhash(media: DataFrame, id_col: str = "media_id",
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:  # NULL image → no signature row
+                    continue
                 out.append({id_col: mid,
                             "dhash": image_dhash(bytes(payload))})
             yield pd.DataFrame(out, columns=[id_col, "dhash"])
@@ -507,6 +513,8 @@ def extract_audio_fingerprints(media: DataFrame, id_col: str = "media_id",
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:  # NULL clip → no signature row
+                    continue
                 out.append({id_col: mid,
                             "fingerprint": audio_fingerprint(bytes(payload))})
             yield pd.DataFrame(out, columns=[id_col, "fingerprint"])
@@ -534,6 +542,8 @@ def extract_audio_features(media: DataFrame, id_col: str = "media_id",
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:  # NULL container → no feature row
+                    continue
                 payload = bytes(payload)
                 out.append({id_col: mid, "n_bytes": len(payload),
                             **decoder(payload)})
@@ -583,6 +593,8 @@ def sample_video_frames(media: DataFrame, every_n: int = 30,
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:  # NULL container → no frames
+                    continue
                 payload = bytes(payload)
                 n_frames = max(1, len(payload) // (every_n * 16))
                 for i in range(n_frames):

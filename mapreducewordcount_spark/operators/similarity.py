@@ -98,6 +98,10 @@ def band_keys_udf(planes: list[list[float]], n_bands: int,
     ``n_bands`` keys, band ``b`` packing sign bits
     ``[b·w, (b+1)·w)`` of ``vec @ planes.T >= 0`` little-endian.
 
+    NULL and all-zero vectors get NULL keys (no direction → no
+    meaningful bucket; see the inline comment) — exploding consumers
+    drop them, so such rows never generate candidates.
+
     One numpy matrix product per Arrow batch — the measured hybrid
     that beats per-plane column expressions by an order of magnitude:
     the expression form (``hyperplane_bits``) builds one interpreted
@@ -122,7 +126,19 @@ def band_keys_udf(planes: list[list[float]], n_bands: int,
         out = np.empty((len(X), n_bands), dtype=np.int64)
         for b in range(n_bands):
             out[:, b] = B[:, b * band_width:(b + 1) * band_width] @ w
-        return pd.Series(list(out))
+        res: list = list(out)
+        # NULL/all-zero vectors have no direction: the zero vector's
+        # sign bits are ALL ones (0 >= 0), so m degenerate rows would
+        # share one bucket in EVERY band → ~m²/2 candidate pairs that
+        # the cosine verify (zero norm → cos 0) then discards one by
+        # one. Emit NULL keys instead: posexplode drops NULL arrays,
+        # so degenerate rows never enter the candidate join — same
+        # output, no quadratic candidate mass (same contract as
+        # simhash_pairs dropping blank docs).
+        dead = ~np.any(X, axis=1)
+        if dead.any():
+            res = [None if d else r for d, r in zip(dead, res)]
+        return pd.Series(res, dtype=object)
 
     return F.pandas_udf(keys, "array<long>")
 

@@ -368,10 +368,12 @@ def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # substring cannot slice BLOBs, so the oracle slices VARCHAR —
     # byte arithmetic must equal char arithmetic, hence one '?' per
     # non-ASCII char on both sides (current corpora are pure ASCII)
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode(F.regexp_replace("text", r"[^\x00-\x7F]", "?"),
-                 "UTF-8").alias("payload"))
+    media = (d.filter(F.col("text").isNotNull()
+                      & (F.length("text") > 0))  # mirrored in the SQL
+             .select(
+                 F.col("doc_id").alias("media_id"),
+                 F.encode(F.regexp_replace("text", r"[^\x00-\x7F]", "?"),
+                          "UTF-8").alias("payload")))
     frames = sample_video_frames(size_bucketed(media),
                                  every_n=FRAME_EVERY_N)
     return frames.select(
@@ -386,6 +388,7 @@ WITH m AS (
   SELECT doc_id AS media_id,
          regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS t
   FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
 ),
 s AS (
   SELECT media_id, t, strlen(t) AS L,
@@ -458,7 +461,14 @@ def media_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    media = d.mapInPandas(_png_synth, schema="media_id long, payload binary")
+    # blank/NULL docs synthesize no media (same contract as
+    # simhash_docs dropping blank docs: k empty texts would yield k
+    # IDENTICAL images → a fabricated Hamming-0 star). The corpus key
+    # stays computed over the FULL table — the oracle derives it from
+    # the unfiltered documents view.
+    src = d.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+    media = src.mapInPandas(_png_synth,
+                            schema="media_id long, payload binary")
     hashes = materialize_signatures(
         extract_image_dhash(size_bucketed(media)),
         "media_image_dhash_pairs", corpus_key(d), "media_id", "dhash")
@@ -518,7 +528,13 @@ def media_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    media = d.mapInPandas(_afp_synth, schema="media_id long, payload binary")
+    # blank/NULL docs synthesize no clip (see media_image_dhash_pairs:
+    # identical zero-sample WAVs would fabricate a Hamming-0 star, and
+    # the 65-frame grid is undefined at length 0); corpus key stays on
+    # the full table to match the oracle's derivation
+    src = d.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+    media = src.mapInPandas(_afp_synth,
+                            schema="media_id long, payload binary")
     fps = materialize_signatures(
         extract_audio_fingerprints(size_bucketed(media)),
         "media_audio_fp_pairs", corpus_key(d), "media_id", "fingerprint")

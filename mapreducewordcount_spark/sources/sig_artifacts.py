@@ -140,8 +140,16 @@ def _write_artifact(out: DataFrame, path, filename: str,
     checkout) read the same values the engine would produce. Value
     drift (a changed hash family) still rewrites — the artifact
     self-heals and the freshness test fails loudly.
+
+    The rewrite stages through ``ARTIFACT_ROOT/.tmp`` (pid-suffixed,
+    OUTSIDE the oracle's ``<query>/*/*.parquet`` glob) and swaps the
+    committed file in with one ``os.replace``: the old artifact stays
+    readable until the new one fully exists, a crash mid-write leaves
+    the commit untouched, and two concurrent materializers cannot
+    clobber each other's half-written part files.
     """
     import os
+    import shutil
 
     spark = out.sparkSession
     target = path / filename
@@ -153,13 +161,20 @@ def _write_artifact(out: DataFrame, path, filename: str,
                 return target
         except Exception:  # noqa: BLE001 — unreadable artifact → rewrite
             pass
-    (out.coalesce(1)
-     .sortWithinPartitions(*sort_cols)
-     .write.mode("overwrite").parquet(str(path)))
-    part, = sorted(path.glob("part-*.parquet"))
-    os.replace(part, target)
+    tmp = (ARTIFACT_ROOT / ".tmp"
+           / f"{path.parent.name}_{path.name}_{os.getpid()}")
+    try:
+        (out.coalesce(1)
+         .sortWithinPartitions(*sort_cols)
+         .write.mode("overwrite").parquet(str(tmp)))
+        part, = sorted(tmp.glob("part-*.parquet"))
+        path.mkdir(parents=True, exist_ok=True)
+        os.replace(part, target)  # atomic on one filesystem
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     for extra in path.iterdir():
-        if extra.name != filename:
+        # stale siblings from the pre-staging scheme (_SUCCESS, .crc)
+        if extra.name != filename and extra.is_file():
             extra.unlink()
     return target
 

@@ -81,10 +81,14 @@ def _ensure_package_on_executors(spark: SparkSession) -> None:
 
     try:
         _ship_package(spark)
+        # flag only on SUCCESS: a transient zip/addPyFile failure must
+        # leave the next load_table free to retry, or every later
+        # Python-worker stage on this context hits the executor
+        # ModuleNotFoundError this helper exists to prevent
+        sc._mrwc_pkg_shipped = True
     except Exception:  # noqa: BLE001 — shipping is best-effort; a
         # same-CWD session imports the package fine without it
         pass
-    sc._mrwc_pkg_shipped = True
 
 
 def load_tables(spark: SparkSession, sf_dir: str,

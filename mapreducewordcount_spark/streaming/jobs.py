@@ -143,7 +143,9 @@ def stream_simhash_dedup(docs: DataFrame,
 
     Honest limitation: this is EXACT-signature dedup — a pair at
     Hamming distance 1-3 that the batch operator would catch needs
-    banded multi-key state (each doc voting across 8 byte-bands) and
+    banded multi-key state (each doc voting across the adaptive
+    ``max_hamming+1`` bands of ``hamming_band_plan`` — 4×16 bits at
+    the default radius 3) and
     a cross-key decision, which the built-in dedup operator cannot
     express; route near-radius work to the batch ``simhash_pairs``
     pass and keep this as the cheap in-stream collapse of

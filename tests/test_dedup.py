@@ -444,3 +444,35 @@ def test_simhash_pairs_ignore_blank_documents(spark):
         "doc_id long, text string")
     rows = dd.simhash_pairs(df, max_hamming=3).collect()
     assert {(r.a_id, r.b_id, r.hamming) for r in rows} == {(4, 5, 0)}
+
+
+def test_lsh_degenerate_vectors_never_band(spark):
+    """NULL/all-zero vectors have no direction: the zero vector's sign
+    bits are ALL ones, so k degenerate rows would share one bucket in
+    EVERY band (~k²/2 candidates the verify then discards row by
+    row). band_keys_udf emits NULL keys for them instead — no band
+    rows, no candidates, and the verified pair output is unchanged
+    when such rows join the corpus."""
+    base = [(i, [float((i * 7 + j * 3) % 13) - 6.0 for j in range(8)])
+            for i in range(40)]
+    clean = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    dirty = spark.createDataFrame(
+        base + [(100, None), (101, [0.0] * 8), (102, [0.0] * 8),
+                (103, [0.0] * 8)],
+        "vec_id long, embedding array<double>")
+
+    banded = dd.embedding_band_keys(dirty, dim=8, n_bands=4, band_width=4)
+    bad_ids = {r.id for r in
+               banded.filter(F.col("id") >= 100).collect()}
+    assert bad_ids == set(), bad_ids
+
+    cand, _sig = dd.lsh_candidate_pairs(dirty, dim=8, n_bands=4,
+                                        band_width=4)
+    assert cand.filter((F.col("a_id") >= 100)
+                       | (F.col("b_id") >= 100)).count() == 0
+
+    out_clean = {(r.a_id, r.b_id, r.cos) for r in dd.embedding_dup_pairs_lsh(
+        clean, threshold=0.3, dim=8, n_bands=4, band_width=4).collect()}
+    out_dirty = {(r.a_id, r.b_id, r.cos) for r in dd.embedding_dup_pairs_lsh(
+        dirty, threshold=0.3, dim=8, n_bands=4, band_width=4).collect()}
+    assert out_clean == out_dirty

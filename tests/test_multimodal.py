@@ -508,3 +508,37 @@ def test_audio_fp_pairs_via_generic_hamming_join(spark):
                                     sig_col="fingerprint",
                                     max_hamming=3).collect()
     assert [(r.a_id, r.b_id, r.hamming) for r in pairs] == [(1, 2, 0)]
+
+
+def test_null_payloads_skipped_by_all_extractors(spark):
+    """NULL binary payloads produce no output rows (the same drop
+    contract as blank docs in simhash_docs) instead of crashing the
+    Arrow loop with TypeError on bytes(None)."""
+    from mapreducewordcount_spark.operators.multimodal import (
+        extract_audio_features,
+        extract_audio_fingerprints,
+        extract_image_dhash,
+        png_encode,
+        sample_video_frames,
+        wav_encode_pcm,
+    )
+
+    png = png_encode(8, 8, bytes(range(8 * 8 * 3 % 256)) * (192 // 192))
+    wav = wav_encode_pcm(bytes(128 + (i % 40) for i in range(400)))
+    media = spark.createDataFrame(
+        [(1, bytearray(b"0123456789abcdef" * 40)), (2, None)],
+        "media_id long, payload binary")
+    frames = sample_video_frames(media, every_n=2)
+    assert frames.filter("media_id = 2").count() == 0
+    assert frames.filter("media_id = 1").count() > 0
+
+    imgs = spark.createDataFrame(
+        [(1, bytearray(png)), (2, None)], "media_id long, payload binary")
+    assert [r.media_id for r in extract_image_dhash(imgs).collect()] == [1]
+
+    clips = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, None)], "media_id long, payload binary")
+    assert [r.media_id
+            for r in extract_audio_fingerprints(clips).collect()] == [1]
+    assert [r.media_id
+            for r in extract_audio_features(clips).collect()] == [1]

@@ -47,18 +47,25 @@ def test_materialize_roundtrip_and_stable_layout(spark, tmp_path):
     sigs = spark.createDataFrame(
         [(3, 7), (1, -5), (2, 0)], "doc_id long, s long")
     key = (3, 42)
-    back = materialize_signatures(sigs, "test_roundtrip", key,
-                                  "doc_id", "s")
-    assert {(r.id, r.sig) for r in back.collect()} == {(3, 7), (1, -5), (2, 0)}
-    art = ARTIFACT_ROOT / "test_roundtrip" / "k=3_42"
-    assert [p.name for p in art.iterdir()] == ["sig.parquet"]
-    # key columns ride every row so the oracle's WHERE can select
-    row = duckdb.sql(f"SELECT DISTINCT n_docs, text_chars "
-                     f"FROM '{art}/sig.parquet'").fetchone()
-    assert row == (3, 42)
+    # writes into the committed artifacts tree (materialize_signatures
+    # has no root override by design) — clean up even on assert failure
+    # or the leftover pollutes git status and later glob-scanning runs
     import shutil
 
-    shutil.rmtree(ARTIFACT_ROOT / "test_roundtrip")
+    try:
+        back = materialize_signatures(sigs, "test_roundtrip", key,
+                                      "doc_id", "s")
+        assert {(r.id, r.sig) for r in back.collect()} \
+            == {(3, 7), (1, -5), (2, 0)}
+        art = ARTIFACT_ROOT / "test_roundtrip" / "k=3_42"
+        assert [p.name for p in art.iterdir()] == ["sig.parquet"]
+        # key columns ride every row so the oracle's WHERE can select
+        row = duckdb.sql(f"SELECT DISTINCT n_docs, text_chars "
+                         f"FROM '{art}/sig.parquet'").fetchone()
+        assert row == (3, 42)
+    finally:
+        shutil.rmtree(ARTIFACT_ROOT / "test_roundtrip",
+                      ignore_errors=True)
 
 
 def test_committed_artifact_matches_fresh_recompute(spark):
