@@ -121,11 +121,14 @@ def shingle_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
              .groupBy(F.col("a.doc_id").alias("a_id"),
                       F.col("b.doc_id").alias("b_id"))
              .agg(F.count(F.lit(1)).alias("n_inter")))
+    # no forced broadcast: sizes is one row per DOC (O(corpus)); a
+    # hint would FAIL the job past the broadcast limit, while AQE
+    # still picks a broadcast join whenever the runtime size fits
     return (inter
-            .join(F.broadcast(sizes.withColumnRenamed("doc_id", "a_id")
-                              .withColumnRenamed("n_sh", "a_sh")), "a_id")
-            .join(F.broadcast(sizes.withColumnRenamed("doc_id", "b_id")
-                              .withColumnRenamed("n_sh", "b_sh")), "b_id")
+            .join(sizes.withColumnRenamed("doc_id", "a_id")
+                  .withColumnRenamed("n_sh", "a_sh"), "a_id")
+            .join(sizes.withColumnRenamed("doc_id", "b_id")
+                  .withColumnRenamed("n_sh", "b_sh"), "b_id")
             .withColumn("jaccard",
                         F.col("n_inter").cast("double")
                         / (F.col("a_sh") + F.col("b_sh") - F.col("n_inter")))
@@ -197,9 +200,13 @@ def prefix_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     bv = sh.select(F.col("doc_id").alias("b_id"),
                    F.col("shingles").alias("b_el"))
     inter = F.size(F.array_intersect("a_el", "b_el"))
-    # survivors ≪ corpus: broadcast the pair list into the verify
-    # joins so the shingle table never shuffles again
-    return (F.broadcast(cand).join(av, "a_id").join(bv, "b_id")
+    # survivors ≪ corpus in the typical case, but the candidate list
+    # still GROWS with the corpus — a forced broadcast would fail the
+    # job outright past the broadcast limit (ADVICE r5 on the sibling
+    # cross-pairs path). Unhinted, AQE broadcasts it whenever the
+    # runtime size fits (keeping the shingle table shuffle-free) and
+    # degrades to a shuffle join instead of failing when it doesn't.
+    return (cand.join(av, "a_id").join(bv, "b_id")
             .withColumn("jaccard",
                         inter.cast("double")
                         / (F.size("a_el") + F.size("b_el") - inter))
@@ -309,9 +316,13 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                   .distinct())
     a_sh = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_shingles"))
     b_sh = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_shingles"))
-    # candidates ≪ corpus: broadcast the candidate pair list into both
-    # verify joins so the (larger) shingle table never shuffles
-    candidates = F.broadcast(candidates)
+    # candidates ≪ corpus in the typical case, but the list still
+    # GROWS with the corpus (≥O(docs) at any real dup rate) — a
+    # forced broadcast FAILS the job past the broadcast limit
+    # (ADVICE r5 on the cross-pairs sibling). Unhinted, AQE
+    # broadcasts whenever the runtime size fits (the larger shingle
+    # table never shuffles) and degrades to a shuffle join, not a
+    # failure, when it doesn't.
     return (candidates.join(a_sh, "a_id").join(b_sh, "b_id")
             .withColumn("n_inter",
                         F.size(F.array_intersect("a_shingles", "b_shingles")))
