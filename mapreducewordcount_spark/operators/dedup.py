@@ -830,9 +830,12 @@ def embedding_dup_pairs_lsh(embeddings: DataFrame, id_col: str = "vec_id",
     cos = F.when((F.col("a_n") > 0) & (F.col("b_n") > 0),
                  dot("a_vec", "b_vec") / (F.col("a_n") * F.col("b_n"))) \
         .otherwise(F.lit(0.0))
-    # survivors ≪ corpus: broadcast the pair list into both verify
-    # joins so the (larger) vector table never shuffles
-    return (F.broadcast(candidates).join(a_sig, "a_id").join(b_sig, "b_id")
+    # no forced broadcast: candidates grow with the corpus (738k rows
+    # at just 20k vectors — SCALE.md growth study), so a hint would
+    # FAIL the job past the broadcast limit; AQE broadcasts when the
+    # runtime size fits (vector table stays shuffle-free) and
+    # degrades to a shuffle join when it doesn't
+    return (candidates.join(a_sig, "a_id").join(b_sig, "b_id")
             .withColumn("cos", cos)
             .filter(F.col("cos") >= threshold)
             .select("a_id", "b_id", F.round("cos", 4).alias("cos")))
@@ -895,7 +898,9 @@ def embedding_pairs_from_banded(banded: DataFrame, embeddings: DataFrame,
     cos = F.when((F.col("a_n") > 0) & (F.col("b_n") > 0),
                  dot("a_vec", "b_vec") / (F.col("a_n") * F.col("b_n"))) \
         .otherwise(F.lit(0.0))
-    return (F.broadcast(cand).join(a_v, "a_id").join(b_v, "b_id")
+    # unhinted for the same reason as embedding_dup_pairs_lsh: the
+    # candidate list grows with the corpus; AQE picks the strategy
+    return (cand.join(a_v, "a_id").join(b_v, "b_id")
             .withColumn("cos", cos)
             .filter(F.col("cos") >= threshold)
             .select("a_id", "b_id", F.round("cos", 4).alias("cos")))
