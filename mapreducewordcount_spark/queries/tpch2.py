@@ -127,7 +127,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("cust_nation") == "NATION_1")))
     return (l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
             .join(c, F.col("o_custkey") == F.col("c_custkey"))
-            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
             .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
             .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
             .filter(pair)
@@ -180,13 +180,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat_rev = F.sum(F.when(F.col("supp_nation") == "NATION_1", _rev())
                     .otherwise(F.lit(0).cast(_DEC)))
     tot_rev = F.sum(_rev())
-    return (l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    return (l.join(p, F.col("l_partkey") == F.col("p_partkey"))
             .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
             .join(c, F.col("o_custkey") == F.col("c_custkey"))
             .join(F.broadcast(n_cust),
                   F.col("c_nationkey") == F.col("n_nationkey"))
             .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
             .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
             .groupBy(F.year("o_orderdate").alias("o_year"))
             .agg(F.round(nat_rev.cast("double") / tot_rev.cast("double"), 6)
@@ -232,8 +232,8 @@ def q9_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
-    return (l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    return (l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+            .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
             .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
             .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
             .groupBy(F.col("n_name").alias("nation"),
@@ -328,7 +328,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     promo = F.sum(F.when(F.col("p_type").startswith("PROMO"), _rev())
                   .otherwise(F.lit(0).cast(_DEC)))
-    return (l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    return (l.join(p, F.col("l_partkey") == F.col("p_partkey"))
             .agg(F.round(F.lit(100.0) * promo.cast("double")
                          / F.sum(_rev()).cast("double"), 6)
                  .alias("promo_share")))
@@ -360,7 +360,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(_money_sum(_rev()).alias("total_rev")))
     mx = rev.agg(F.max("total_rev").alias("max_rev"))
     return (rev.join(F.broadcast(mx), F.col("total_rev") == F.col("max_rev"))
-            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
             .select("s_suppkey", "s_name", "total_rev"))
 
 
@@ -390,12 +390,12 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part-filtered) fact once; the threshold join is broadcast."""
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     l = _t(spark, sf_dir, "lineitem")
-    lp = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    lp = l.join(p, F.col("l_partkey") == F.col("p_partkey"))
     thresholds = (lp.groupBy(F.col("l_partkey").alias("t_partkey"))
                   .agg((F.lit(0.2) * (F.sum("l_quantity")
                                       / F.count(F.lit(1))))
                        .alias("qty_threshold")))
-    return (lp.join(F.broadcast(thresholds),
+    return (lp.join(thresholds,
                     F.col("l_partkey") == F.col("t_partkey"))
             .filter(F.col("l_quantity") < F.col("qty_threshold"))
             .agg(F.round(F.sum(F.col("l_extendedprice").cast(_DEC))
@@ -429,7 +429,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = (l.groupBy("l_orderkey")
            .agg(F.sum("l_quantity").alias("sum_qty"))
            .filter(F.col("sum_qty") > 300))
-    return (o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+    return (o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
             .join(c, F.col("o_custkey") == F.col("c_custkey"))
             .select("c_name", "c_custkey", "o_orderkey",
                     F.date_format("o_orderdate", "yyyy-MM-dd")
@@ -470,7 +470,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
            & (F.col("l_quantity").between(10, 20)))
         | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 15))
            & (F.col("l_quantity").between(20, 30))))
-    return (l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    return (l.join(p, F.col("l_partkey") == F.col("p_partkey"))
             .filter(branch)
             .agg(_money_sum(_rev()).alias("revenue"),
                  F.count(F.lit(1)).alias("n_rows")))
@@ -513,7 +513,7 @@ def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
             .groupBy("late_supp")
             .agg(F.count(F.lit(1)).alias("numwait"))
-            .join(F.broadcast(s), F.col("late_supp") == F.col("s_suppkey"))
+            .join(s, F.col("late_supp") == F.col("s_suppkey"))
             .orderBy(F.col("numwait").desc(), F.col("s_name"))
             .limit(10)
             .select("s_name", "numwait"))

@@ -102,13 +102,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (_t(spark, sf_dir, "part")
          .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
          .select("p_partkey", "p_name"))
-    eu_ps = ps.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    eu_ps = ps.join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
     min_cost = (eu_ps.groupBy(F.col("l_partkey").alias("mc_partkey"))
                 .agg(F.min("supply_cost").alias("min_cost")))
     return (eu_ps
             .join(min_cost, (F.col("l_partkey") == F.col("mc_partkey"))
                   & (F.col("supply_cost") == F.col("min_cost")))
-            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .join(p, F.col("l_partkey") == F.col("p_partkey"))
             .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
                     "supply_cost")
             .orderBy(F.col("s_acctbal").desc(), F.col("p_partkey"),
@@ -152,7 +152,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
          .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
          .select("s_suppkey"))
     l = _t(spark, sf_dir, "lineitem")
-    val = (l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    val = (l.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
            .groupBy("l_partkey")
            .agg(F.sum(F.col("l_extendedprice").cast(_DEC)).alias("val")))
     total = val.agg(F.sum("val").alias("total"))
@@ -227,9 +227,9 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  & (F.col("p_type") != "PROMO")
                  & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)))
     return (pairs
-            .join(F.broadcast(bad),
+            .join(bad,
                   F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .join(p, F.col("l_partkey") == F.col("p_partkey"))
             .groupBy("p_brand", "p_type", "p_size")
             .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
 
@@ -265,7 +265,7 @@ def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = (_t(spark, sf_dir, "part")
              .filter(F.col("p_name").startswith("small"))
              .select("p_partkey"))
-    l_96 = l_96.join(F.broadcast(small),
+    l_96 = l_96.join(small,
                      F.col("l_partkey") == F.col("p_partkey"))
     sp = (l_96.groupBy("l_partkey", "l_suppkey")
           .agg(F.sum("l_quantity").alias("sp_qty")))
