@@ -673,7 +673,13 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_vocab_token_counts(docs, merges), "doc_bpe_tokens",
         _sig_artifacts.corpus_key(docs), ["word"])
     tok = docs.select("doc_id", F.explode(words("text")).alias("word"))
-    agg = (tok.join(F.broadcast(vt), "word")
+    # No broadcast hint on vt: it holds every DISTINCT corpus word
+    # (bpe_train's v_max_words bounds only the training table), so it
+    # grows with corpus vocabulary — a forced hint would FAIL the job
+    # past the broadcast limit at scale, while AQE degrades the join
+    # to shuffle gracefully (same policy as the shingle/candidate
+    # frames, ADVICE r5/r6).
+    agg = (tok.join(vt, "word")
            .groupBy("doc_id")
            .agg(F.count(F.lit(1)).alias("__nw"),
                 F.sum("n_tokens").alias("__nt")))

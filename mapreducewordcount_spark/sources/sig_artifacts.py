@@ -65,13 +65,18 @@ DOC_KEY_SQL = (
 
 #: DuckDB-side expressions for the embeddings corpus key — must stay
 #: in lockstep with ``embeddings_corpus_key``. ``floor`` (not round)
-#: because both engines floor IEEE doubles identically; the *1000
-#: double product is bit-identical on both sides (same float32 →
-#: float64 widening, same multiply), so the sum is integer-exact.
+#: because both engines floor IEEE doubles identically; the element is
+#: EXPLICITLY widened float32 → float64 on both sides before the
+#: ×1000 multiply (without the cast, both engines multiply at float32
+#: — Spark promotes the int literal to FloatType — which happened to
+#: agree but was never the documented contract; ADVICE r6), so the
+#: double product is bit-identical and the sum integer-exact.
+#: Cross-engine equality is pinned by
+#: tests/test_sig_artifacts.py::test_emb_corpus_key_matches_duckdb.
 EMB_KEY_SQL = (
     "(SELECT count(*) FROM embeddings)",
-    "(SELECT sum(CAST(floor(embedding[1] * 1000) AS BIGINT)) "
-    "FROM embeddings)",
+    "(SELECT sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000)"
+    " AS BIGINT)) FROM embeddings)",
 )
 
 
@@ -83,7 +88,8 @@ def embeddings_corpus_key(emb: DataFrame,
     on both engines, so the artifact WHERE clause matches exactly."""
     row = emb.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.floor(F.col(vec_col)[0] * 1000).cast("long")).alias("s")
+        F.sum(F.floor(F.col(vec_col)[0].cast("double") * 1000)
+              .cast("long")).alias("s")
     ).first()
     return int(row.n), int(row.s or 0)
 

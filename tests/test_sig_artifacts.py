@@ -68,30 +68,86 @@ def test_materialize_roundtrip_and_stable_layout(spark, tmp_path):
                       ignore_errors=True)
 
 
-def test_committed_artifact_matches_fresh_recompute(spark):
-    """The committed artifact bytes are what make the oracle
-    independent of execution order (a fresh checkout's oracle may
-    read them before the engine ever runs). If an operator's hash
-    family changes without regenerating artifacts, the gate would
-    self-heal (Spark runs first and overwrites) but the
-    committed-bytes guarantee would silently rot — pin it here for
-    the cheapest signature query."""
-    import hashlib
-
-    from mapreducewordcount_spark.operators.dedup import simhash_docs
+def test_emb_corpus_key_matches_duckdb(spark):
+    """Embeddings analog of test_corpus_key_matches_duckdb: 11 of the
+    13 artifact-oracle CTEs key on embeddings_corpus_key/EMB_KEY_SQL,
+    and a cross-engine divergence (the float32→float64 widening point
+    of the ×1000 multiply, ADVICE r6) empties every one of them with a
+    confusing zero-rows failure — pin the equality directly."""
+    from mapreducewordcount_spark.sources.sig_artifacts import (
+        EMB_KEY_SQL,
+        embeddings_corpus_key,
+    )
     from mapreducewordcount_spark.sources.tables import load_table
 
-    docs = load_table(spark, SF_ORACLE, "documents")
-    n, chars = corpus_key(docs)
-    art = (ARTIFACT_ROOT / "dedup_simhash_pairs" / f"k={n}_{chars}"
-           / "sig.parquet")
-    assert art.exists(), "artifact for the gate corpus must be committed"
-    before = hashlib.md5(art.read_bytes()).hexdigest()
-    materialize_signatures(simhash_docs(docs), "dedup_simhash_pairs",
-                           (n, chars), "doc_id", "simhash")
-    assert hashlib.md5(art.read_bytes()).hexdigest() == before, \
-        "regenerated artifact differs from the committed bytes — " \
-        "the hash family changed; re-run the three-sf generation and " \
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS "
+            f"SELECT * FROM '{SF_ORACLE}/embeddings.parquet'")
+    dn, ds = con.sql(
+        f"SELECT {EMB_KEY_SQL[0]}, {EMB_KEY_SQL[1]}").fetchone()
+    assert embeddings_corpus_key(emb) == (dn, ds)
+
+
+#: registry queries that materialize committed artifacts, mapped to
+#: the artifact families they own (dir names under ARTIFACT_ROOT).
+ARTIFACT_QUERIES = {
+    "dedup_simhash_pairs": ("dedup_simhash_pairs",),
+    "media_image_dhash_pairs": ("media_image_dhash_pairs",),
+    "media_audio_fp_pairs": ("media_audio_fp_pairs",),
+    "dedup_embedding_pairs_lsh": ("dedup_embedding_pairs_lsh",),
+    "ann_lsh_topk": ("ann_lsh_topk",),
+    "ann_ivf_topk": ("ann_ivf_topk_assign", "ann_ivf_topk_routed"),
+    "ann_pq_topk": ("ann_pq_topk_shortlist",),
+    "semantic_dedup_embeddings": ("semantic_dedup_embeddings",),
+    "embedding_cluster_stats": ("embedding_cluster_stats_assign",
+                                "embedding_cluster_stats_cent"),
+    "doc_compression_ratio": ("doc_compression_ratio",),
+    "doc_bpe_tokens": ("doc_bpe_tokens",),
+}
+
+
+def _artifact_digests() -> dict:
+    import hashlib
+
+    return {p.relative_to(ARTIFACT_ROOT).as_posix():
+            hashlib.md5(p.read_bytes()).hexdigest()
+            for p in sorted(ARTIFACT_ROOT.rglob("*.parquet"))
+            if ".tmp" not in p.parts and "test_roundtrip" not in p.parts}
+
+
+def test_committed_artifacts_match_fresh_recompute(spark):
+    """The committed artifact bytes are what make the oracle
+    independent of execution order (a fresh checkout's oracle may
+    read them before the engine ever runs). _write_artifact silently
+    self-heals (overwrites) on value drift, so without this test a
+    regression in ANY model stage (simhash, dHash, audio FP, band
+    keys, k-means assignments, ADC shortlist, zlib counts, BPE table)
+    would rewrite its artifact and the gate would still pass green
+    (ADVICE r6). Recompute EVERY artifact family at the oracle sf and
+    assert no committed byte moved — including files for the other
+    corpora, which these runs must not touch."""
+    from mapreducewordcount_spark.queries import all_queries
+
+    before = _artifact_digests()
+    expected_dirs = {f for fams in ARTIFACT_QUERIES.values()
+                     for f in fams}
+    on_disk = {p.name for p in ARTIFACT_ROOT.iterdir()
+               if p.is_dir() and p.name not in (".tmp", "test_roundtrip")}
+    assert on_disk == expected_dirs, \
+        "artifact family map out of date — update ARTIFACT_QUERIES"
+
+    qs = all_queries()
+    for name in ARTIFACT_QUERIES:
+        qs[name].spark_fn(spark, SF_ORACLE)  # materializes eagerly
+
+    after = _artifact_digests()
+    drifted = sorted(k for k in before
+                     if after.get(k) != before[k]) + \
+        sorted(set(after) - set(before))
+    assert not drifted, \
+        f"regenerated artifacts differ from committed bytes: {drifted} " \
+        "— a hash family changed; re-run the three-sf generation and " \
         "commit the new artifacts"
 
 
