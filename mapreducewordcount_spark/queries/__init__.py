@@ -42,6 +42,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline_queries,
         pipeline2,
         pipeline3,
+        pipeline4,
         text_queries,
         tpch,
         wordcount_queries,
@@ -83,9 +84,9 @@ def all_queries() -> dict[str, QuerySpec]:
     #   remaining r3 queries rotate through r7).
     full: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries,
-                pipeline_queries, pipeline2, pipeline3, tpch,
-                bucketed_join, analytics, text_queries, analytics2,
-                analytics3, tpch2, tpch3):
+                pipeline_queries, pipeline2, pipeline3, pipeline4,
+                tpch, bucketed_join, analytics, text_queries,
+                analytics2, analytics3, tpch2, tpch3):
         full.update(mod.QUERIES)
 
     gate_first = (
