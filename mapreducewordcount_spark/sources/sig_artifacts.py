@@ -80,6 +80,24 @@ EMB_KEY_SQL = (
 )
 
 
+#: DuckDB-side expressions for the lineitem corpus key — must stay in
+#: lockstep with ``lineitem_corpus_key``. Both components are integer
+#: aggregates (COUNT + SUM of an integer key column), so the pair is
+#: exact on both engines; the CAST collapses DuckDB's HUGEINT sum.
+LINEITEM_KEY_SQL = (
+    "(SELECT count(*) FROM lineitem)",
+    "(SELECT CAST(sum(l_orderkey) AS BIGINT) FROM lineitem)",
+)
+
+
+def lineitem_corpus_key(l: DataFrame) -> tuple[int, int]:
+    """(n_rows, Σ l_orderkey) — the lineitem analog of ``corpus_key``
+    for artifacts whose model table derives from the fact table."""
+    row = l.agg(F.count(F.lit(1)).alias("n"),
+                F.sum("l_orderkey").alias("s")).first()
+    return int(row.n), int(row.s or 0)
+
+
 def embeddings_corpus_key(emb: DataFrame,
                           vec_col: str = "embedding") -> tuple[int, int]:
     """(n_rows, Σ floor(first_component × 1000)) — the embeddings

@@ -104,6 +104,7 @@ ARTIFACT_QUERIES = {
                                 "embedding_cluster_stats_cent"),
     "doc_compression_ratio": ("doc_compression_ratio",),
     "doc_bpe_tokens": ("doc_bpe_tokens",),
+    "sketch_hll_report": ("sketch_hll_report",),
 }
 
 
