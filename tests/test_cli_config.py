@@ -77,7 +77,7 @@ def test_cli_reference_corpus_byte_parity(spark, tmp_path):
     import textwrap
     from collections import Counter
 
-    from mapreducewordcount_spark.functions.tokenize import treebank_lite_tokenize
+    from mapreducewordcount_spark.functions.tokenize import word_tokenize_port
 
     corpus = "/root/reference/files/inputs"
     if not os.path.isdir(corpus):
@@ -101,7 +101,7 @@ def test_cli_reference_corpus_byte_parity(spark, tmp_path):
         if name.endswith(".txt"):
             with open(os.path.join(corpus, name), encoding="utf-8") as f:
                 for line in f:
-                    for tok in treebank_lite_tokenize(line):
+                    for tok in word_tokenize_port(line):
                         w = tok.strip(string.punctuation).lower()
                         if w:
                             counts[w] += 1

@@ -11,7 +11,7 @@ from mapreducewordcount_spark.functions.tokenize import (
     normalize_word,
     tokenize_expr,
     tokenize_parity,
-    treebank_lite_tokenize,
+    word_tokenize_port,
 )
 
 # (input, expected words under PARITY mode) — FIXTURES.md §F2
@@ -35,8 +35,8 @@ def _apply_reference_normalize(tokens):
 
 
 @pytest.mark.parametrize("text,expected", PARITY_GOLDENS)
-def test_treebank_lite_goldens(text, expected):
-    assert _apply_reference_normalize(treebank_lite_tokenize(text)) == expected
+def test_treebank_port_goldens(text, expected):
+    assert _apply_reference_normalize(word_tokenize_port(text)) == expected
 
 
 @pytest.mark.parametrize("text,expected", PARITY_GOLDENS)

@@ -17,7 +17,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from mapreducewordcount_spark.functions.buckets import bucket_expr
-from mapreducewordcount_spark.functions.tokenize import treebank_lite_tokenize
+from mapreducewordcount_spark.functions.tokenize import word_tokenize_port
 from mapreducewordcount_spark.operators.wordcount import (
     word_counts,
     wordcount_pipeline,
@@ -63,7 +63,7 @@ def test_corpus_native_mode_matches_counter_oracle(spark):
 def test_corpus_parity_mode_matches_counter_oracle(spark):
     got = {r.word: r["count"]
            for r in wordcount_pipeline(spark, REFERENCE_CORPUS, mode="parity").collect()}
-    want = _oracle_counts(REFERENCE_CORPUS, treebank_lite_tokenize)
+    want = _oracle_counts(REFERENCE_CORPUS, word_tokenize_port)
     assert got == dict(want)
 
 

@@ -15,7 +15,17 @@ and asserts both bandings find every planted twin (the pigeonhole
 guarantee is radius-preserving in both). Results feed SCALE.md's
 round-6 section.
 
-Usage: python tools/banding_stress.py [n ...]    (default 50000 200000)
+Round 7 adds an ``lsh`` mode for the OTHER reworked banding family —
+OR-banded embedding sign-LSH (``lsh_candidate_pairs``): synthetic
+gaussian 64-dim vectors (again adversarial: zero cluster structure)
+plus 100 planted cosine-near twins, measuring candidate mass, the
+full verified-pair wall clock, and planted recall at each n. The
+corpus-derived band width (≈log2 n bits) is the sub-quadratic claim
+under test: random bucket mass stays O(1) as n grows.
+
+Usage: python tools/banding_stress.py [n ...]          (hamming mode)
+       python tools/banding_stress.py lsh [n ...]      (embedding LSH)
+Defaults: 50000 200000 (hamming), 100000 1000000 (lsh).
 """
 
 from __future__ import annotations
@@ -37,7 +47,10 @@ from mapreducewordcount_spark.operators.dedup import (
 )
 from mapreducewordcount_spark.session import get_spark
 
-SIZES = [int(a) for a in sys.argv[1:]] or [50_000, 200_000]
+LSH_MODE = len(sys.argv) > 1 and sys.argv[1] == "lsh"
+_ARGS = sys.argv[2:] if LSH_MODE else sys.argv[1:]
+SIZES = [int(a) for a in _ARGS] or \
+    ([100_000, 1_000_000] if LSH_MODE else [50_000, 200_000])
 RADIUS = 3
 N_PLANTED = 100
 
