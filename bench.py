@@ -83,6 +83,18 @@ HEADLINE = (
     "doc_chunks",
     "events_gapfill",
     "source_overlap_matrix",
+    # round-7 additions (VERDICT r6 next#5): the four queries the r6
+    # banding rework changed most — adaptive Hamming bands (simhash,
+    # dHash, audio FP) and OR-banded embedding LSH — plus the new
+    # exact-substring rewrite (explode → count → join-back → per-doc
+    # islands). NOTE: their inclusion grows the headline total by
+    # construction; compare r6↔r7 on the shared-query subset or the
+    # per-query map, not raw totals (BASELINE.md).
+    "dedup_simhash_pairs",
+    "media_image_dhash_pairs",
+    "media_audio_fp_pairs",
+    "dedup_embedding_pairs_lsh",
+    "exact_substring_dedup",
 )
 
 
@@ -153,7 +165,7 @@ def main() -> None:
     if "--session" in sys.argv:
         print(json.dumps(run_session()))
         return
-    n_sessions = int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "2"))
+    n_sessions = int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "3"))
     if n_sessions <= 1:
         print(json.dumps(run_session()))
         return

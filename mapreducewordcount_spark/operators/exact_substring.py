@@ -48,6 +48,7 @@ other text operator and the DuckDB oracle's ``_WORDS_CTE``.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -74,12 +75,73 @@ def _lgram_occurrences(docs: DataFrame, min_tokens: int, id_col: str,
                     hash_key("ng", wide_keys).alias("key")))
 
 
+#: FNV-64 prime — any odd constant works as the rolling-hash base;
+#: odd ⇒ invertible mod 2^64, so windows differing in one token get
+#: distinct contributions at every position.
+_ROLL_BASE = 1099511628211
+
+
+def _rolling_keys_udf(min_tokens: int):
+    """array<long> token hashes → array<long> of L-gram window hashes
+    (polynomial in uint64 wraparound arithmetic), Arrow-batched.
+
+    The long-document scale path: the expression form builds the
+    L-token STRING per start position — O(n·L) character movement
+    plus an L-token hash each — while this variant does O(n·L)
+    uint64 multiply-adds on a strided numpy view (no allocation per
+    window, C speed) over token hashes computed once JVM-side. Keys
+    differ from the expression form's (polynomial-of-xxhash64 vs
+    xxhash64-of-string) but the DUPLICATE RELATION they induce is
+    identical up to hash collisions, so spans/stats/rewrite outputs
+    are equal — pinned by tests/test_exact_substring.py's
+    expr-vs-arrow parity sweep.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    powers = np.empty(min_tokens, dtype=np.uint64)
+    powers[-1] = 1
+    for i in range(min_tokens - 2, -1, -1):
+        powers[i] = powers[i + 1] * np.uint64(_ROLL_BASE)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def roll(tok_hashes: pd.Series) -> pd.Series:
+        out = []
+        for lst in tok_hashes:
+            if lst is None or len(lst) < min_tokens:
+                out.append([])
+                continue
+            t = np.asarray(lst, dtype=np.int64).view(np.uint64)
+            win = np.lib.stride_tricks.sliding_window_view(t, min_tokens)
+            h = (win * powers).sum(axis=1, dtype=np.uint64)
+            out.append(h.view(np.int64).tolist())
+        return pd.Series(out)
+
+    return roll
+
+
+def _lgram_occurrences_arrow(docs: DataFrame, min_tokens: int,
+                             id_col: str, text_col: str) -> DataFrame:
+    """Arrow rolling-hash form of ``_lgram_occurrences`` — same
+    (doc_id, s, key) contract, built from JVM-side per-token xxhash64
+    plus a numpy polynomial window hash (see ``_rolling_keys_udf``)."""
+    roll = _rolling_keys_udf(min_tokens)
+    tok_hashes = F.transform(words(text_col), lambda w: F.xxhash64(w))
+    return (docs
+            .select(id_col, roll(tok_hashes).alias("__keys"))
+            .select(id_col,
+                    F.posexplode("__keys").alias("pos0", "key"))
+            .select(id_col, (F.col("pos0") + 1).alias("s"), "key"))
+
+
 def exact_substring_spans(docs: DataFrame,
                           min_tokens: int = DEFAULT_MIN_TOKENS,
                           min_count: int = 2,
                           id_col: str = "doc_id",
                           text_col: str = "text",
-                          wide_keys: bool = False) -> DataFrame:
+                          wide_keys: bool = False,
+                          key_mode: str = "expr") -> DataFrame:
     """Maximal duplicated token spans per document.
 
     Returns (id_col, span_start, span_end): 1-based inclusive token
@@ -88,9 +150,21 @@ def exact_substring_spans(docs: DataFrame,
     runs (overlapping or ADJACENT covered intervals fuse — the removal
     set is a set of positions, so two abutting duplicated windows are
     one maximal removed run).
+
+    ``key_mode``: ``"expr"`` (default — codegen'd md-free string
+    window + xxhash64; the oracle-parity form) or ``"arrow"`` (numpy
+    rolling polynomial over JVM token hashes — the long-document
+    path; same spans, different key family, no ``wide_keys``).
     """
-    occ = _lgram_occurrences(docs, min_tokens, id_col, text_col,
-                             wide_keys)
+    if key_mode == "arrow":
+        if wide_keys:
+            raise ValueError("arrow key_mode is single-lane 64-bit; "
+                             "use expr mode for wide_keys")
+        occ = _lgram_occurrences_arrow(docs, min_tokens, id_col,
+                                       text_col)
+    else:
+        occ = _lgram_occurrences(docs, min_tokens, id_col, text_col,
+                                 wide_keys)
     dup_keys = (occ.groupBy("key")
                 .agg(F.count(F.lit(1)).alias("cnt"))
                 .filter(F.col("cnt") >= min_count)
@@ -122,7 +196,8 @@ def exact_substring_dedup(docs: DataFrame,
                           min_count: int = 2,
                           id_col: str = "doc_id",
                           text_col: str = "text",
-                          wide_keys: bool = False) -> DataFrame:
+                          wide_keys: bool = False,
+                          key_mode: str = "expr") -> DataFrame:
     """The rewrite: per doc, duplicated-span stats + the text that
     survives span removal.
 
@@ -139,7 +214,7 @@ def exact_substring_dedup(docs: DataFrame,
     per doc are bounded by the doc's own length.
     """
     spans = exact_substring_spans(docs, min_tokens, min_count, id_col,
-                                  text_col, wide_keys)
+                                  text_col, wide_keys, key_mode)
     per = (spans.groupBy(id_col)
            .agg(F.count(F.lit(1)).alias("n_dup_spans"),
                 F.sum(F.col("span_end") - F.col("span_start") + 1)

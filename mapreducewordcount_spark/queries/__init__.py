@@ -69,19 +69,20 @@ def all_queries() -> dict[str, QuerySpec]:
     #   mixture→packing composition (first-ever rows), then the r5
     #   plan-changed set, then core-family rotation (39/39 oracled
     #   green, 11 rows-only);
-    #   r6 window (below) — the ELEVEN queries whose rows-only checks
-    #   flip to full artifact oracles this round (signature Hamming
-    #   joins, banded embedding LSH, LSH/IVF/PQ ANN, SemDeDup prune,
-    #   k-means cluster stats, zlib byte counts, the BPE word
-    #   table —
-    #   sources/sig_artifacts.py), then the
-    #   remaining plan/operating-point changes (128-hash incremental
-    #   near-dup, integer-div chunking), then
-    #   the 16 queries that rotated out of r5's window (their last
-    #   green is r4 — VERDICT r5 next#7 keeps every operator's last
-    #   green ≤2 rounds old), then the stalest core families (last
-    #   green r2, then a 15-query slice of the r3 cohort; the
-    #   remaining r3 queries rotate through r7).
+    #   r6 window — the eleven rows-only → artifact-oracle flips,
+    #   the remaining plan changes, the 16 r4-rotated-out queries,
+    #   the r2 cohort, and 13 of the r3 cohort (50/50 green);
+    #   r7 window (below) — VERDICT r6 next#1: the 29 queries whose
+    #   last driver row is round 3 lead the window (TPC-H batches 2/3,
+    #   the doc/analytics families, pivot/cube/grouping-sets reps), so
+    #   after this round every registry query's last green is ≥ r5.
+    #   Then the round-7 first-ever rows (exact_substring_dedup — the
+    #   Lee et al. 2022 operator; sketch_hll_report — the HLL half of
+    #   the sketch split, now artifact-oracled), then this round's
+    #   changed queries (sketch_stats — trimmed to the GK residue;
+    #   doc_bpe_tokens — forced vocab-table broadcast dropped), then
+    #   17 of the 37 r5-last-green queries (dedup ladder + wordcount
+    #   + curation reps); the remaining 20 rotate through r8.
     full: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries,
                 pipeline_queries, pipeline2, pipeline3, pipeline4,
@@ -90,33 +91,35 @@ def all_queries() -> dict[str, QuerySpec]:
         full.update(mod.QUERIES)
 
     gate_first = (
-        # rows-only → artifact-oracle flips: first-ever ORACLED rows
-        "dedup_simhash_pairs", "media_image_dhash_pairs",
-        "media_audio_fp_pairs", "dedup_embedding_pairs_lsh",
-        "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
-        "semantic_dedup_embeddings",
-        "embedding_cluster_stats", "doc_compression_ratio",
-        "doc_bpe_tokens",
-        # plan / operating-point changes this round
-        "incremental_neardup_report", "doc_chunks",
-        # rotated out of the r5 window (last green r4)
-        "doc_length_deciles", "media_image_features",
-        "media_audio_features", "q1_pricing_summary",
-        "q6_forecast_revenue", "q3_top_orders", "q5_region_revenue",
-        "top_orders_per_customer", "rollup_revenue",
-        "bucketed_order_revenue", "doc_keywords_tfidf",
-        "curriculum_epoch_order", "doc_repetition_stats",
-        "pack_training_sequences", "doc_lm_quality", "wc_bucket_hist",
-        # stalest core families: last green r2
-        "big_spender_segments", "churned_customers",
-        "content_word_counts", "customers_without_orders",
-        "distinct_stats", "part_brand_stats", "retained_customers",
-        "running_revenue", "top_bigrams", "top_customers", "wc_top20",
-        # last green r3: events family, TPC-H batch-2 reps, text reps
-        "events_asof_orders", "events_sessions", "events_hourly",
-        "events_json_stats", "events_props_keys",
-        "events_after_purchase", "q2_min_cost_supplier",
-        "q4_priority_late", "q7_nation_volume", "q8_market_share",
+        # the 29 r3-stale queries (VERDICT r6 next#1) — every one of
+        # these has its last green driver row in round 3
+        "q9_type_profit", "q10_returned_customers",
+        "q11_important_parts", "q12_ship_priority",
+        "q13_order_count_dist", "q14_promo_revenue",
+        "q15_top_supplier", "q16_part_supplier_counts",
+        "q17_small_qty_revenue", "q18_large_orders",
+        "q19_disjunctive", "q20_excess_share_suppliers",
+        "q21_late_suppliers", "q22_idle_customers",
+        "nation_balance_reconciliation", "above_avg_customers",
+        "acctbal_histogram", "part_name_features", "orders_by_month",
+        "label_centroid_norms", "orders_nearby_window",
+        "pivot_status_by_segment", "unpivot_part_measures",
+        "cube_revenue", "segment_price_quantiles",
+        "rollup_with_grouping_flags", "doc_stats", "doc_language_id",
+        "doc_fingerprints",
+        # round-7 first-ever rows
+        "exact_substring_dedup", "sketch_hll_report",
+        # changed this round: sketch split residue (rows-only),
+        # dropped vocab-table broadcast
+        "sketch_stats", "doc_bpe_tokens",
+        # r5-last-green rotation: dedup ladder + wordcount + curation
+        "wc_word_count", "wc_word_count_salted", "dedup_exact",
+        "dedup_minhash_pairs", "dedup_prefix_pairs", "dedup_groups",
+        "dedup_ngram_pairs", "dedup_winnow_pairs",
+        "dedup_embedding_pairs", "ann_cosine_topk", "curate_corpus",
+        "curate_corpus_best", "dedup_survivors",
+        "incremental_dedup_report", "knn_label_accuracy",
+        "boilerplate_lines", "c4_line_dedup",
     )
     out = {n: full[n] for n in gate_first}
     out.update(full)  # remainder keeps its original relative order

@@ -138,6 +138,32 @@ def test_partitioning_invariance(spark):
     assert r1 == r7
 
 
+def test_arrow_key_mode_parity(spark):
+    """The Arrow rolling-hash key family (long-document path) must
+    induce the same duplicate relation as the expression form — the
+    whole dedup output (spans, stats, cleaned text) is key-family
+    independent. Sweep the planted corpora AND the gate corpus."""
+    from mapreducewordcount_spark.sources.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    planted = _docs(spark,
+                    _uw("a", 5) + " " + SHARED20 + " " + _uw("b", 7),
+                    _uw("c", 3) + " " + SHARED20,
+                    SHARED20 + " " + SHARED20,
+                    _uw("d", 40), "tiny")
+    corpora = [planted, load_table(spark, SF_ORACLE, "documents")]
+    for d in corpora:
+        expr = sorted(map(tuple, exact_substring_dedup(
+            d, min_tokens=15).collect()))
+        arrow = sorted(map(tuple, exact_substring_dedup(
+            d, min_tokens=15, key_mode="arrow").collect()))
+        assert expr == arrow
+
+    with pytest.raises(ValueError):
+        exact_substring_dedup(planted, min_tokens=15,
+                              wide_keys=True, key_mode="arrow")
+
+
 def test_gate_query_nontrivial_at_oracle_sf(spark):
     """The gate operating point (L=15) must exercise real spans on the
     driver corpus — a parameter drift that empties the output would

@@ -7,43 +7,42 @@ from __future__ import annotations
 from mapreducewordcount_spark.queries import all_queries
 
 
-def test_gate_window_rotation_round6():
+def test_gate_window_rotation_round7():
     names = list(all_queries())
     window = set(names[:50])
-    # the eleven queries whose rows-only checks flip to full artifact
-    # oracles this round take the head (first-ever ORACLED rows),
-    # then the remaining plan/operating-point changes (128-hash
-    # incremental near-dup, integer-div chunking)
-    assert names[:13] == [
-        "dedup_simhash_pairs", "media_image_dhash_pairs",
-        "media_audio_fp_pairs", "dedup_embedding_pairs_lsh",
-        "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
-        "semantic_dedup_embeddings", "embedding_cluster_stats",
-        "doc_compression_ratio", "doc_bpe_tokens",
-        "incremental_neardup_report", "doc_chunks"]
-    # the 16 queries that rotated out of the r5 window re-verify
-    # (last green r4 — VERDICT r5 next#7: every operator's last green
-    # stays ≤2 rounds old)
-    for q in ("doc_length_deciles", "media_image_features",
-              "media_audio_features", "q1_pricing_summary",
-              "q6_forecast_revenue", "q3_top_orders",
-              "q5_region_revenue", "top_orders_per_customer",
-              "rollup_revenue", "bucketed_order_revenue",
-              "doc_keywords_tfidf", "curriculum_epoch_order",
-              "doc_repetition_stats", "pack_training_sequences",
-              "doc_lm_quality", "wc_bucket_hist"):
+    # VERDICT r6 next#1: the 29 queries whose last green driver row
+    # is round 3 lead the window — after r7 every registry query's
+    # last green is ≥ r5
+    r3_stale = (
+        "q9_type_profit", "q10_returned_customers",
+        "q11_important_parts", "q12_ship_priority",
+        "q13_order_count_dist", "q14_promo_revenue",
+        "q15_top_supplier", "q16_part_supplier_counts",
+        "q17_small_qty_revenue", "q18_large_orders",
+        "q19_disjunctive", "q20_excess_share_suppliers",
+        "q21_late_suppliers", "q22_idle_customers",
+        "nation_balance_reconciliation", "above_avg_customers",
+        "acctbal_histogram", "part_name_features", "orders_by_month",
+        "label_centroid_norms", "orders_nearby_window",
+        "pivot_status_by_segment", "unpivot_part_measures",
+        "cube_revenue", "segment_price_quantiles",
+        "rollup_with_grouping_flags", "doc_stats", "doc_language_id",
+        "doc_fingerprints")
+    assert names[:29] == list(r3_stale)
+    # round-7 first-ever rows + this round's changed queries
+    assert names[29:33] == ["exact_substring_dedup",
+                            "sketch_hll_report", "sketch_stats",
+                            "doc_bpe_tokens"]
+    # r5-last-green rotation fills the remaining slots
+    for q in ("wc_word_count", "dedup_exact", "dedup_minhash_pairs",
+              "ann_cosine_topk", "curate_corpus_best",
+              "incremental_dedup_report", "boilerplate_lines",
+              "c4_line_dedup"):
         assert q in window, q
-    # stalest core families fill the remaining slots: the full
-    # last-green-r2 cohort and a 15-query slice of the r3 cohort
-    for q in ("big_spender_segments", "wc_top20", "running_revenue",
-              "events_asof_orders", "events_sessions",
-              "q7_nation_volume"):
-        assert q in window, q
-    # every r5-window query is freshly green (CORRECTNESS_r05) and
-    # correctly rotates OUT this round
-    for q in ("doc_chunks", "incremental_neardup_report"):
-        assert q in window  # unless its plan changed again (above)
-    assert "wc_word_count" not in window  # green in r1/r2/r5
+    # freshly green in r6 → correctly rotated OUT this round
+    for q in ("dedup_simhash_pairs", "ann_lsh_topk", "doc_chunks",
+              "q1_pricing_summary", "events_asof_orders"):
+        assert q not in window, q
 
 
 def test_registry_is_complete_and_unique():

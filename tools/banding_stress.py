@@ -110,8 +110,79 @@ def candidate_rows(sigs_df, plan) -> int:
     return int(row.p or 0)
 
 
+def make_embeddings(spark, n: int, dim: int = 64):
+    """n gaussian vectors + N_PLANTED near twins (cos ≈ 0.99), written
+    through /tmp parquet (createDataFrame of 10⁶ Python float lists is
+    the slow path; arrow → parquet → scan is the honest ingest shape
+    anyway)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(n)
+    x = rng.normal(size=(n, dim)).astype(np.float32)
+    twins = (x[:N_PLANTED]
+             + rng.normal(scale=0.15, size=(N_PLANTED, dim))
+             .astype(np.float32))
+    allx = np.vstack([x, twins])
+    m = len(allx)
+    offsets = np.arange(0, (m + 1) * dim, dim, dtype=np.int32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(m, dtype=np.int64)),
+        "embedding": pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(allx.ravel())),
+    })
+    path = f"/tmp/banding_stress_emb_{n}.parquet"
+    pq.write_table(tbl, path)
+    expected = {(j, n + j) for j in range(N_PLANTED)}
+    return spark.read.parquet(path), expected
+
+
+def lsh_candidate_mass(sig) -> int:
+    """Pre-distinct band-join output rows: Σ over (band, key) buckets
+    of C(bucket, 2) — the LSH analog of ``candidate_rows``."""
+    banded = sig.select(F.posexplode("keys").alias("band", "key"))
+    per_bucket = banded.groupBy("band", "key") \
+        .agg(F.count(F.lit(1)).alias("c"))
+    row = per_bucket.agg(
+        F.sum(F.expr("CAST(c AS DOUBLE) * (c - 1) / 2")).alias("p")).first()
+    return int(row.p or 0)
+
+
+def lsh_main(spark) -> None:
+    from mapreducewordcount_spark.operators.dedup import (
+        embedding_dup_pairs_lsh,
+        lsh_candidate_pairs,
+    )
+    from mapreducewordcount_spark.operators.similarity import (
+        derive_band_width,
+    )
+
+    print("| n | band width | band-join rows | distinct candidates | "
+          "full-op wall (s) | planted recall |")
+    print("|---|---|---|---|---|---|")
+    for n in SIZES:
+        emb, expected = make_embeddings(spark, n)
+        w = derive_band_width(n)
+        cand, sig = lsh_candidate_pairs(emb, corpus_size=n)
+        mass = lsh_candidate_mass(sig)
+        n_cand = cand.count()
+        t0 = time.perf_counter()
+        got = {(r.a_id, r.b_id) for r in
+               embedding_dup_pairs_lsh(emb, threshold=0.8,
+                                       corpus_size=n).collect()}
+        dt = time.perf_counter() - t0
+        missing = expected - got
+        recall = f"{N_PLANTED - len(missing)}/{N_PLANTED}"
+        print(f"| {n:,} | {w} | {mass:,} | {n_cand:,} | {dt:.2f} | "
+              f"{recall} |")
+
+
 def main() -> None:
     spark = get_spark("banding-stress")
+    if LSH_MODE:
+        lsh_main(spark)
+        spark.stop()
+        return
     old_plan = [(8 * i, 8) for i in range(8)]
     new_plan = hamming_band_plan(RADIUS)
     print(f"| n | banding | candidate rows | pair-op wall (s) | "
