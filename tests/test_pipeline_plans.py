@@ -179,3 +179,24 @@ def test_c4_line_dedup_first_occurrence_is_partial_agg(spark):
     assert "Window" not in plan, f"hot-key window reintroduced:\n{plan}"
     assert "partial_merge" in plan or "partial" in plan.lower()
     assert "xxhash64" in plan  # shuffle keyed on the 8-byte hash
+
+
+def test_exact_substring_plan_shape(spark):
+    """The exact-substring rewrite's scale-deciding properties:
+    L-gram frequency is a partial-agg groupBy + equi-join-back keyed
+    on the 8-byte hash (never a window over the corpus key, never a
+    self-join of raw spans); the only windows are the per-DOC
+    gaps-and-islands pair; the rewrite joins spans back as an array
+    (no position-level range join -> no nested loop)."""
+    from mapreducewordcount_spark.queries import pipeline4
+
+    plan = explain_str(pipeline4.exact_substring_dedup(spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "xxhash64" in plan          # hashed shuffle keys, not strings
+    assert "partial" in plan.lower()   # map-side combine on the counts
+    # both windows run per-document (bounded state, no cross-doc skew)
+    import re
+
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(s == "doc_id" for s in specs), specs
