@@ -78,11 +78,13 @@ def all_queries() -> dict[str, QuerySpec]:
     #   after this round every registry query's last green is ≥ r5.
     #   Then the round-7 first-ever rows (exact_substring_dedup — the
     #   Lee et al. 2022 operator; sketch_hll_report — the HLL half of
-    #   the sketch split, now artifact-oracled), then this round's
-    #   changed queries (sketch_stats — trimmed to the GK residue;
-    #   doc_bpe_tokens — forced vocab-table broadcast dropped), then
-    #   17 of the 37 r5-last-green queries (dedup ladder + wordcount
-    #   + curation reps); the remaining 20 rotate through r8.
+    #   the sketch split, now artifact-oracled; part_name_fuzzy_pairs
+    #   — the PassJoin edit-distance join with an independent
+    #   brute-force oracle), then this round's changed queries
+    #   (sketch_stats — trimmed to the GK residue; doc_bpe_tokens —
+    #   forced vocab-table broadcast dropped), then 16 of the 37
+    #   r5-last-green queries (dedup ladder + wordcount + curation
+    #   reps); the remaining 21 rotate through r8.
     full: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries,
                 pipeline_queries, pipeline2, pipeline3, pipeline4,
@@ -109,6 +111,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "doc_fingerprints",
         # round-7 first-ever rows
         "exact_substring_dedup", "sketch_hll_report",
+        "part_name_fuzzy_pairs",
         # changed this round: sketch split residue (rows-only),
         # dropped vocab-table broadcast
         "sketch_stats", "doc_bpe_tokens",
@@ -119,7 +122,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "dedup_embedding_pairs", "ann_cosine_topk", "curate_corpus",
         "curate_corpus_best", "dedup_survivors",
         "incremental_dedup_report", "knn_label_accuracy",
-        "boilerplate_lines", "c4_line_dedup",
+        "boilerplate_lines",
     )
     out = {n: full[n] for n in gate_first}
     out.update(full)  # remainder keeps its original relative order

@@ -1,6 +1,16 @@
-"""Round-7 training-data operators: exact-substring dedup.
+"""Round-7 training-data operators: exact-substring dedup and the
+edit-distance similarity join.
 
 Oracle notes:
+
+- ``part_name_fuzzy_pairs`` — the STRONGEST oracle form in the
+  registry: the engine runs the PassJoin segment/probe candidate
+  scheme (``operators/editdist.py``) while DuckDB recomputes the
+  answer with a completely INDEPENDENT algorithm (brute-force
+  length-filtered ``levenshtein`` over all pairs — quadratic is fine
+  at oracle scale), so a recall bug in the banding cannot hide
+  behind a shared candidate structure. Both engines implement
+  classic unit-cost Levenshtein.
 
 - ``exact_substring_dedup`` — the engine shuffles ``xxhash64`` L-gram
   keys while the oracle groups the L-gram STRINGS themselves (the
@@ -104,7 +114,49 @@ FROM w LEFT JOIN per USING (doc_id) LEFT JOIN ct USING (doc_id)
 """
 
 
+FUZZY_TAU = 2
+
+
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join (PassJoin partition scheme): all
+    part-name pairs within Levenshtein 2 in star form — identical
+    names emit (min-key representative, member, 0) rows, the banded
+    join runs over distinct names. The testdata draws p_name from a
+    64-name pool with cliques of hundreds, so the full pairwise form
+    is O(clique²) output (5.5M rows at sf0.1 vs 20k in star form) —
+    exactly the blowup collapse_identical exists to kill."""
+    from mapreducewordcount_spark.operators.editdist import editdist_pairs
+
+    part = spread(load_table(spark, sf_dir, "part"))
+    return editdist_pairs(part, "p_partkey", "p_name", tau=FUZZY_TAU,
+                          collapse_identical=True)
+
+
+PART_FUZZY_SQL = f"""
+WITH reps AS (
+  SELECT p_name AS s, min(p_partkey) AS rid FROM part GROUP BY 1
+),
+star AS (
+  SELECT r.rid AS a_id, p.p_partkey AS b_id, 0 AS dist
+  FROM part p JOIN reps r ON p.p_name = r.s AND p.p_partkey <> r.rid
+),
+near AS (
+  SELECT a.rid AS a_id, b.rid AS b_id,
+         levenshtein(a.s, b.s) AS dist
+  FROM reps a JOIN reps b
+    ON a.rid < b.rid
+   AND abs(length(a.s) - length(b.s)) <= {FUZZY_TAU}
+  WHERE levenshtein(a.s, b.s) <= {FUZZY_TAU}
+)
+SELECT a_id, b_id, CAST(dist AS INT) AS dist FROM star
+UNION ALL
+SELECT a_id, b_id, CAST(dist AS INT) AS dist FROM near
+"""
+
+
 QUERIES = {
     "exact_substring_dedup": QuerySpec(exact_substring_dedup,
                                        EXACT_SUBSTRING_SQL),
+    "part_name_fuzzy_pairs": QuerySpec(part_name_fuzzy_pairs,
+                                       PART_FUZZY_SQL),
 }
