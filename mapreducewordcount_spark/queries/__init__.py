@@ -80,11 +80,13 @@ def all_queries() -> dict[str, QuerySpec]:
     #   Lee et al. 2022 operator; sketch_hll_report — the HLL half of
     #   the sketch split, now artifact-oracled; part_name_fuzzy_pairs
     #   — the PassJoin edit-distance join with an independent
-    #   brute-force oracle), then this round's changed queries
-    #   (sketch_stats — trimmed to the GK residue; doc_bpe_tokens —
-    #   forced vocab-table broadcast dropped), then 16 of the 37
-    #   r5-last-green queries (dedup ladder + wordcount + curation
-    #   reps); the remaining 21 rotate through r8.
+    #   brute-force oracle; decontam_bloom_report — the Bloom
+    #   prefilter + exact-verify decontamination variant), then this
+    #   round's changed queries (sketch_stats — trimmed to the GK
+    #   residue; doc_bpe_tokens — forced vocab-table broadcast
+    #   dropped), then 15 of the 37 r5-last-green queries (dedup
+    #   ladder + wordcount + curation reps); the remaining 22
+    #   (incl. boilerplate_lines) rotate through r8.
     full: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries,
                 pipeline_queries, pipeline2, pipeline3, pipeline4,
@@ -111,7 +113,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "doc_fingerprints",
         # round-7 first-ever rows
         "exact_substring_dedup", "sketch_hll_report",
-        "part_name_fuzzy_pairs",
+        "part_name_fuzzy_pairs", "decontam_bloom_report",
         # changed this round: sketch split residue (rows-only),
         # dropped vocab-table broadcast
         "sketch_stats", "doc_bpe_tokens",
@@ -122,7 +124,6 @@ def all_queries() -> dict[str, QuerySpec]:
         "dedup_embedding_pairs", "ann_cosine_topk", "curate_corpus",
         "curate_corpus_best", "dedup_survivors",
         "incremental_dedup_report", "knn_label_accuracy",
-        "boilerplate_lines",
     )
     out = {n: full[n] for n in gate_first}
     out.update(full)  # remainder keeps its original relative order

@@ -25,7 +25,10 @@ from mapreducewordcount_spark.functions.pii import (
     scrub_pii,
 )
 from mapreducewordcount_spark.functions.sampling import stratified_hash_sample
-from mapreducewordcount_spark.operators.decontam import contamination_report
+from mapreducewordcount_spark.operators.decontam import (
+    contamination_report,
+    contamination_report_bloom,
+)
 from mapreducewordcount_spark.queries import QuerySpec
 from mapreducewordcount_spark.queries.dedup_queries import (
     _SHINGLES_CTE,
@@ -55,6 +58,34 @@ tr AS (SELECT doc_id, unnest(shingles) AS ngram FROM sh
 SELECT doc_id, count(*) AS n_hits
 FROM tr JOIN ev USING (ngram)
 GROUP BY 1
+"""
+
+
+def decontam_bloom_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom-prefiltered variant at a heavier contamination bar:
+    every 10th document is the held-out side, and a training doc is
+    reported only with ≥2 distinct shared 3-grams. The Bloom pass is
+    exact-by-construction (prefilter + exact verify), so the oracle is
+    the plain semi-join semantics — Bloom parameters move work, not
+    answers (operators/decontam.py: contamination_report_bloom)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    eval_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    rep = contamination_report_bloom(train, eval_docs, "doc_id", "text",
+                                     n=3)
+    return rep.filter(F.col("n_hits") >= 2)
+
+
+DECONTAM_BLOOM_SQL = f"""
+WITH {_WORDS_CTE}, {_SHINGLES_CTE},
+ev AS (SELECT DISTINCT unnest(shingles) AS ngram FROM sh
+       WHERE doc_id % 10 = 0),
+tr AS (SELECT doc_id, unnest(shingles) AS ngram FROM sh
+       WHERE doc_id % 10 <> 0)
+SELECT doc_id, count(*) AS n_hits
+FROM tr JOIN ev USING (ngram)
+GROUP BY 1
+HAVING count(*) >= 2
 """
 
 
@@ -346,6 +377,8 @@ FROM b
 
 QUERIES = {
     "decontam_report": QuerySpec(decontam_report, DECONTAM_SQL),
+    "decontam_bloom_report": QuerySpec(decontam_bloom_report,
+                                       DECONTAM_BLOOM_SQL),
     "pii_scrub_stats": QuerySpec(pii_scrub_stats, _pii_sql()),
     "stratified_sample_docs": QuerySpec(stratified_sample_docs,
                                         STRATIFIED_SAMPLE_SQL),

@@ -30,14 +30,15 @@ def test_gate_window_rotation_round7():
         "doc_fingerprints")
     assert names[:29] == list(r3_stale)
     # round-7 first-ever rows + this round's changed queries
-    assert names[29:34] == ["exact_substring_dedup",
+    assert names[29:35] == ["exact_substring_dedup",
                             "sketch_hll_report",
-                            "part_name_fuzzy_pairs", "sketch_stats",
+                            "part_name_fuzzy_pairs",
+                            "decontam_bloom_report", "sketch_stats",
                             "doc_bpe_tokens"]
     # r5-last-green rotation fills the remaining slots
     for q in ("wc_word_count", "dedup_exact", "dedup_minhash_pairs",
               "ann_cosine_topk", "curate_corpus_best",
-              "incremental_dedup_report", "boilerplate_lines"):
+              "incremental_dedup_report"):
         assert q in window, q
     # freshly green in r6 → correctly rotated OUT this round
     for q in ("dedup_simhash_pairs", "ann_lsh_topk", "doc_chunks",
