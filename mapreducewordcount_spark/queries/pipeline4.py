@@ -30,6 +30,7 @@ Oracle notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mapreducewordcount_spark.queries import QuerySpec
 from mapreducewordcount_spark.queries.dedup_queries import _WORDS_CTE
@@ -154,9 +155,68 @@ SELECT a_id, b_id, CAST(dist AS INT) AS dist FROM near
 """
 
 
+def orders_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (operators/merge.py): apply a deterministic change
+    batch to the orders snapshot — updates at version 2 (+1000.00 for
+    keys %7), conflicting later updates at version 3 (doubled price
+    for keys %21 — latest-wins must override the v2 row), deletes at
+    version 4 (keys %13 — delete beats both earlier updates on
+    overlapping keys), and inserts under fresh negative keys (%11) —
+    then summarize the merged snapshot per order status.
+
+    The +1000.0 / *2 transforms are EXACT in IEEE double (no
+    round-boundary risk cross-engine), and the oracle reconstructs
+    the merged state with independent CASE/WHERE semantics rather
+    than the engine's anti-join + union plan — so precedence bugs
+    (update-after-delete, stale-version wins) cannot hide."""
+    from mapreducewordcount_spark.operators.merge import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    u2 = (orders.filter(key % 7 == 0)
+          .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+          .withColumn("_version", F.lit(2)).withColumn("_op", F.lit("U")))
+    u3 = (orders.filter(key % 21 == 0)
+          .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+          .withColumn("_version", F.lit(3)).withColumn("_op", F.lit("U")))
+    dels = (orders.filter(key % 13 == 0)
+            .withColumn("_version", F.lit(4)).withColumn("_op", F.lit("D")))
+    # fresh keys are strictly negative: plain -key would map the
+    # corpus's real o_orderkey = 0 onto itself and collide the insert
+    # with that key's version-4 delete
+    ins = (orders.filter(key % 11 == 0)
+           .withColumn("o_orderkey", -key - 1)
+           .withColumn("_version", F.lit(1)).withColumn("_op", F.lit("U")))
+    updates = u2.unionByName(u3).unionByName(dels).unionByName(ins)
+    merged = merge_upsert(orders, updates, ["o_orderkey"])
+    return (merged
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price")))
+
+
+ORDERS_CDC_SQL = """
+WITH merged AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderkey % 21 = 0 THEN o_totalprice * 2
+              WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+              ELSE o_totalprice END AS price
+  FROM orders
+  WHERE o_orderkey % 13 <> 0
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 11 = 0  -- inserts at key -k-1
+)
+SELECT o_orderstatus, count(*) AS n_orders,
+       round(sum(price), 2) AS total_price
+FROM merged GROUP BY 1
+"""
+
+
 QUERIES = {
     "exact_substring_dedup": QuerySpec(exact_substring_dedup,
                                        EXACT_SUBSTRING_SQL),
     "part_name_fuzzy_pairs": QuerySpec(part_name_fuzzy_pairs,
                                        PART_FUZZY_SQL),
+    "orders_cdc_merge": QuerySpec(orders_cdc_merge, ORDERS_CDC_SQL),
 }
