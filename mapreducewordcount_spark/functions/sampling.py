@@ -131,3 +131,30 @@ def dataset_split(key: Column | str, fracs: dict[str, float],
     for name, bound in reversed(bounds):
         expr = F.when(h < bound, F.lit(name)).otherwise(expr)
     return expr
+
+
+def weighted_sample_key(key: Column | str, weight: Column) -> Column:
+    """Efraimidis–Spirakis weighted sampling-WITHOUT-replacement key,
+    in an integer-exact form: the max of ``weight`` independent
+    deterministic md5 draws.
+
+    A-ES ranks rows by u^(1/w) (u uniform) and takes the top-k; for
+    integer weights the same rank distribution comes from
+    max(u_1..u_w), since P(max of w uniforms < x) = x^w — which is
+    exactly the CDF of u^(1/w). Using the md5 hex strings themselves
+    as the uniforms (fixed-length hex compares lexicographically =
+    numerically) removes every float from the scheme: no pow/ln libm
+    calls whose final-ulp differences could flip a rank cross-engine.
+
+    Row-local expression — at 100 TB this is a scan-side projection;
+    the top-k that follows is a per-partition heap + single reduce
+    (TakeOrderedAndProject), never a full sort. Weights must be
+    positive integers, small by design (they multiply per-row hash
+    work); quantize real-valued weights to a small integer grid
+    first.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    return F.array_max(F.transform(
+        F.sequence(F.lit(1), weight),
+        lambda j: F.md5(F.concat_ws(
+            ":", k.cast("string"), j.cast("string")))))

@@ -83,12 +83,14 @@ def all_queries() -> dict[str, QuerySpec]:
     #   brute-force oracle; decontam_bloom_report — the Bloom
     #   prefilter + exact-verify decontamination variant;
     #   orders_cdc_merge — the MERGE/upsert snapshot-refresh
-    #   primitive), then this round's changed queries (sketch_stats —
-    #   trimmed to the GK residue; doc_bpe_tokens — forced
-    #   vocab-table broadcast dropped), then 14 of the 37
-    #   r5-last-green queries (dedup ladder + wordcount + curation
-    #   reps); the remaining 23 (incl. boilerplate_lines and
-    #   knn_label_accuracy) rotate through r8.
+    #   primitive; weighted_sample_docs — integer-exact A-ES weighted
+    #   sampling without replacement), then this round's changed
+    #   queries (sketch_stats — trimmed to the GK residue;
+    #   doc_bpe_tokens — forced vocab-table broadcast dropped), then
+    #   13 of the 37 r5-last-green queries (dedup ladder + wordcount
+    #   + curation reps); the remaining 24 (incl. boilerplate_lines,
+    #   knn_label_accuracy, incremental_dedup_report) rotate
+    #   through r8.
     full: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries,
                 pipeline_queries, pipeline2, pipeline3, pipeline4,
@@ -116,7 +118,7 @@ def all_queries() -> dict[str, QuerySpec]:
         # round-7 first-ever rows
         "exact_substring_dedup", "sketch_hll_report",
         "part_name_fuzzy_pairs", "decontam_bloom_report",
-        "orders_cdc_merge",
+        "orders_cdc_merge", "weighted_sample_docs",
         # changed this round: sketch split residue (rows-only),
         # dropped vocab-table broadcast
         "sketch_stats", "doc_bpe_tokens",
@@ -126,7 +128,6 @@ def all_queries() -> dict[str, QuerySpec]:
         "dedup_ngram_pairs", "dedup_winnow_pairs",
         "dedup_embedding_pairs", "ann_cosine_topk", "curate_corpus",
         "curate_corpus_best", "dedup_survivors",
-        "incremental_dedup_report",
     )
     out = {n: full[n] for n in gate_first}
     out.update(full)  # remainder keeps its original relative order

@@ -16,7 +16,7 @@ queries/dedup_queries.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreducewordcount_spark.functions.pii import (
@@ -24,7 +24,10 @@ from mapreducewordcount_spark.functions.pii import (
     pii_counts,
     scrub_pii,
 )
-from mapreducewordcount_spark.functions.sampling import stratified_hash_sample
+from mapreducewordcount_spark.functions.sampling import (
+    stratified_hash_sample,
+    weighted_sample_key,
+)
 from mapreducewordcount_spark.operators.decontam import (
     contamination_report,
     contamination_report_bloom,
@@ -180,6 +183,57 @@ WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
       CASE lang WHEN 'en' THEN '{_RATES["en"]}'
                 WHEN 'de' THEN '{_RATES["de"]}'
                 ELSE '{_DEFAULT}' END
+"""
+
+
+WEIGHTED_K = 150
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis):
+    top-150 docs by the integer-exact A-ES key
+    (functions/sampling.py: weighted_sample_key), with per-source
+    weights 1..8 derived from the source number. The top-k plans as
+    TakeOrderedAndProject (per-partition heap + one reduce — never a
+    full sort); the rank window runs over the already-cut 150-row
+    frame. The oracle replays the identical max-of-w md5 draws, so
+    a single rank flip anywhere fails the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (F.lit(1)
+         + F.pmod(F.substring("source", 4, 10).cast("int"), F.lit(8)))
+    key = weighted_sample_key(F.col("doc_id"), w)
+    top = (docs
+           .select("doc_id", "source", w.alias("weight"),
+                   key.alias("draw_key"))
+           .orderBy(F.desc("draw_key"), "doc_id")
+           .limit(WEIGHTED_K))
+    rank_w = Window.orderBy(F.desc("draw_key"), "doc_id")
+    return (top
+            .withColumn("rank", F.row_number().over(rank_w).cast("int"))
+            .select("rank", "doc_id", "source", "weight"))
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         1 + (CAST(substr(source, 4) AS INT) % 8) AS weight
+  FROM documents
+),
+k AS (
+  SELECT doc_id, source, weight,
+         list_aggregate(
+           [md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))
+            for j in range(1, weight + 1)], 'max') AS draw_key
+  FROM d
+),
+r AS (
+  SELECT CAST(row_number() OVER (ORDER BY draw_key DESC, doc_id)
+              AS INT) AS rank,
+         doc_id, source, weight
+  FROM k
+)
+SELECT rank, doc_id, source, weight FROM r
+WHERE rank <= {WEIGHTED_K}
 """
 
 
@@ -382,6 +436,8 @@ QUERIES = {
     "pii_scrub_stats": QuerySpec(pii_scrub_stats, _pii_sql()),
     "stratified_sample_docs": QuerySpec(stratified_sample_docs,
                                         STRATIFIED_SAMPLE_SQL),
+    "weighted_sample_docs": QuerySpec(weighted_sample_docs,
+                                      WEIGHTED_SAMPLE_SQL),
     "doc_length_deciles": QuerySpec(doc_length_deciles,
                                     DOC_LENGTH_DECILES_SQL),
     "media_image_features": QuerySpec(media_image_features,

@@ -30,16 +30,15 @@ def test_gate_window_rotation_round7():
         "doc_fingerprints")
     assert names[:29] == list(r3_stale)
     # round-7 first-ever rows + this round's changed queries
-    assert names[29:36] == ["exact_substring_dedup",
+    assert names[29:37] == ["exact_substring_dedup",
                             "sketch_hll_report",
                             "part_name_fuzzy_pairs",
                             "decontam_bloom_report",
-                            "orders_cdc_merge", "sketch_stats",
-                            "doc_bpe_tokens"]
+                            "orders_cdc_merge", "weighted_sample_docs",
+                            "sketch_stats", "doc_bpe_tokens"]
     # r5-last-green rotation fills the remaining slots
     for q in ("wc_word_count", "dedup_exact", "dedup_minhash_pairs",
-              "ann_cosine_topk", "curate_corpus_best",
-              "incremental_dedup_report"):
+              "ann_cosine_topk", "curate_corpus_best"):
         assert q in window, q
     # freshly green in r6 → correctly rotated OUT this round
     for q in ("dedup_simhash_pairs", "ann_lsh_topk", "doc_chunks",
