@@ -84,13 +84,14 @@ def all_queries() -> dict[str, QuerySpec]:
     #   prefilter + exact-verify decontamination variant;
     #   orders_cdc_merge — the MERGE/upsert snapshot-refresh
     #   primitive; weighted_sample_docs — integer-exact A-ES weighted
-    #   sampling without replacement), then this round's changed
+    #   sampling without replacement; events_compaction_plan — the
+    #   small-file compaction planner), then this round's changed
     #   queries (sketch_stats — trimmed to the GK residue;
     #   doc_bpe_tokens — forced vocab-table broadcast dropped), then
-    #   13 of the 37 r5-last-green queries (dedup ladder + wordcount
-    #   + curation reps); the remaining 24 (incl. boilerplate_lines,
-    #   knn_label_accuracy, incremental_dedup_report) rotate
-    #   through r8.
+    #   12 of the 37 r5-last-green queries (dedup ladder + wordcount
+    #   + curation reps); the remaining 25 (incl. boilerplate_lines,
+    #   knn_label_accuracy, incremental_dedup_report, dedup_survivors)
+    #   rotate through r8.
     full: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries,
                 pipeline_queries, pipeline2, pipeline3, pipeline4,
@@ -119,6 +120,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "exact_substring_dedup", "sketch_hll_report",
         "part_name_fuzzy_pairs", "decontam_bloom_report",
         "orders_cdc_merge", "weighted_sample_docs",
+        "events_compaction_plan",
         # changed this round: sketch split residue (rows-only),
         # dropped vocab-table broadcast
         "sketch_stats", "doc_bpe_tokens",
@@ -127,7 +129,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "dedup_minhash_pairs", "dedup_prefix_pairs", "dedup_groups",
         "dedup_ngram_pairs", "dedup_winnow_pairs",
         "dedup_embedding_pairs", "ann_cosine_topk", "curate_corpus",
-        "curate_corpus_best", "dedup_survivors",
+        "curate_corpus_best",
     )
     out = {n: full[n] for n in gate_first}
     out.update(full)  # remainder keeps its original relative order

@@ -305,8 +305,58 @@ FROM sh
 """
 
 
+COMPACT_TARGET = 2000
+
+
+def events_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction plan over a synthetic small-file listing — one
+    "file" per (day, hour) of events, sized by payload bytes — packed
+    into ~2 KB output bins per day in hour order
+    (operators/compaction.py). Per-bin rollup: file count, bytes, and
+    the hour range each compacted output will cover. Integer bytes
+    and integer division end-to-end, so the oracle is exact."""
+    from mapreducewordcount_spark.operators.compaction import plan_compaction
+
+    e = load_table(spark, sf_dir, "events")
+    files = (e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+                       F.date_format("ts", "HH").cast("int").alias("hour"))
+             .agg(F.sum(F.length("props") + F.lit(32)).alias("bytes")))
+    binned = plan_compaction(files, ["dt"], ["hour"], "bytes",
+                             COMPACT_TARGET)
+    return (binned
+            .groupBy("dt", "bin")
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 F.sum("bytes").alias("total_bytes"),
+                 F.min("hour").alias("first_hour"),
+                 F.max("hour").alias("last_hour")))
+
+
+EVENTS_COMPACTION_SQL = f"""
+WITH f AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt,
+         CAST(strftime(ts, '%H') AS INT) AS hour,
+         CAST(sum(length(props) + 32) AS BIGINT) AS bytes
+  FROM events GROUP BY 1, 2
+),
+b AS (
+  SELECT dt, hour, bytes,
+         CAST(floor(coalesce(sum(bytes) OVER (
+                PARTITION BY dt ORDER BY hour
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / {COMPACT_TARGET}) AS INT) AS bin
+  FROM f
+)
+SELECT dt, bin, count(*) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       min(hour) AS first_hour, max(hour) AS last_hour
+FROM b GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_hourly": QuerySpec(events_hourly, EVENTS_HOURLY_SQL),
+    "events_compaction_plan": QuerySpec(events_compaction_plan,
+                                        EVENTS_COMPACTION_SQL),
     "events_json_stats": QuerySpec(events_json_stats, EVENTS_JSON_SQL),
     "events_sessions": QuerySpec(events_sessions, EVENTS_SESSIONS_SQL),
     "events_asof_orders": QuerySpec(events_asof_orders, EVENTS_ASOF_SQL),

@@ -30,11 +30,12 @@ def test_gate_window_rotation_round7():
         "doc_fingerprints")
     assert names[:29] == list(r3_stale)
     # round-7 first-ever rows + this round's changed queries
-    assert names[29:37] == ["exact_substring_dedup",
+    assert names[29:38] == ["exact_substring_dedup",
                             "sketch_hll_report",
                             "part_name_fuzzy_pairs",
                             "decontam_bloom_report",
                             "orders_cdc_merge", "weighted_sample_docs",
+                            "events_compaction_plan",
                             "sketch_stats", "doc_bpe_tokens"]
     # r5-last-green rotation fills the remaining slots
     for q in ("wc_word_count", "dedup_exact", "dedup_minhash_pairs",
