@@ -43,6 +43,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline2,
         pipeline3,
         pipeline4,
+        pipeline5,
         text_queries,
         tpch,
         wordcount_queries,
@@ -85,16 +86,22 @@ def all_queries() -> dict[str, QuerySpec]:
     #   orders_cdc_merge — the MERGE/upsert snapshot-refresh
     #   primitive; weighted_sample_docs — integer-exact A-ES weighted
     #   sampling without replacement; events_compaction_plan — the
-    #   small-file compaction planner), then this round's changed
-    #   queries (sketch_stats — trimmed to the GK residue;
-    #   doc_bpe_tokens — forced vocab-table broadcast dropped), then
-    #   12 of the 37 r5-last-green queries (dedup ladder + wordcount
-    #   + curation reps); the remaining 25 (incl. boilerplate_lines,
-    #   knn_label_accuracy, incremental_dedup_report, dedup_survivors)
-    #   rotate through r8.
+    #   small-file compaction planner; doc_bm25_topk — rational-idf
+    #   BM25 retrieval; heavy_hitters_words — Misra-Gries two-pass
+    #   exact heavy hitters; lineitem_zorder_layout — Morton-curve
+    #   layout planner; join_skew_report — hot-key salting
+    #   diagnostics), then this round's changed queries
+    #   (sketch_stats — trimmed to the GK residue; doc_bpe_tokens —
+    #   forced vocab-table broadcast dropped), then 8 of the 37
+    #   r5-last-green queries (dedup ladder core + wordcount +
+    #   curation reps); the remaining 29 (incl. boilerplate_lines,
+    #   knn_label_accuracy, incremental_dedup_report, dedup_survivors,
+    #   dedup_ngram_pairs, dedup_winnow_pairs, dedup_embedding_pairs,
+    #   curate_corpus) rotate through r8.
     full: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries,
                 pipeline_queries, pipeline2, pipeline3, pipeline4,
+                pipeline5,
                 tpch, bucketed_join, analytics, text_queries,
                 analytics2, analytics3, tpch2, tpch3):
         full.update(mod.QUERIES)
@@ -121,15 +128,18 @@ def all_queries() -> dict[str, QuerySpec]:
         "part_name_fuzzy_pairs", "decontam_bloom_report",
         "orders_cdc_merge", "weighted_sample_docs",
         "events_compaction_plan",
+        "doc_bm25_topk", "heavy_hitters_words",
+        "lineitem_zorder_layout", "join_skew_report",
         # changed this round: sketch split residue (rows-only),
         # dropped vocab-table broadcast
         "sketch_stats", "doc_bpe_tokens",
-        # r5-last-green rotation: dedup ladder + wordcount + curation
+        # r5-last-green rotation: dedup ladder core + wordcount +
+        # curation (dedup_ngram/winnow/embedding_pairs and
+        # curate_corpus ceded their slots to the four session-3
+        # first-evers above; they join the r8 cohort)
         "wc_word_count", "wc_word_count_salted", "dedup_exact",
         "dedup_minhash_pairs", "dedup_prefix_pairs", "dedup_groups",
-        "dedup_ngram_pairs", "dedup_winnow_pairs",
-        "dedup_embedding_pairs", "ann_cosine_topk", "curate_corpus",
-        "curate_corpus_best",
+        "ann_cosine_topk", "curate_corpus_best",
     )
     out = {n: full[n] for n in gate_first}
     out.update(full)  # remainder keeps its original relative order

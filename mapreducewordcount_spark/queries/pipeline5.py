@@ -1,0 +1,189 @@
+"""Round-7 session-3 operators: BM25 retrieval, two-pass heavy
+hitters, the z-order layout planner, and hot-key join diagnostics.
+
+Oracle notes:
+
+- ``doc_bm25_topk`` — BM25 with the rational (log-free) idf; every
+  float literal reaches both engines via ``repr`` and per-term
+  contributions are integer-quantized before the per-document sum,
+  so the scores hash-match bit-for-bit (see ``operators/bm25.py``).
+- ``heavy_hitters_words`` — the engine runs the Misra-Gries two-pass
+  (bounded summaries + exact verify) while the oracle computes the
+  answer with the INDEPENDENT brute-force groupBy/HAVING — the
+  strongest oracle form: a completeness bug in the summary merge
+  (a dropped candidate) loses rows the oracle still has.
+- ``lineitem_zorder_layout`` / ``join_skew_report`` — pure integer
+  arithmetic end-to-end (bit interleave, ``div``-based rescale and
+  ppm shares); nothing float-typed crosses the engines except the
+  final casts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducewordcount_spark.functions.tokenize import tokenize_expr
+from mapreducewordcount_spark.queries import QuerySpec
+from mapreducewordcount_spark.queries.dedup_queries import _WORDS_CTE
+from mapreducewordcount_spark.sources.tables import load_table, spread
+
+# query terms with spread document frequencies in the synthetic
+# corpus ('spark' appears in ~77% of docs, the others in nearly all —
+# the idf spread is what makes the ranking non-degenerate).
+BM25_TERMS = ("spark", "join", "hash", "vector")
+BM25_K = 20
+
+
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a fixed query-term set — the
+    retrieval primitive for benchmark-adjacent curation review."""
+    from mapreducewordcount_spark.operators.bm25 import bm25_topk
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return bm25_topk(docs, BM25_TERMS, k=BM25_K)
+
+
+def _bm25_sql() -> str:
+    from mapreducewordcount_spark.operators.bm25 import bm25_oracle_sql
+
+    return bm25_oracle_sql(BM25_TERMS, _WORDS_CTE, k=BM25_K)
+
+
+# phi = 1/100: every word holding >= 1% of the token stream. The
+# operator's MG capacity defaults to 128 (> 1/phi, the completeness
+# bound); the synthetic corpus's 31-word vocabulary makes the bounded
+# summary lossless here — tests/test_heavyhitters.py exercises the
+# decrement path on a planted long-tail corpus where capacity <<
+# distinct keys.
+HH_PHI = (1, 100)
+
+
+def heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi-heavy-hitter words via Misra-Gries candidates +
+    exact verify (two passes, bounded shuffle)."""
+    from mapreducewordcount_spark.operators.heavyhitters import heavy_hitters
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tokens = docs.select(
+        F.explode(tokenize_expr("text")).alias("word"))
+    out = heavy_hitters(tokens, "word",
+                        phi_num=HH_PHI[0], phi_denom=HH_PHI[1])
+    return out.withColumnRenamed("key", "word")
+
+
+HEAVY_HITTERS_SQL = f"""
+WITH {_WORDS_CTE},
+t AS (SELECT unnest(words) AS word FROM w),
+tot AS (SELECT count(*) AS n FROM t),
+c AS (SELECT word, count(*) AS n_occurrences FROM t GROUP BY 1)
+SELECT word,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       CAST(n_occurrences * 1000000 // n AS BIGINT) AS share_ppm
+FROM c, tot
+WHERE n_occurrences * {HH_PHI[1]} >= n * {HH_PHI[0]}
+"""
+
+
+ZO_BITS = 16
+ZO_FILE_BITS = 6
+
+
+def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout plan for lineitem clustered on
+    (l_partkey, l_suppkey): per-target-file zone maps."""
+    from mapreducewordcount_spark.operators.zorder import zorder_file_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return zorder_file_stats(li, "l_partkey", "l_suppkey",
+                             bits=ZO_BITS, file_bits=ZO_FILE_BITS)
+
+
+def _zorder_sql() -> str:
+    from mapreducewordcount_spark.operators.zorder import interleave_sql
+
+    scale = 1 << ZO_BITS
+    shift = 2 * ZO_BITS - ZO_FILE_BITS
+    return f"""
+WITH mm AS (
+  SELECT CAST(min(l_partkey) AS BIGINT) AS mnx,
+         CAST(max(l_partkey) AS BIGINT) AS mxx,
+         CAST(min(l_suppkey) AS BIGINT) AS mny,
+         CAST(max(l_suppkey) AS BIGINT) AS mxy
+  FROM lineitem
+),
+r AS (
+  SELECT l_partkey, l_suppkey,
+         ((CAST(l_partkey AS BIGINT) - mnx) * {scale}) // (mxx - mnx + 1)
+           AS rx,
+         ((CAST(l_suppkey AS BIGINT) - mny) * {scale}) // (mxy - mny + 1)
+           AS ry
+  FROM lineitem, mm
+),
+z AS (
+  SELECT l_partkey, l_suppkey,
+         ({interleave_sql('rx', 'ry', ZO_BITS)}) AS zvalue
+  FROM r
+)
+SELECT zvalue >> {shift} AS file_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(l_partkey) AS min_l_partkey,
+       max(l_partkey) AS max_l_partkey,
+       min(l_suppkey) AS min_l_suppkey,
+       max(l_suppkey) AS max_l_suppkey
+FROM z GROUP BY 1
+"""
+
+
+SKEW_TOP_N = 10
+# demo-scale task target so the gate output exercises the ceil-div
+# (events' hottest user holds ~86 rows at sf0.01 -> 3 salt buckets);
+# production would pass rows-per-task sized to executor memory.
+SKEW_TARGET = 32
+
+
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnostics on events.user_id — the pre-flight report
+    that sizes ``salted_join``'s buckets before a 100 TB shuffle."""
+    from mapreducewordcount_spark.operators.skewjoin import key_skew_report
+
+    events = load_table(spark, sf_dir, "events")
+    return key_skew_report(events, "user_id", top_n=SKEW_TOP_N,
+                           target_rows_per_task=SKEW_TARGET)
+
+
+JOIN_SKEW_SQL = f"""
+WITH c AS (
+  SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM c
+),
+top AS (
+  SELECT user_id, n_rows FROM c
+  ORDER BY n_rows DESC, user_id LIMIT {SKEW_TOP_N}
+)
+SELECT user_id,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_rows * 1000000 // total_rows AS BIGINT) AS share_ppm,
+       CAST(sum(n_rows * 1000000 // total_rows) OVER (
+              ORDER BY n_rows DESC, user_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_share_ppm,
+       CAST((n_rows + {SKEW_TARGET - 1}) // {SKEW_TARGET} AS BIGINT)
+         AS salt_buckets,
+       total_rows, n_keys
+FROM top, tot
+"""
+
+
+QUERIES = {
+    "doc_bm25_topk": QuerySpec(doc_bm25_topk, _bm25_sql()),
+    "heavy_hitters_words": QuerySpec(heavy_hitters_words,
+                                     HEAVY_HITTERS_SQL),
+    "lineitem_zorder_layout": QuerySpec(lineitem_zorder_layout,
+                                        _zorder_sql()),
+    "join_skew_report": QuerySpec(join_skew_report, JOIN_SKEW_SQL),
+}
