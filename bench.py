@@ -95,6 +95,17 @@ HEADLINE = (
     "media_audio_fp_pairs",
     "dedup_embedding_pairs_lsh",
     "exact_substring_dedup",
+    # round-7 session-3 operators: term-filtered postings + broadcast
+    # stats (bm25), bounded mapInPandas summaries + re-scan verify
+    # (heavy hitters), integer bit-interleave projection (z-order),
+    # count-only shuffle + top-n (skew report) — all first-bench rows.
+    "doc_bm25_topk",
+    "heavy_hitters_words",
+    "lineitem_zorder_layout",
+    "join_skew_report",
+    "source_quota_cap",
+    "orders_scd2_history",
+    "events_funnel",
 )
 
 

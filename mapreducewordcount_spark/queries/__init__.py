@@ -90,14 +90,19 @@ def all_queries() -> dict[str, QuerySpec]:
     #   BM25 retrieval; heavy_hitters_words — Misra-Gries two-pass
     #   exact heavy hitters; lineitem_zorder_layout — Morton-curve
     #   layout planner; join_skew_report — hot-key salting
-    #   diagnostics), then this round's changed queries
-    #   (sketch_stats — trimmed to the GK residue; doc_bpe_tokens —
-    #   forced vocab-table broadcast dropped), then 8 of the 37
-    #   r5-last-green queries (dedup ladder core + wordcount +
-    #   curation reps); the remaining 29 (incl. boilerplate_lines,
-    #   knn_label_accuracy, incremental_dedup_report, dedup_survivors,
-    #   dedup_ngram_pairs, dedup_winnow_pairs, dedup_embedding_pairs,
-    #   curate_corpus) rotate through r8.
+    #   diagnostics; source_quota_cap — per-domain best-k cap;
+    #   orders_scd2_history — SCD2 validity intervals from the CDC
+    #   log; events_funnel — strict-order funnel conversion), then
+    #   this round's changed queries (sketch_stats — trimmed to the
+    #   GK residue; doc_bpe_tokens — forced vocab-table broadcast
+    #   dropped; doc_quality — oracle reassembled from the shared
+    #   QUALITY_M_CTE), then 4 of the 37 r5-last-green queries
+    #   (dedup ladder core + wordcount + ANN reps); the remaining 33
+    #   (incl. boilerplate_lines, knn_label_accuracy,
+    #   incremental_dedup_report, dedup_survivors, dedup_ngram_pairs,
+    #   dedup_winnow_pairs, dedup_embedding_pairs, curate_corpus,
+    #   curate_corpus_best, wc_word_count_salted, dedup_prefix_pairs,
+    #   dedup_groups) rotate through r8.
     full: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries,
                 pipeline_queries, pipeline2, pipeline3, pipeline4,
@@ -130,16 +135,20 @@ def all_queries() -> dict[str, QuerySpec]:
         "events_compaction_plan",
         "doc_bm25_topk", "heavy_hitters_words",
         "lineitem_zorder_layout", "join_skew_report",
+        "source_quota_cap", "orders_scd2_history", "events_funnel",
         # changed this round: sketch split residue (rows-only),
-        # dropped vocab-table broadcast
-        "sketch_stats", "doc_bpe_tokens",
-        # r5-last-green rotation: dedup ladder core + wordcount +
-        # curation (dedup_ngram/winnow/embedding_pairs and
-        # curate_corpus ceded their slots to the four session-3
-        # first-evers above; they join the r8 cohort)
-        "wc_word_count", "wc_word_count_salted", "dedup_exact",
-        "dedup_minhash_pairs", "dedup_prefix_pairs", "dedup_groups",
-        "ann_cosine_topk", "curate_corpus_best",
+        # dropped vocab-table broadcast, doc_quality (r3-stale AND
+        # its oracle now assembles from the shared QUALITY_M_CTE;
+        # orders_cdc_merge's cdc_change_batch refactor is covered by
+        # its first-ever slot above)
+        "sketch_stats", "doc_bpe_tokens", "doc_quality",
+        # r5-last-green rotation: the remaining four slots go to the
+        # core reps (dedup_ngram/winnow/embedding_pairs,
+        # curate_corpus, curate_corpus_best, wc_word_count_salted,
+        # dedup_prefix_pairs and dedup_groups ceded their slots to
+        # the session-3 first-evers above; they join the r8 cohort)
+        "wc_word_count", "dedup_exact", "dedup_minhash_pairs",
+        "ann_cosine_topk",
     )
     out = {n: full[n] for n in gate_first}
     out.update(full)  # remainder keeps its original relative order

@@ -253,9 +253,13 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                     tm.token_count("text").alias("n_tokens"))
 
 
-DOC_QUALITY_SQL = f"""
-WITH {_WORDS_CTE},
-m AS (
+# quality-score building blocks, shared with the quota-cap oracle
+# (queries/pipeline5.py): the m-CTE computes the four raw signals,
+# QUALITY_EXPR_SQL folds them into the weighted score. The CAST
+# before round matters: decimal-literal arithmetic yields
+# DECIMAL(7,2) in DuckDB, which the driver gate hashes differently
+# than Spark's double even for equal values.
+QUALITY_M_CTE = f"""m AS (
   SELECT doc_id, text, words,
          len(words) AS nw,
          CASE WHEN len(words) > 0
@@ -269,15 +273,18 @@ m AS (
                    / strlen(regexp_replace(text, '\\s+', '', 'g'))
               ELSE 0.0 END AS pr
   FROM w
-)
-SELECT doc_id,
-       -- CAST before round: decimal-literal arithmetic yields
-       -- DECIMAL(7,2) in DuckDB, which the driver gate hashes
-       -- differently than Spark's double even for equal values.
-       round(CAST(0.3 * (CASE WHEN nw BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+)"""
+
+QUALITY_EXPR_SQL = """round(CAST(0.3 * (CASE WHEN nw BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
            + 0.2 * (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
            + 0.3 * (CASE WHEN sr >= 0.01 THEN 1.0 ELSE 0.0 END)
-           + 0.2 * (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END) AS DOUBLE), 4) AS quality,
+           + 0.2 * (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END) AS DOUBLE), 4)"""
+
+DOC_QUALITY_SQL = f"""
+WITH {_WORDS_CTE},
+{QUALITY_M_CTE}
+SELECT doc_id,
+       {QUALITY_EXPR_SQL} AS quality,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) AS n_tokens
 FROM m
 """

@@ -155,23 +155,17 @@ SELECT a_id, b_id, CAST(dist AS INT) AS dist FROM near
 """
 
 
-def orders_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC merge (operators/merge.py): apply a deterministic change
-    batch to the orders snapshot — updates at version 2 (+1000.00 for
-    keys %7), conflicting later updates at version 3 (doubled price
-    for keys %21 — latest-wins must override the v2 row), deletes at
-    version 4 (keys %13 — delete beats both earlier updates on
-    overlapping keys), and inserts under fresh negative keys (%11) —
-    then summarize the merged snapshot per order status.
+def cdc_change_batch(orders: DataFrame) -> DataFrame:
+    """The deterministic CDC change log both the merge gate query and
+    the SCD2 history gate query apply to the orders snapshot:
+    updates at version 2 (+1000.00 for keys %7), conflicting later
+    updates at version 3 (doubled price for keys %21 — latest-wins
+    must override the v2 row), deletes at version 4 (keys %13 —
+    delete beats both earlier updates on overlapping keys), and
+    inserts under fresh negative keys (%11).
 
     The +1000.0 / *2 transforms are EXACT in IEEE double (no
-    round-boundary risk cross-engine), and the oracle reconstructs
-    the merged state with independent CASE/WHERE semantics rather
-    than the engine's anti-join + union plan — so precedence bugs
-    (update-after-delete, stale-version wins) cannot hide."""
-    from mapreducewordcount_spark.operators.merge import merge_upsert
-
-    orders = load_table(spark, sf_dir, "orders")
+    round-boundary risk cross-engine)."""
     key = F.col("o_orderkey")
     u2 = (orders.filter(key % 7 == 0)
           .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
@@ -187,7 +181,22 @@ def orders_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ins = (orders.filter(key % 11 == 0)
            .withColumn("o_orderkey", -key - 1)
            .withColumn("_version", F.lit(1)).withColumn("_op", F.lit("U")))
-    updates = u2.unionByName(u3).unionByName(dels).unionByName(ins)
+    return u2.unionByName(u3).unionByName(dels).unionByName(ins)
+
+
+def orders_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (operators/merge.py): apply the deterministic change
+    batch (``cdc_change_batch``) to the orders snapshot, then
+    summarize the merged snapshot per order status.
+
+    The oracle reconstructs the merged state with independent
+    CASE/WHERE semantics rather than the engine's anti-join + union
+    plan — so precedence bugs (update-after-delete, stale-version
+    wins) cannot hide."""
+    from mapreducewordcount_spark.operators.merge import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    updates = cdc_change_batch(orders)
     merged = merge_upsert(orders, updates, ["o_orderkey"])
     return (merged
             .groupBy("o_orderstatus")

@@ -179,6 +179,154 @@ FROM top, tot
 """
 
 
+QUOTA_K = 40
+
+
+def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source domain cap (Gopher/FineWeb-style): keep the best
+    QUOTA_K docs per source by quality, report the per-source cut."""
+    from mapreducewordcount_spark.functions import text_metrics as tm
+    from mapreducewordcount_spark.operators.quota import quota_cap_report
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id", "source",
+        F.round(tm.quality_score("text"), 4).alias("quality"))
+    return quota_cap_report(
+        scored, ["source"],
+        [F.col("quality").desc(), F.col("doc_id")],
+        QUOTA_K, score=F.col("quality"))
+
+
+def _quota_sql() -> str:
+    # analytics.py's words CTE (NOT dedup's): QUALITY_M_CTE needs the
+    # raw text column alongside the token array.
+    from mapreducewordcount_spark.queries.analytics import (
+        QUALITY_EXPR_SQL,
+        QUALITY_M_CTE,
+        _WORDS_CTE as _WORDS_TEXT_CTE,
+    )
+
+    return f"""
+WITH {_WORDS_TEXT_CTE},
+{QUALITY_M_CTE},
+q AS (
+  SELECT m.doc_id, d.source, {QUALITY_EXPR_SQL} AS quality
+  FROM m JOIN documents d ON m.doc_id = d.doc_id
+),
+r AS (
+  SELECT source, quality,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id) AS rk
+  FROM q
+),
+kept AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+         min(quality) AS cutoff_score
+  FROM r WHERE rk <= {QUOTA_K} GROUP BY 1
+),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM q GROUP BY 1)
+SELECT s.source, s.n_docs, k.n_kept,
+       s.n_docs - k.n_kept AS n_dropped, k.cutoff_score
+FROM sizes s JOIN kept k USING (source)
+"""
+
+
+def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals from the CDC change log
+    (``operators/scd2.py`` over ``pipeline4.cdc_change_batch``):
+    every version of every order as a row with [valid_from,
+    valid_to) version bounds; deletes close intervals without
+    emitting rows. The oracle rebuilds the log with independent
+    UNION ALL/lead SQL, so interval-boundary bugs cannot hide."""
+    from mapreducewordcount_spark.operators.scd2 import scd2_history
+    from mapreducewordcount_spark.queries.pipeline4 import cdc_change_batch
+
+    orders = load_table(spark, sf_dir, "orders")
+    hist = scd2_history(orders, cdc_change_batch(orders),
+                        ["o_orderkey"])
+    return hist.select("o_orderkey", "valid_from", "valid_to",
+                       "is_current",
+                       F.round("o_totalprice", 2).alias("price"))
+
+
+ORDERS_SCD2_SQL = """
+WITH log AS (
+  SELECT o_orderkey, o_totalprice, 0 AS v, 'U' AS op FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 1000.0, 2, 'U'
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice * 2, 3, 'U'
+  FROM orders WHERE o_orderkey % 21 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, 4, 'D'
+  FROM orders WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT -o_orderkey - 1, o_totalprice, 1, 'U'
+  FROM orders WHERE o_orderkey % 11 = 0
+),
+h AS (
+  SELECT *, lead(v) OVER (PARTITION BY o_orderkey ORDER BY v)
+            AS valid_to
+  FROM log
+)
+SELECT o_orderkey,
+       CAST(v AS INT) AS valid_from,
+       CAST(valid_to AS INT) AS valid_to,
+       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT)
+         AS is_current,
+       round(o_totalprice, 2) AS price
+FROM h WHERE op = 'U'
+"""
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel over the event stream: first view, then a
+    click strictly after it, then a purchase strictly after that."""
+    from mapreducewordcount_spark.operators.funnel import funnel_counts
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel_counts(events, FUNNEL_STEPS)
+
+
+EVENTS_FUNNEL_SQL = f"""
+WITH s1 AS (
+  SELECT user_id AS u, min(ts) AS ft FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS ft
+  FROM events e JOIN s1 ON e.user_id = s1.u
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.ft
+  GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id AS u, min(e.ts) AS ft
+  FROM events e JOIN s2 ON e.user_id = s2.u
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.ft
+  GROUP BY 1
+),
+counts AS (
+  SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS event_type,
+         (SELECT count(*) FROM s1) AS n_users
+  UNION ALL
+  SELECT 2, '{FUNNEL_STEPS[1]}', (SELECT count(*) FROM s2)
+  UNION ALL
+  SELECT 3, '{FUNNEL_STEPS[2]}', (SELECT count(*) FROM s3)
+)
+SELECT CAST(step AS INT) AS step, event_type,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_users * 1000000 // (SELECT count(*) FROM s1) AS BIGINT)
+         AS conversion_ppm
+FROM counts
+"""
+
+
 QUERIES = {
     "doc_bm25_topk": QuerySpec(doc_bm25_topk, _bm25_sql()),
     "heavy_hitters_words": QuerySpec(heavy_hitters_words,
@@ -186,4 +334,8 @@ QUERIES = {
     "lineitem_zorder_layout": QuerySpec(lineitem_zorder_layout,
                                         _zorder_sql()),
     "join_skew_report": QuerySpec(join_skew_report, JOIN_SKEW_SQL),
+    "source_quota_cap": QuerySpec(source_quota_cap, _quota_sql()),
+    "orders_scd2_history": QuerySpec(orders_scd2_history,
+                                     ORDERS_SCD2_SQL),
+    "events_funnel": QuerySpec(events_funnel, EVENTS_FUNNEL_SQL),
 }

@@ -30,7 +30,7 @@ def test_gate_window_rotation_round7():
         "doc_fingerprints")
     assert names[:29] == list(r3_stale)
     # round-7 first-ever rows + this round's changed queries
-    assert names[29:42] == ["exact_substring_dedup",
+    assert names[29:46] == ["exact_substring_dedup",
                             "sketch_hll_report",
                             "part_name_fuzzy_pairs",
                             "decontam_bloom_report",
@@ -39,18 +39,24 @@ def test_gate_window_rotation_round7():
                             "doc_bm25_topk", "heavy_hitters_words",
                             "lineitem_zorder_layout",
                             "join_skew_report",
-                            "sketch_stats", "doc_bpe_tokens"]
+                            "source_quota_cap", "orders_scd2_history",
+                            "events_funnel",
+                            "sketch_stats", "doc_bpe_tokens",
+                            "doc_quality"]
     # r5-last-green rotation fills the remaining slots
     for q in ("wc_word_count", "dedup_exact", "dedup_minhash_pairs",
-              "ann_cosine_topk", "curate_corpus_best"):
+              "ann_cosine_topk"):
         assert q in window, q
+    assert len(names) >= 50 and len(window) == 50
     # freshly green in r6 → correctly rotated OUT this round; the
-    # last four ceded their slots to the session-3 first-evers and
+    # later ones ceded their slots to the session-3 first-evers and
     # lead the r8 cohort instead
     for q in ("dedup_simhash_pairs", "ann_lsh_topk", "doc_chunks",
               "q1_pricing_summary", "events_asof_orders",
               "dedup_ngram_pairs", "dedup_winnow_pairs",
-              "dedup_embedding_pairs", "curate_corpus"):
+              "dedup_embedding_pairs", "curate_corpus",
+              "curate_corpus_best", "wc_word_count_salted",
+              "dedup_prefix_pairs", "dedup_groups"):
         assert q not in window, q
 
 
