@@ -106,6 +106,7 @@ HEADLINE = (
     "source_quota_cap",
     "orders_scd2_history",
     "events_funnel",
+    "supplier_part_pagerank",
 )
 
 

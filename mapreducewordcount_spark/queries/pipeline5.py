@@ -327,6 +327,68 @@ FROM counts
 """
 
 
+PR_ITERS = 3
+#: supplier nodes are offset into their own id space so the two
+#: bipartite sides share one BIGINT node universe
+PR_SUPP_BASE = 1_000_000
+
+
+def supplier_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank on the symmetrized supplier<->part graph
+    from lineitem — the iterative-join pattern with a bit-exact
+    unrolled-CTE oracle (``operators/pagerank.py``)."""
+    from mapreducewordcount_spark.operators.pagerank import (
+        pagerank_fixed_point,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(F.col("l_partkey").cast("long").alias("src"),
+                    (F.lit(PR_SUPP_BASE)
+                     + F.col("l_suppkey").cast("long")).alias("dst"))
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"),
+                                       F.col("src").alias("dst")))
+    ranks = pagerank_fixed_point(edges, iterations=PR_ITERS)
+    return ranks.select("node", F.col("rank").alias("rank_micro"))
+
+
+def _pagerank_sql() -> str:
+    from mapreducewordcount_spark.operators.pagerank import R0
+
+    base = (R0 * 150) // 1000
+    prev, ctes = "r0", []
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(f"""r{i} AS (
+  SELECT d.node,
+         CAST({base} + (850 * CAST(coalesce(t.s, 0) AS BIGINT)) // 1000
+              AS BIGINT) AS pr
+  FROM deg d LEFT JOIN (
+    SELECT e.dst AS node, sum(r.pr // dg.deg) AS s
+    FROM {prev} r
+    JOIN deg dg ON r.node = dg.node
+    JOIN e ON r.node = e.src
+    GROUP BY 1
+  ) t ON d.node = t.node
+)""")
+        prev = f"r{i}"
+    joined = ",\n".join(ctes)
+    return f"""
+WITH e AS (
+  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
+                  CAST({PR_SUPP_BASE} + l_suppkey AS BIGINT) AS dst
+  FROM lineitem
+  UNION
+  SELECT DISTINCT CAST({PR_SUPP_BASE} + l_suppkey AS BIGINT),
+                  CAST(l_partkey AS BIGINT)
+  FROM lineitem
+),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM e GROUP BY 1),
+r0 AS (SELECT node, CAST({R0} AS BIGINT) AS pr FROM deg),
+{joined}
+SELECT node, pr AS rank_micro FROM {prev}
+"""
+
+
 QUERIES = {
     "doc_bm25_topk": QuerySpec(doc_bm25_topk, _bm25_sql()),
     "heavy_hitters_words": QuerySpec(heavy_hitters_words,
@@ -338,4 +400,6 @@ QUERIES = {
     "orders_scd2_history": QuerySpec(orders_scd2_history,
                                      ORDERS_SCD2_SQL),
     "events_funnel": QuerySpec(events_funnel, EVENTS_FUNNEL_SQL),
+    "supplier_part_pagerank": QuerySpec(supplier_part_pagerank,
+                                        _pagerank_sql()),
 }
