@@ -107,6 +107,7 @@ HEADLINE = (
     "orders_scd2_history",
     "events_funnel",
     "supplier_part_pagerank",
+    "dsir_selection",
 )
 
 

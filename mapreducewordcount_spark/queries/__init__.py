@@ -94,17 +94,20 @@ def all_queries() -> dict[str, QuerySpec]:
     #   orders_scd2_history — SCD2 validity intervals from the CDC
     #   log; events_funnel — strict-order funnel conversion;
     #   supplier_part_pagerank — fixed-point iterative PageRank with
-    #   an unrolled-CTE oracle), then
+    #   an unrolled-CTE oracle; dsir_selection — DSIR importance
+    #   resampling with the bucket log-weight table as the committed
+    #   model artifact), then
     #   this round's changed queries (sketch_stats — trimmed to the
     #   GK residue; doc_bpe_tokens — forced vocab-table broadcast
     #   dropped; doc_quality — oracle reassembled from the shared
-    #   QUALITY_M_CTE), then 3 of the 37 r5-last-green queries
-    #   (wordcount + exact-dedup + ANN reps); the remaining 34
+    #   QUALITY_M_CTE), then 2 of the 37 r5-last-green queries
+    #   (wordcount + ANN reps); the remaining 35
     #   (incl. boilerplate_lines, knn_label_accuracy,
     #   incremental_dedup_report, dedup_survivors, dedup_ngram_pairs,
     #   dedup_winnow_pairs, dedup_embedding_pairs, dedup_minhash_pairs,
-    #   curate_corpus, curate_corpus_best, wc_word_count_salted,
-    #   dedup_prefix_pairs, dedup_groups) rotate through r8.
+    #   dedup_exact, curate_corpus, curate_corpus_best,
+    #   wc_word_count_salted, dedup_prefix_pairs, dedup_groups)
+    #   rotate through r8.
     full: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries,
                 pipeline_queries, pipeline2, pipeline3, pipeline4,
@@ -138,7 +141,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "doc_bm25_topk", "heavy_hitters_words",
         "lineitem_zorder_layout", "join_skew_report",
         "source_quota_cap", "orders_scd2_history", "events_funnel",
-        "supplier_part_pagerank",
+        "supplier_part_pagerank", "dsir_selection",
         # changed this round: sketch split residue (rows-only),
         # dropped vocab-table broadcast, doc_quality (r3-stale AND
         # its oracle now assembles from the shared QUALITY_M_CTE;
@@ -150,7 +153,7 @@ def all_queries() -> dict[str, QuerySpec]:
         # curate_corpus, curate_corpus_best, wc_word_count_salted,
         # dedup_prefix_pairs and dedup_groups ceded their slots to
         # the session-3 first-evers above; they join the r8 cohort)
-        "wc_word_count", "dedup_exact", "ann_cosine_topk",
+        "wc_word_count", "ann_cosine_topk",
     )
     out = {n: full[n] for n in gate_first}
     out.update(full)  # remainder keeps its original relative order

@@ -389,6 +389,76 @@ SELECT node, pr AS rank_micro FROM {prev}
 """
 
 
+DSIR_TOP_K = 100
+
+
+def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance selection (Xie et al. 2023): hashed-n-gram
+    importance scores against the lang='en' target model, top-100
+    selected. The bucket log-weight table is the committed model
+    artifact; both engines recompute features and scoring from raw
+    text + that table (``operators/dsir.py``)."""
+    from mapreducewordcount_spark.operators import dsir
+    from mapreducewordcount_spark.sources import sig_artifacts
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    weights = dsir.dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+    wt = sig_artifacts.materialize_frame(
+        weights, "dsir_selection", sig_artifacts.corpus_key(docs),
+        ["bucket"])
+    scores = dsir.dsir_scores(docs, wt)
+    topk = (scores.orderBy(F.col("dsir_score_micro").desc(),
+                           F.col("doc_id"))
+                  .limit(DSIR_TOP_K)
+                  .select("doc_id", F.lit(1).alias("__sel")))
+    return (scores.join(F.broadcast(topk), "doc_id", "left")
+            .select("doc_id", "dsir_score_micro",
+                    F.coalesce("__sel", F.lit(0)).cast("int")
+                     .alias("selected")))
+
+
+def _dsir_sql() -> str:
+    from mapreducewordcount_spark.operators.dsir import N_BUCKETS, _SALT
+    from mapreducewordcount_spark.queries.pipeline2 import _hex4_sql
+    from mapreducewordcount_spark.sources import sig_artifacts
+
+    md5_expr = f"md5('{_SALT}' || ng)"
+    bucket = f"({_hex4_sql(md5_expr)}) % {N_BUCKETS}"
+    return f"""
+WITH {_WORDS_CTE},
+{sig_artifacts.frame_cte('wt', 'dsir_selection',
+                         sig_artifacts.DOC_KEY_SQL)},
+ng AS (
+  SELECT doc_id, unnest(words) AS ng FROM w
+  UNION ALL
+  SELECT doc_id, words[i] || ' ' || words[i+1]
+  FROM w, unnest(range(1, len(words))) AS t(i)
+),
+b AS (
+  SELECT doc_id, {bucket} AS bucket, count(*) AS c
+  FROM ng GROUP BY 1, 2
+),
+sc AS (
+  SELECT b.doc_id,
+         CAST(sum(b.c * wt.w_micro) AS BIGINT) AS dsir_score_micro
+  FROM b JOIN wt USING (bucket) GROUP BY 1
+),
+alls AS (
+  SELECT d.doc_id,
+         coalesce(sc.dsir_score_micro, 0) AS dsir_score_micro
+  FROM documents d LEFT JOIN sc USING (doc_id)
+),
+top AS (
+  SELECT doc_id FROM alls
+  ORDER BY dsir_score_micro DESC, doc_id LIMIT {DSIR_TOP_K}
+)
+SELECT a.doc_id, a.dsir_score_micro,
+       CAST(CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END AS INT)
+         AS selected
+FROM alls a LEFT JOIN top t USING (doc_id)
+"""
+
+
 QUERIES = {
     "doc_bm25_topk": QuerySpec(doc_bm25_topk, _bm25_sql()),
     "heavy_hitters_words": QuerySpec(heavy_hitters_words,
@@ -402,4 +472,5 @@ QUERIES = {
     "events_funnel": QuerySpec(events_funnel, EVENTS_FUNNEL_SQL),
     "supplier_part_pagerank": QuerySpec(supplier_part_pagerank,
                                         _pagerank_sql()),
+    "dsir_selection": QuerySpec(dsir_selection, _dsir_sql()),
 }

@@ -105,6 +105,7 @@ ARTIFACT_QUERIES = {
     "doc_compression_ratio": ("doc_compression_ratio",),
     "doc_bpe_tokens": ("doc_bpe_tokens",),
     "sketch_hll_report": ("sketch_hll_report",),
+    "dsir_selection": ("dsir_selection",),
 }
 
 
