@@ -96,26 +96,45 @@ def dsir_weight_rows(source_counts: dict[int, int],
     return rows
 
 
-def dsir_weights(docs: DataFrame, target: DataFrame) -> DataFrame:
+def _vector(feats: DataFrame) -> dict[int, int]:
+    rows = feats.groupBy("bucket").agg(F.sum("c").alias("n")).collect()
+    return {int(r["bucket"]): int(r["n"]) for r in rows}
+
+
+def dsir_weights(docs: DataFrame, target: DataFrame, *,
+                 feats: DataFrame | None = None,
+                 target_ids: DataFrame | None = None) -> DataFrame:
     """Fit the importance model: bucket counts for the full pool and
     the target subset (two bounded aggregates), weights computed
-    driver-side. Returns an N_BUCKETS-row (bucket, w_micro) frame."""
+    driver-side. Returns an N_BUCKETS-row (bucket, w_micro) frame.
+
+    Featurization is the expensive pass (tokenize + explode + agg),
+    so callers that also score should featurize ONCE and pass
+    ``feats`` (persisted) plus ``target_ids`` — the pool vector, the
+    target vector (semi-joined to the target ids), and scoring then
+    all reuse it instead of re-tokenizing the corpus 3x.
+    """
     spark = docs.sparkSession
-
-    def vector(frame: DataFrame) -> dict[int, int]:
-        rows = (doc_bucket_counts(frame)
-                .groupBy("bucket").agg(F.sum("c").alias("n")).collect())
-        return {int(r["bucket"]): int(r["n"]) for r in rows}
-
-    rows = dsir_weight_rows(vector(docs), vector(target))
+    if feats is None:
+        src_vec = _vector(doc_bucket_counts(docs))
+        tgt_vec = _vector(doc_bucket_counts(target))
+    else:
+        if target_ids is None:
+            target_ids = target.select("doc_id")
+        src_vec = _vector(feats)
+        tgt_vec = _vector(feats.join(target_ids, "doc_id", "left_semi"))
+    rows = dsir_weight_rows(src_vec, tgt_vec)
     return spark.createDataFrame(rows, "bucket long, w_micro long")
 
 
 def dsir_scores(docs: DataFrame, weights: DataFrame, *,
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id",
+                feats: DataFrame | None = None) -> DataFrame:
     """Per-doc integer importance score: sum(count * w_micro); docs
-    with no features (blank text) score 0."""
-    feats = doc_bucket_counts(docs, id_col=id_col)
+    with no features (blank text) score 0. Pass ``feats`` to reuse
+    an already-computed feature frame."""
+    if feats is None:
+        feats = doc_bucket_counts(docs, id_col=id_col)
     scored = (feats.join(F.broadcast(weights), "bucket")
                    .groupBy("doc_id")
                    .agg(F.sum(F.col("c") * F.col("w_micro"))

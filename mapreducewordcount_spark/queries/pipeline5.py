@@ -402,11 +402,18 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducewordcount_spark.sources import sig_artifacts
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    weights = dsir.dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+    # featurize ONCE: the pool vector, the target vector and the
+    # scoring pass all reuse this persisted frame (3x fewer
+    # tokenize+explode passes over the corpus; measured 5.2s -> see
+    # SCALE.md). Bench's clearCache between queries reclaims it.
+    feats = dsir.doc_bucket_counts(docs).persist()
+    target = docs.filter(F.col("lang") == "en")
+    weights = dsir.dsir_weights(docs, target, feats=feats,
+                                target_ids=target.select("doc_id"))
     wt = sig_artifacts.materialize_frame(
         weights, "dsir_selection", sig_artifacts.corpus_key(docs),
         ["bucket"])
-    scores = dsir.dsir_scores(docs, wt)
+    scores = dsir.dsir_scores(docs, wt, feats=feats)
     topk = (scores.orderBy(F.col("dsir_score_micro").desc(),
                            F.col("doc_id"))
                   .limit(DSIR_TOP_K)
