@@ -108,6 +108,7 @@ HEADLINE = (
     "events_funnel",
     "supplier_part_pagerank",
     "dsir_selection",
+    "doc_bm25_multi",
 )
 
 

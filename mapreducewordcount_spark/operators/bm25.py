@@ -116,6 +116,80 @@ def bm25_topk(docs: DataFrame, terms: Sequence[str], *,
                         "rank"))
 
 
+def bm25_batch_topk(docs: DataFrame, queries: DataFrame, *,
+                    k1: float = 1.2, b: float = 0.75, k: int = 10,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    query_id_col: str = "query_id",
+                    terms_col: str = "terms") -> DataFrame:
+    """Many-query BM25: per-query top-``k`` over a query TABLE.
+
+    The production decontamination shape — thousands of benchmark
+    questions scored against the corpus at once. Same arithmetic as
+    :func:`bm25_topk` (rational idf, integer-quantized
+    contributions; a query's terms score as a set, qtf=1), but the
+    plan generalizes:
+
+    - the union of all query terms drives ONE posting filter (a
+      broadcast semi-join replaces the literal IN — the corpus is
+      still scanned once no matter how many queries);
+    - per-term statistics are computed once and shared by every
+      query that uses the term;
+    - the (query, term) fan-out joins broadcast (queries are small
+      vs the corpus by assumption);
+    - per-query top-k is a window PARTITIONED by query — each
+      query's ranking is an independent partition, no global sort.
+
+    Returns ``(query_id, doc_id, score, rank)``.
+    """
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+
+    q_terms = (queries.select(F.col(query_id_col).alias("query_id"),
+                              F.explode(terms_col).alias("term"))
+                      .distinct())
+    all_terms = q_terms.select("term").distinct()
+
+    words = docs.select(F.col(id_col).alias("doc_id"),
+                        tokenize_expr(text_col).alias("words"))
+    wl = words.select("doc_id", F.size("words").alias("dl"), "words")
+    stats = wl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("dl").alias("total_len"))
+
+    tf = (wl.select("doc_id", "dl", F.explode("words").alias("term"))
+            .join(F.broadcast(all_terms), "term", "left_semi")
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count(F.lit(1)).alias("tf")))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (tf.join(F.broadcast(df_t), "term")
+                .join(F.broadcast(stats)))
+    avgdl = (F.col("total_len").cast("double")
+             / F.col("n_docs").cast("double"))
+    idf = (((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+           / (F.col("df").cast("double") + F.lit(0.5)))
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + F.lit(k1) * (F.lit(one_minus_b)
+                                + F.lit(b) * (F.col("dl").cast("double")
+                                              / avgdl))
+    contrib = idf * ((tf_d * F.lit(k1p1)) / denom)
+    c_units = F.round(contrib * F.lit(float(SCALE)), 0).cast("long")
+
+    per_qd = (scored.select("term", "doc_id", c_units.alias("c_units"))
+                    .join(F.broadcast(q_terms), "term")
+                    .groupBy("query_id", "doc_id")
+                    .agg(F.sum("c_units").alias("score_units")))
+
+    from pyspark.sql import Window
+    w = (Window.partitionBy("query_id")
+               .orderBy(F.col("score_units").desc(), F.col("doc_id")))
+    return (per_qd.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "doc_id",
+                          (F.col("score_units").cast("double")
+                           / F.lit(float(SCALE))).alias("score"),
+                          "rank"))
+
+
 def bm25_oracle_sql(terms: Sequence[str], words_cte: str, *,
                     k1: float = 1.2, b: float = 0.75, k: int = 20) -> str:
     """DuckDB SQL computing the identical BM25 top-k over the same

@@ -96,18 +96,19 @@ def all_queries() -> dict[str, QuerySpec]:
     #   supplier_part_pagerank — fixed-point iterative PageRank with
     #   an unrolled-CTE oracle; dsir_selection — DSIR importance
     #   resampling with the bucket log-weight table as the committed
-    #   model artifact), then
+    #   model artifact; doc_bm25_multi — the many-query batch BM25
+    #   decontamination shape), then
     #   this round's changed queries (sketch_stats — trimmed to the
     #   GK residue; doc_bpe_tokens — forced vocab-table broadcast
     #   dropped; doc_quality — oracle reassembled from the shared
-    #   QUALITY_M_CTE), then 2 of the 37 r5-last-green queries
-    #   (wordcount + ANN reps); the remaining 35
+    #   QUALITY_M_CTE), then 1 of the 37 r5-last-green queries
+    #   (wc_word_count, the reference query); the remaining 36
     #   (incl. boilerplate_lines, knn_label_accuracy,
     #   incremental_dedup_report, dedup_survivors, dedup_ngram_pairs,
     #   dedup_winnow_pairs, dedup_embedding_pairs, dedup_minhash_pairs,
-    #   dedup_exact, curate_corpus, curate_corpus_best,
-    #   wc_word_count_salted, dedup_prefix_pairs, dedup_groups)
-    #   rotate through r8.
+    #   dedup_exact, ann_cosine_topk, curate_corpus,
+    #   curate_corpus_best, wc_word_count_salted, dedup_prefix_pairs,
+    #   dedup_groups) rotate through r8.
     full: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries,
                 pipeline_queries, pipeline2, pipeline3, pipeline4,
@@ -141,7 +142,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "doc_bm25_topk", "heavy_hitters_words",
         "lineitem_zorder_layout", "join_skew_report",
         "source_quota_cap", "orders_scd2_history", "events_funnel",
-        "supplier_part_pagerank", "dsir_selection",
+        "supplier_part_pagerank", "dsir_selection", "doc_bm25_multi",
         # changed this round: sketch split residue (rows-only),
         # dropped vocab-table broadcast, doc_quality (r3-stale AND
         # its oracle now assembles from the shared QUALITY_M_CTE;
@@ -153,7 +154,7 @@ def all_queries() -> dict[str, QuerySpec]:
         # curate_corpus, curate_corpus_best, wc_word_count_salted,
         # dedup_prefix_pairs and dedup_groups ceded their slots to
         # the session-3 first-evers above; they join the r8 cohort)
-        "wc_word_count", "ann_cosine_topk",
+        "wc_word_count",
     )
     out = {n: full[n] for n in gate_first}
     out.update(full)  # remainder keeps its original relative order

@@ -50,6 +50,77 @@ def _bm25_sql() -> str:
     return bm25_oracle_sql(BM25_TERMS, _WORDS_CTE, k=BM25_K)
 
 
+#: the batch gate runs three benchmark-style queries at once
+BM25_MULTI = {1: ("spark", "join"), 2: ("hash", "merge"),
+              3: ("vector", "filter", "scan")}
+BM25_MULTI_K = 10
+
+
+def doc_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25 — a query TABLE scored in one pass (the
+    decontamination shape: many benchmark questions vs the corpus);
+    per-query top-k via a query-partitioned window."""
+    from mapreducewordcount_spark.operators.bm25 import bm25_batch_topk
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    queries = spark.createDataFrame(
+        [(qid, list(terms)) for qid, terms in BM25_MULTI.items()],
+        "query_id long, terms array<string>")
+    return bm25_batch_topk(docs, queries, k=BM25_MULTI_K)
+
+
+def _bm25_multi_sql() -> str:
+    from mapreducewordcount_spark.operators.bm25 import SCALE
+
+    values = ", ".join(f"(CAST({qid} AS BIGINT), '{t}')"
+                       for qid, terms in BM25_MULTI.items()
+                       for t in terms)
+    k1p1, b, omb = 1.2 + 1.0, 0.75, 1.0 - 0.75
+    return f"""
+WITH {_WORDS_CTE},
+q AS (SELECT * FROM (VALUES {values}) AS t(query_id, term)),
+wl AS (SELECT doc_id, len(words) AS dl, words FROM w),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM wl),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(words) AS term FROM wl)
+  WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY 1, 2, 3
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(round(
+           ((CAST(s.n_docs - dft.df AS DOUBLE) + 0.5)
+            / (CAST(dft.df AS DOUBLE) + 0.5))
+           * ((CAST(tf.tf AS DOUBLE) * {k1p1!r})
+              / (CAST(tf.tf AS DOUBLE)
+                 + {1.2!r} * ({omb!r}
+                             + {b!r} * (CAST(tf.dl AS DOUBLE)
+                                        / (CAST(s.total_len AS DOUBLE)
+                                           / CAST(s.n_docs AS DOUBLE))))))
+           * {float(SCALE)!r}) AS BIGINT) AS c_units
+  FROM tf JOIN dft USING (term) CROSS JOIN stats s
+),
+pqd AS (
+  SELECT q.query_id, c.doc_id,
+         CAST(sum(c.c_units) AS BIGINT) AS score_units
+  FROM contrib c JOIN q ON c.term = q.term
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score_units,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_units DESC, doc_id) AS rk
+  FROM pqd
+)
+SELECT query_id, doc_id,
+       CAST(score_units AS DOUBLE) / {float(SCALE)!r} AS score,
+       CAST(rk AS INT) AS rank
+FROM ranked WHERE rk <= {BM25_MULTI_K}
+"""
+
+
 # phi = 1/100: every word holding >= 1% of the token stream. The
 # operator's MG capacity defaults to 128 (> 1/phi, the completeness
 # bound); the synthetic corpus's 31-word vocabulary makes the bounded
@@ -480,4 +551,5 @@ QUERIES = {
     "supplier_part_pagerank": QuerySpec(supplier_part_pagerank,
                                         _pagerank_sql()),
     "dsir_selection": QuerySpec(dsir_selection, _dsir_sql()),
+    "doc_bm25_multi": QuerySpec(doc_bm25_multi, _bm25_multi_sql()),
 }

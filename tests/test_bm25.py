@@ -8,7 +8,11 @@ import re
 import pytest
 from pyspark.sql import functions as F
 
-from mapreducewordcount_spark.operators.bm25 import SCALE, bm25_topk
+from mapreducewordcount_spark.operators.bm25 import (
+    SCALE,
+    bm25_batch_topk,
+    bm25_topk,
+)
 
 K1, B = 1.2, 0.75
 
@@ -90,6 +94,35 @@ def test_topk_cuts(spark):
 def test_empty_terms_rejected(spark):
     with pytest.raises(ValueError):
         bm25_topk(_docs(spark), [])
+
+
+def test_batch_matches_single_query_runs(spark):
+    # df(t) is a property of the corpus, not the query set, so each
+    # query's batch result must equal its standalone run exactly
+    qsets = {1: ["spark", "join"], 2: ["hash"], 3: ["join", "hash"]}
+    queries = spark.createDataFrame(
+        [(qid, terms) for qid, terms in qsets.items()],
+        "query_id long, terms array<string>")
+    batch = bm25_batch_topk(_docs(spark), queries, k=10).collect()
+    for qid, terms in qsets.items():
+        single = {(r["doc_id"], r["rank"]): r["score"]
+                  for r in bm25_topk(_docs(spark), terms, k=10).collect()}
+        got = {(r["doc_id"], r["rank"]): r["score"]
+               for r in batch if r["query_id"] == qid}
+        assert got == single, qid
+
+
+def test_batch_window_is_query_partitioned(spark):
+    import re
+
+    from mapreducewordcount_spark.plans import explain_str
+
+    queries = spark.createDataFrame(
+        [(1, ["spark"]), (2, ["hash"])], "query_id long, terms array<string>")
+    plan = explain_str(bm25_batch_topk(_docs(spark), queries, k=5))
+    # per-query ranking must partition the window by query_id — a
+    # partition-less window here would serialize all queries' results
+    assert re.search(r"hashpartitioning\(query_id", plan)
 
 
 def test_plan_shape(spark):
