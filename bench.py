@@ -109,6 +109,7 @@ HEADLINE = (
     "supplier_part_pagerank",
     "dsir_selection",
     "doc_bm25_multi",
+    "orders_agg_ivm",
 )
 
 

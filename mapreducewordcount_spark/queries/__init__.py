@@ -97,18 +97,16 @@ def all_queries() -> dict[str, QuerySpec]:
     #   an unrolled-CTE oracle; dsir_selection — DSIR importance
     #   resampling with the bucket log-weight table as the committed
     #   model artifact; doc_bm25_multi — the many-query batch BM25
-    #   decontamination shape), then
+    #   decontamination shape; orders_agg_ivm — incremental view
+    #   maintenance, delta refresh vs full-recompute oracle), then
     #   this round's changed queries (sketch_stats — trimmed to the
     #   GK residue; doc_bpe_tokens — forced vocab-table broadcast
     #   dropped; doc_quality — oracle reassembled from the shared
-    #   QUALITY_M_CTE), then 1 of the 37 r5-last-green queries
-    #   (wc_word_count, the reference query); the remaining 36
-    #   (incl. boilerplate_lines, knn_label_accuracy,
-    #   incremental_dedup_report, dedup_survivors, dedup_ngram_pairs,
-    #   dedup_winnow_pairs, dedup_embedding_pairs, dedup_minhash_pairs,
-    #   dedup_exact, ann_cosine_topk, curate_corpus,
-    #   curate_corpus_best, wc_word_count_salted, dedup_prefix_pairs,
-    #   dedup_groups) rotate through r8.
+    #   QUALITY_M_CTE). The full 37-query r5-last-green cohort
+    #   (incl. wc_word_count, boilerplate_lines, knn_label_accuracy,
+    #   incremental_dedup_report, dedup_survivors, the dedup ladder,
+    #   ann_cosine_topk, curate_corpus/_best, wc_word_count_salted)
+    #   rotates through r8 — it MUST lead the r8 window.
     full: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries,
                 pipeline_queries, pipeline2, pipeline3, pipeline4,
@@ -143,18 +141,16 @@ def all_queries() -> dict[str, QuerySpec]:
         "lineitem_zorder_layout", "join_skew_report",
         "source_quota_cap", "orders_scd2_history", "events_funnel",
         "supplier_part_pagerank", "dsir_selection", "doc_bm25_multi",
+        "orders_agg_ivm",
         # changed this round: sketch split residue (rows-only),
         # dropped vocab-table broadcast, doc_quality (r3-stale AND
         # its oracle now assembles from the shared QUALITY_M_CTE;
         # orders_cdc_merge's cdc_change_batch refactor is covered by
-        # its first-ever slot above)
+        # its first-ever slot above). The 18 session-3 first-evers
+        # consumed every r5-rotation slot — the whole r5-last-green
+        # cohort (incl. wc_word_count, pytest/bench-covered every
+        # round) rotates through r8.
         "sketch_stats", "doc_bpe_tokens", "doc_quality",
-        # r5-last-green rotation: the remaining four slots go to the
-        # core reps (dedup_ngram/winnow/embedding_pairs,
-        # curate_corpus, curate_corpus_best, wc_word_count_salted,
-        # dedup_prefix_pairs and dedup_groups ceded their slots to
-        # the session-3 first-evers above; they join the r8 cohort)
-        "wc_word_count",
     )
     out = {n: full[n] for n in gate_first}
     out.update(full)  # remainder keeps its original relative order

@@ -537,6 +537,51 @@ FROM alls a LEFT JOIN top t USING (doc_id)
 """
 
 
+def orders_agg_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (``operators/ivm.py``): refresh
+    the revenue-by-status aggregate from the CDC change batch via
+    delta rules — the snapshot is touched only through a changed-key
+    semi-join — while the ORACLE recomputes the view from scratch
+    over the merged state. Equality proves the delta path. Money
+    flows as integer cents (delta and recompute sum in different
+    orders; integer addition is associative, doubles are not)."""
+    from mapreducewordcount_spark.operators.ivm import (
+        incremental_agg_refresh,
+    )
+    from mapreducewordcount_spark.queries.pipeline4 import cdc_change_batch
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    snap = orders.withColumn("price_cents", cents)
+    changes = cdc_change_batch(orders).withColumn("price_cents", cents)
+    out = incremental_agg_refresh(snap, changes, ["o_orderkey"],
+                                  "o_orderstatus", "price_cents")
+    return out.select("o_orderstatus", F.col("n_rows").alias("n_orders"),
+                      (F.col("total").cast("double") / F.lit(100.0))
+                      .alias("total_price"))
+
+
+ORDERS_IVM_SQL = """
+WITH merged AS (
+  SELECT o_orderstatus,
+         CAST(round(CASE WHEN o_orderkey % 21 = 0 THEN o_totalprice * 2
+                         WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                         ELSE o_totalprice END * 100, 0) AS BIGINT)
+           AS price_cents
+  FROM orders
+  WHERE o_orderkey % 13 <> 0
+  UNION ALL
+  SELECT o_orderstatus,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+  FROM orders WHERE o_orderkey % 11 = 0  -- inserts at key -k-1
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(price_cents) AS DOUBLE) / 100.0 AS total_price
+FROM merged GROUP BY 1
+"""
+
+
 QUERIES = {
     "doc_bm25_topk": QuerySpec(doc_bm25_topk, _bm25_sql()),
     "heavy_hitters_words": QuerySpec(heavy_hitters_words,
@@ -552,4 +597,5 @@ QUERIES = {
                                         _pagerank_sql()),
     "dsir_selection": QuerySpec(dsir_selection, _dsir_sql()),
     "doc_bm25_multi": QuerySpec(doc_bm25_multi, _bm25_multi_sql()),
+    "orders_agg_ivm": QuerySpec(orders_agg_ivm, ORDERS_IVM_SQL),
 }

@@ -30,7 +30,7 @@ def test_gate_window_rotation_round7():
         "doc_fingerprints")
     assert names[:29] == list(r3_stale)
     # round-7 first-ever rows + this round's changed queries
-    assert names[29:49] == ["exact_substring_dedup",
+    assert names[29:50] == ["exact_substring_dedup",
                             "sketch_hll_report",
                             "part_name_fuzzy_pairs",
                             "decontam_bloom_report",
@@ -42,11 +42,9 @@ def test_gate_window_rotation_round7():
                             "source_quota_cap", "orders_scd2_history",
                             "events_funnel", "supplier_part_pagerank",
                             "dsir_selection", "doc_bm25_multi",
+                            "orders_agg_ivm",
                             "sketch_stats", "doc_bpe_tokens",
                             "doc_quality"]
-    # the one r5-last-green rotation slot left goes to the
-    # reference query itself
-    assert "wc_word_count" in window
     assert len(names) >= 50 and len(window) == 50
     # freshly green in r6 → correctly rotated OUT this round; the
     # later ones ceded their slots to the session-3 first-evers and
@@ -57,7 +55,8 @@ def test_gate_window_rotation_round7():
               "dedup_embedding_pairs", "curate_corpus",
               "curate_corpus_best", "wc_word_count_salted",
               "dedup_prefix_pairs", "dedup_groups",
-              "dedup_minhash_pairs", "dedup_exact", "ann_cosine_topk"):
+              "dedup_minhash_pairs", "dedup_exact", "ann_cosine_topk",
+              "wc_word_count"):
         assert q not in window, q
 
 
