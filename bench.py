@@ -110,6 +110,7 @@ HEADLINE = (
     "dsir_selection",
     "doc_bm25_multi",
     "orders_agg_ivm",
+    "orders_snapshot_diff",
 )
 
 

@@ -142,6 +142,10 @@ def all_queries() -> dict[str, QuerySpec]:
         "source_quota_cap", "orders_scd2_history", "events_funnel",
         "supplier_part_pagerank", "dsir_selection", "doc_bm25_multi",
         "orders_agg_ivm",
+        # (orders_snapshot_diff, the 19th session-3 op, did NOT fit
+        # the 50-row window — it is covered by the local full-registry
+        # oracle sweep + all five gate_sim axes this round and leads
+        # the r8 first-ever group)
         # changed this round: sketch split residue (rows-only),
         # dropped vocab-table broadcast, doc_quality (r3-stale AND
         # its oracle now assembles from the shared QUALITY_M_CTE;

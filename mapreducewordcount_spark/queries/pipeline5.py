@@ -582,6 +582,52 @@ FROM merged GROUP BY 1
 """
 
 
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (``operators/snapdiff.py``): classify every key
+    that differs between the orders snapshot and its CDC-merged
+    successor — added / removed / changed with old+new prices. The
+    oracle rebuilds the new state independently (CASE/WHERE) and
+    diffs in SQL, so a drop-the-delete or miss-the-insert bug in
+    either merge or diff surfaces as a row mismatch."""
+    from mapreducewordcount_spark.operators.merge import merge_upsert
+    from mapreducewordcount_spark.operators.snapdiff import snapshot_diff
+    from mapreducewordcount_spark.queries.pipeline4 import cdc_change_batch
+
+    orders = load_table(spark, sf_dir, "orders")
+    new = merge_upsert(orders, cdc_change_batch(orders), ["o_orderkey"])
+    d = snapshot_diff(orders, new, ["o_orderkey"], ["o_totalprice"])
+    return d.select("o_orderkey", "change",
+                    F.round("old_o_totalprice", 2)
+                     .alias("old_o_totalprice"),
+                    F.round("new_o_totalprice", 2)
+                     .alias("new_o_totalprice"))
+
+
+ORDERS_SNAPDIFF_SQL = """
+WITH newstate AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 21 = 0 THEN o_totalprice * 2
+              WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+              ELSE o_totalprice END AS price
+  FROM orders
+  WHERE o_orderkey % 13 <> 0
+  UNION ALL
+  SELECT -o_orderkey - 1, o_totalprice
+  FROM orders WHERE o_orderkey % 11 = 0
+),
+old AS (SELECT o_orderkey, o_totalprice AS price FROM orders)
+SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change,
+       round(o.price, 2) AS old_o_totalprice,
+       round(n.price, 2) AS new_o_totalprice
+FROM old o FULL OUTER JOIN newstate n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.price IS DISTINCT FROM n.price
+"""
+
+
 QUERIES = {
     "doc_bm25_topk": QuerySpec(doc_bm25_topk, _bm25_sql()),
     "heavy_hitters_words": QuerySpec(heavy_hitters_words,
@@ -598,4 +644,6 @@ QUERIES = {
     "dsir_selection": QuerySpec(dsir_selection, _dsir_sql()),
     "doc_bm25_multi": QuerySpec(doc_bm25_multi, _bm25_multi_sql()),
     "orders_agg_ivm": QuerySpec(orders_agg_ivm, ORDERS_IVM_SQL),
+    "orders_snapshot_diff": QuerySpec(orders_snapshot_diff,
+                                      ORDERS_SNAPDIFF_SQL),
 }
