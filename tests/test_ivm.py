@@ -68,3 +68,48 @@ def test_untouched_groups_pass_through(spark):
     got = _refresh(spark, [(1, "a", 150, 2, "U")])
     assert got["b"] == (2, 700) and got["c"] == (1, 500)
     assert got["a"] == (2, 350)
+
+
+# --- property: random change batches vs full recompute ----------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_key = st.integers(min_value=0, max_value=9)
+_grp = st.sampled_from(["a", "b", "c"])
+_val = st.integers(min_value=-1000, max_value=1000)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    snap=st.lists(st.tuples(_key, _grp, _val), min_size=0, max_size=20,
+                  unique_by=lambda r: r[0]),
+    # (key, grp, val, op); version = list position + 2, so versions
+    # are unique per key by construction after dedup below
+    chg=st.lists(st.tuples(_key, _grp, _val, st.sampled_from(["U", "D"])),
+                 min_size=0, max_size=25),
+)
+def test_delta_refresh_property(spark, snap, chg):
+    snap_df = spark.createDataFrame(snap or [(99, "a", 0)],
+                                    "k long, grp string, v long")
+    if not snap:
+        snap_df = snap_df.filter("k < 0")  # truly empty, typed
+    rows = [(k, g, v, i + 2, op) for i, (k, g, v, op) in enumerate(chg)]
+    chg_df = spark.createDataFrame(
+        rows or [(99, "a", 0, 2, "U")],
+        "k long, grp string, v long, _version int, _op string")
+    if not rows:
+        chg_df = chg_df.filter("k < 0")
+
+    from mapreducewordcount_spark.operators.merge import merge_upsert
+
+    got = {r["grp"]: (r["n_rows"], r["total"]) for r in
+           incremental_agg_refresh(snap_df, chg_df, ["k"], "grp", "v")
+           .collect()}
+    merged = merge_upsert(snap_df, chg_df, ["k"])
+    want = {r["grp"]: (r["n"], r["t"]) for r in
+            merged.groupBy("grp")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("v").alias("t")).collect()}
+    assert got == want
