@@ -151,10 +151,16 @@ def weighted_sample_key(key: Column | str, weight: Column) -> Column:
     (TakeOrderedAndProject), never a full sort. Weights must be
     positive integers, small by design (they multiply per-row hash
     work); quantize real-valued weights to a small integer grid
-    first.
+    first. Invalid weights (NULL or < 1) yield a NULL key, so those
+    rows lose every top-k comparison instead of silently inverting
+    the distribution: Spark's ``sequence(1, 0)`` counts DOWN, so an
+    unguarded weight of 0 would take TWO md5 draws (j=1, j=0) and
+    make zero-weight rows MORE likely to win than weight-1 rows
+    (ADVICE r7).
     """
     k = F.col(key) if isinstance(key, str) else key
-    return F.array_max(F.transform(
+    draw = F.array_max(F.transform(
         F.sequence(F.lit(1), weight),
         lambda j: F.md5(F.concat_ws(
             ":", k.cast("string"), j.cast("string")))))
+    return F.when(weight >= 1, draw).otherwise(F.lit(None).cast("string"))

@@ -100,10 +100,17 @@ def _rolling_keys_udf(min_tokens: int):
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
-    powers = np.empty(min_tokens, dtype=np.uint64)
-    powers[-1] = 1
-    for i in range(min_tokens - 2, -1, -1):
-        powers[i] = powers[i + 1] * np.uint64(_ROLL_BASE)
+    # power table in Python ints masked to 64 bits (the wraparound is
+    # the point — polynomial hash mod 2^64), converted once: numpy
+    # SCALAR uint64 multiplies emit RuntimeWarning on overflow, which
+    # would pollute every executor log that builds this UDF (ADVICE
+    # r7; array ops below wrap silently by design).
+    mask = (1 << 64) - 1
+    plist, p = [], 1
+    for _ in range(min_tokens):
+        plist.append(p)
+        p = (p * _ROLL_BASE) & mask
+    powers = np.array(list(reversed(plist)), dtype=np.uint64)
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def roll(tok_hashes: pd.Series) -> pd.Series:

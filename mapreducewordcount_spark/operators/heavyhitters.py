@@ -46,26 +46,36 @@ def misra_gries_summaries(tokens: DataFrame, col: str,
     if capacity < 1:
         raise ValueError("capacity must be >= 1")
 
+    # Vectorized fold (VERDICT r7 next#3): instead of the classic
+    # per-token decrement loop (row-at-a-time Python — the per-
+    # executor throughput ceiling at 100 TB), count each Arrow batch
+    # EXACTLY with pandas value_counts (C-speed hash aggregation),
+    # then MG-MERGE the batch counts into the bounded summary. An
+    # exact count is a zero-error MG summary, and the mergeable-
+    # summaries COMBINE (Agarwal et al., PODS 2012) — sum counters,
+    # then subtract the (capacity+1)-th largest weight from all and
+    # drop non-positives — preserves the total undercount bound
+    # <= n/(capacity+1), so candidate completeness is unchanged. The
+    # Python dict work is now O(distinct-per-batch + capacity) per
+    # batch instead of O(tokens). The candidate SET can differ from
+    # the per-token fold's (both are valid MG summaries); pass 2's
+    # exact verify makes the operator's OUTPUT identical either way.
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         counters: dict[str, int] = {}
         for batch in batches:
-            for key in batch[col]:
-                if key is None:
-                    continue
-                if key in counters:
-                    counters[key] += 1
-                elif len(counters) < capacity:
-                    counters[key] = 1
-                else:
-                    # decrement-all step; drop zeros. O(capacity),
-                    # amortized O(1) per element overall.
-                    dead = []
-                    for c in counters:
-                        counters[c] -= 1
-                        if counters[c] == 0:
-                            dead.append(c)
-                    for c in dead:
-                        del counters[c]
+            for key, cnt in batch[col].value_counts(dropna=True).items():
+                counters[key] = counters.get(key, 0) + int(cnt)
+            if len(counters) > capacity:
+                vals = np.fromiter(counters.values(), dtype=np.int64,
+                                   count=len(counters))
+                # (capacity+1)-th largest weight; keys strictly above
+                # it survive — at most `capacity` of them by definition
+                thresh = np.partition(vals, len(vals) - capacity - 1)[
+                    len(vals) - capacity - 1]
+                counters = {k: v - int(thresh)
+                            for k, v in counters.items() if v > thresh}
         if counters:
             yield pd.DataFrame({"key": list(counters.keys()),
                                 "weight": list(counters.values())})
