@@ -111,7 +111,23 @@ HEADLINE = (
     "doc_bm25_multi",
     "orders_agg_ivm",
     "orders_snapshot_diff",
+    # round-8 operators: composed CDC pipeline (merge+SCD2+IVM+diff in
+    # one plan), min/max delta rules, two-pass grouped exact
+    # percentiles (outliers), per-source window calibration.
+    "orders_cdc_e2e",
+    "orders_agg_ivm_minmax",
+    "doc_length_outliers",
+    "doc_quality_calibrated",
 )
+
+#: FROZEN round-over-round comparison core (VERDICT r7 next#7): the
+#: 24-query subset benched identically since round 5/6. The headline
+#: list above grows every round by construction (new operators get
+#: bench rows), so cross-round comparisons read ``core_total``;
+#: never append here — start a new frozen core instead if this one
+#: stops being representative.
+CORE = HEADLINE[:24]
+assert CORE[-1] == "source_overlap_matrix", "frozen core displaced"
 
 
 def run_session() -> dict:
@@ -168,8 +184,10 @@ def run_session() -> dict:
                   file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
+    core_total = round(sum(v for n, v in timings.items()
+                           if n in CORE and v is not None), 3)
     report = {"metric": "headline_total", "value": total, "unit": "sec",
-              "queries": timings, "sf": sf_dir,
+              "core_total": core_total, "queries": timings, "sf": sf_dir,
               "method": "median-of-3, cache-cleared+GC between queries"}
     if errors:
         report["errors"] = errors
@@ -217,6 +235,7 @@ def main() -> None:
         raise SystemExit("all bench sessions failed")
 
     totals = sorted(r["value"] for r in reports)
+    core_totals = sorted(r.get("core_total", 0.0) for r in reports)
     queries: dict[str, float | None] = {}
     for name in HEADLINE:
         vals = [r["queries"].get(name) for r in reports]
@@ -234,9 +253,14 @@ def main() -> None:
         # engine with the lucky session).
         "value": totals[len(totals) // 2],
         "unit": "sec",
+        # the frozen 24-query comparison core (see CORE): the number
+        # to compare round-over-round; the headline total grows with
+        # coverage by construction
+        "core_total": core_totals[len(core_totals) // 2],
         "queries": queries,  # per-query: median across sessions
         "sf": reports[0]["sf"],
         "sessions": {"n": len(reports), "totals": totals,
+                     "core_totals": core_totals,
                      "min": totals[0], "median": totals[len(totals) // 2],
                      "max": totals[-1]},
         "method": (f"{len(reports)} fresh-JVM sessions x (median-of-3 "

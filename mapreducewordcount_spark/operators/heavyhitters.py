@@ -60,6 +60,12 @@ def misra_gries_summaries(tokens: DataFrame, col: str,
     # batch instead of O(tokens). The candidate SET can differ from
     # the per-token fold's (both are valid MG summaries); pass 2's
     # exact verify makes the operator's OUTPUT identical either way.
+    # Measured ceiling (SCALE.md round 8): 3.6 -> 5.0 M tokens/s/core
+    # on a zipf text-like stream; on NEAR-UNIFORM keys (distinct per
+    # batch ~ batch size) the per-distinct merge degenerates to
+    # per-token work and the classic loop is ~2x better — but no
+    # uniform stream has phi-heavy hitters worth finding, so the
+    # zipf regime is the design point.
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 

@@ -44,6 +44,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline3,
         pipeline4,
         pipeline5,
+        pipeline6,
         text_queries,
         tpch,
         wordcount_queries,
@@ -73,88 +74,65 @@ def all_queries() -> dict[str, QuerySpec]:
     #   r6 window — the eleven rows-only → artifact-oracle flips,
     #   the remaining plan changes, the 16 r4-rotated-out queries,
     #   the r2 cohort, and 13 of the r3 cohort (50/50 green);
-    #   r7 window (below) — VERDICT r6 next#1: the 29 queries whose
-    #   last driver row is round 3 lead the window (TPC-H batches 2/3,
-    #   the doc/analytics families, pivot/cube/grouping-sets reps), so
-    #   after this round every registry query's last green is ≥ r5.
-    #   Then the round-7 first-ever rows (exact_substring_dedup — the
-    #   Lee et al. 2022 operator; sketch_hll_report — the HLL half of
-    #   the sketch split, now artifact-oracled; part_name_fuzzy_pairs
-    #   — the PassJoin edit-distance join with an independent
-    #   brute-force oracle; decontam_bloom_report — the Bloom
-    #   prefilter + exact-verify decontamination variant;
-    #   orders_cdc_merge — the MERGE/upsert snapshot-refresh
-    #   primitive; weighted_sample_docs — integer-exact A-ES weighted
-    #   sampling without replacement; events_compaction_plan — the
-    #   small-file compaction planner; doc_bm25_topk — rational-idf
-    #   BM25 retrieval; heavy_hitters_words — Misra-Gries two-pass
-    #   exact heavy hitters; lineitem_zorder_layout — Morton-curve
-    #   layout planner; join_skew_report — hot-key salting
-    #   diagnostics; source_quota_cap — per-domain best-k cap;
-    #   orders_scd2_history — SCD2 validity intervals from the CDC
-    #   log; events_funnel — strict-order funnel conversion;
-    #   supplier_part_pagerank — fixed-point iterative PageRank with
-    #   an unrolled-CTE oracle; dsir_selection — DSIR importance
-    #   resampling with the bucket log-weight table as the committed
-    #   model artifact; doc_bm25_multi — the many-query batch BM25
-    #   decontamination shape; orders_agg_ivm — incremental view
-    #   maintenance, delta refresh vs full-recompute oracle), then
-    #   this round's changed queries (sketch_stats — trimmed to the
-    #   GK residue; doc_bpe_tokens — forced vocab-table broadcast
-    #   dropped; doc_quality — oracle reassembled from the shared
-    #   QUALITY_M_CTE). The full 37-query r5-last-green cohort
-    #   (incl. wc_word_count, boilerplate_lines, knn_label_accuracy,
-    #   incremental_dedup_report, dedup_survivors, the dedup ladder,
-    #   ann_cosine_topk, curate_corpus/_best, wc_word_count_salted)
-    #   rotates through r8 — it MUST lead the r8 window.
+    #   r7 window — VERDICT r6 next#1: the 29 r3-stale queries led,
+    #   then the 18 session-3 first-ever rows and 3 changed queries
+    #   (50/50, 49 hash-green + the sketch_stats rows-only residue);
+    #   r8 window (below) — orders_snapshot_diff's FIRST driver row
+    #   (landed after r7's window filled), the four round-8 operators
+    #   (orders_cdc_e2e — merge→SCD2→IVM→diff composed under one
+    #   oracle; orders_agg_ivm_minmax — min/max delta rules with
+    #   touched-group recompute; doc_length_outliers — median/MAD
+    #   robust outlier report; doc_quality_calibrated — per-source
+    #   percentile calibration), this round's four plan-changed
+    #   queries, the full 36-query r5-last-green cohort (VERDICT r7
+    #   next#1 — after this round every query's last green is ≥ r6),
+    #   and 5 slots starting the r6-cohort rotation toward r9/r10.
     full: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries,
                 pipeline_queries, pipeline2, pipeline3, pipeline4,
-                pipeline5,
+                pipeline5, pipeline6,
                 tpch, bucketed_join, analytics, text_queries,
                 analytics2, analytics3, tpch2, tpch3):
         full.update(mod.QUERIES)
 
     gate_first = (
-        # the 29 r3-stale queries (VERDICT r6 next#1) — every one of
-        # these has its last green driver row in round 3
-        "q9_type_profit", "q10_returned_customers",
-        "q11_important_parts", "q12_ship_priority",
-        "q13_order_count_dist", "q14_promo_revenue",
-        "q15_top_supplier", "q16_part_supplier_counts",
-        "q17_small_qty_revenue", "q18_large_orders",
-        "q19_disjunctive", "q20_excess_share_suppliers",
-        "q21_late_suppliers", "q22_idle_customers",
-        "nation_balance_reconciliation", "above_avg_customers",
-        "acctbal_histogram", "part_name_features", "orders_by_month",
-        "label_centroid_norms", "orders_nearby_window",
-        "pivot_status_by_segment", "unpivot_part_measures",
-        "cube_revenue", "segment_price_quantiles",
-        "rollup_with_grouping_flags", "doc_stats", "doc_language_id",
-        "doc_fingerprints",
-        # round-7 first-ever rows
-        "exact_substring_dedup", "sketch_hll_report",
-        "part_name_fuzzy_pairs", "decontam_bloom_report",
-        "orders_cdc_merge", "weighted_sample_docs",
-        "events_compaction_plan",
-        "doc_bm25_topk", "heavy_hitters_words",
-        "lineitem_zorder_layout", "join_skew_report",
-        "source_quota_cap", "orders_scd2_history", "events_funnel",
-        "supplier_part_pagerank", "dsir_selection", "doc_bm25_multi",
-        "orders_agg_ivm",
-        # (orders_snapshot_diff, the 19th session-3 op, did NOT fit
-        # the 50-row window — it is covered by the local full-registry
-        # oracle sweep + all five gate_sim axes this round and leads
-        # the r8 first-ever group)
-        # changed this round: sketch split residue (rows-only),
-        # dropped vocab-table broadcast, doc_quality (r3-stale AND
-        # its oracle now assembles from the shared QUALITY_M_CTE;
-        # orders_cdc_merge's cdc_change_batch refactor is covered by
-        # its first-ever slot above). The 18 session-3 first-evers
-        # consumed every r5-rotation slot — the whole r5-last-green
-        # cohort (incl. wc_word_count, pytest/bench-covered every
-        # round) rotates through r8.
-        "sketch_stats", "doc_bpe_tokens", "doc_quality",
+        # --- r8 first-ever rows: orders_snapshot_diff landed in r7's
+        # final hours after the 50-slot window filled (VERDICT r7
+        # wrong#1 — it leads), then the four round-8 operators
+        "orders_snapshot_diff",
+        "orders_cdc_e2e", "orders_agg_ivm_minmax",
+        "doc_length_outliers", "doc_quality_calibrated",
+        # --- changed this round: heavy_hitters_words (vectorized MG
+        # fold), weighted_sample_docs (weight>=1 guard expression),
+        # dedup_embedding_pairs_lsh (Arrow exact-cosine verify),
+        # decontam_bloom_report (tracked-persist lifecycle)
+        "heavy_hitters_words", "weighted_sample_docs",
+        "dedup_embedding_pairs_lsh", "decontam_bloom_report",
+        # --- the 36-query r5-last-green cohort (VERDICT r7 next#1):
+        # after this round every registry query's last green driver
+        # row is >= r6. dedup_embedding_pairs is ALSO plan-changed
+        # this round (Arrow verify).
+        "wc_word_count", "wc_word_count_salted",
+        "ann_cosine_topk", "boilerplate_lines", "bpe_pair_stats",
+        "c4_line_dedup", "curate_corpus", "curate_corpus_best",
+        "dataset_split_stats", "decontam_report",
+        "dedup_embedding_pairs", "dedup_exact", "dedup_groups",
+        "dedup_minhash_pairs", "dedup_ngram_pairs",
+        "dedup_prefix_pairs", "dedup_survivors", "dedup_winnow_pairs",
+        "doc_char_entropy", "doc_dup_spans", "doc_ngram_novelty",
+        "doc_quality_features", "doc_winnow_fingerprints",
+        "epoch_shuffle_order", "events_gapfill",
+        "incremental_dedup_report", "knn_label_accuracy",
+        "media_video_frames", "mixture_applied_sample",
+        "pack_curated_corpus", "pack_mixture_corpus",
+        "pii_scrub_stats", "seq_length_histogram",
+        "source_overlap_matrix", "stratified_sample_docs",
+        "training_mixture_plan",
+        # --- 5 spare slots begin the r6-cohort rotation (oldest
+        # remaining greens); the other 44 r6-green queries plus the
+        # r7 cohort rotate through r9/r10
+        "dedup_simhash_pairs", "ann_lsh_topk", "doc_chunks",
+        "q1_pricing_summary", "events_asof_orders",
     )
     out = {n: full[n] for n in gate_first}
     out.update(full)  # remainder keeps its original relative order

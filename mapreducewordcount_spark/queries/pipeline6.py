@@ -1,0 +1,267 @@
+"""Round-8 operators: the IVM min/max delta rules, the composed CDC
+end-to-end pipeline, robust (median/MAD) per-group outlier detection,
+and per-source quality calibration.
+
+Oracle notes:
+
+- ``orders_agg_ivm_minmax`` — the engine refreshes min/max through
+  the split delta rules (cheap ``least``/``greatest`` for groups
+  whose extremum row was untouched, per-group recompute otherwise —
+  ``operators/ivm.incremental_minmax_refresh``); the oracle
+  recomputes the whole view from the merged state, so equality
+  proves the delta path including the touched-group routing.
+- ``orders_cdc_e2e`` — ONE oracle over the composition VERDICT r7
+  next#5 asked for: merge (new state) → SCD2 (current rows) → IVM
+  (refreshed aggregate) → snapshot diff (added/removed/changed),
+  reconciled per order status in a single output row. The engine
+  computes ``n_orders`` (IVM delta path) and ``n_current`` (SCD2
+  interval table) through two INDEPENDENT operators that must agree
+  with each other and with the oracle's from-scratch rebuild.
+- ``doc_length_outliers`` / ``doc_quality_calibrated`` — pure
+  integer flag compares (quarter-unit medians, ppm ranks); no float
+  crosses the engines except already-green quality values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreducewordcount_spark.functions import text_metrics as tm
+from mapreducewordcount_spark.queries import QuerySpec
+from mapreducewordcount_spark.sources.tables import load_table, spread
+
+# the merged-state CTE every CDC oracle rebuilds from scratch —
+# mirrors queries/pipeline4.cdc_change_batch (latest-wins: *2 beats
+# +1000 on %21 keys, deletes %13 beat both, inserts at fresh
+# negative keys %11)
+_NEWSTATE_CTE = """newstate AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 21 = 0 THEN o_totalprice * 2
+              WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+              ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 13 <> 0
+  UNION ALL
+  SELECT -o_orderkey - 1, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 11 = 0
+)"""
+
+
+def orders_agg_ivm_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM for the non-distributive aggregates: refresh
+    min/max-price-by-status from the CDC batch without rescanning
+    untouched groups (``incremental_minmax_refresh``); the oracle
+    recomputes from scratch over the merged state."""
+    from mapreducewordcount_spark.operators.ivm import (
+        incremental_minmax_refresh,
+    )
+    from mapreducewordcount_spark.queries.pipeline4 import cdc_change_batch
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = incremental_minmax_refresh(orders, cdc_change_batch(orders),
+                                     ["o_orderkey"], "o_orderstatus",
+                                     "o_totalprice")
+    return out.select("o_orderstatus",
+                      F.col("n_rows").alias("n_orders"),
+                      F.round("min_v", 2).alias("min_price"),
+                      F.round("max_v", 2).alias("max_price"))
+
+
+ORDERS_IVM_MINMAX_SQL = f"""
+WITH {_NEWSTATE_CTE}
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(min(price), 2) AS min_price,
+       round(max(price), 2) AS max_price
+FROM newstate GROUP BY 1
+"""
+
+
+def orders_cdc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC mutation family composed end-to-end under one oracle:
+    apply the change batch (merge), keep history (SCD2), refresh the
+    aggregate incrementally (IVM), and audit the transition
+    (snapshot diff) — one reconciliation row per order status.
+
+    ``n_orders`` comes from the IVM delta path and ``n_current``
+    from the SCD2 interval table; both must equal the oracle's
+    merged-state count — two independent engine paths pinned to one
+    from-scratch rebuild."""
+    from mapreducewordcount_spark.operators.ivm import (
+        incremental_agg_refresh,
+    )
+    from mapreducewordcount_spark.operators.merge import merge_upsert
+    from mapreducewordcount_spark.operators.scd2 import scd2_history
+    from mapreducewordcount_spark.operators.snapdiff import snapshot_diff
+    from mapreducewordcount_spark.queries.pipeline4 import cdc_change_batch
+
+    orders = load_table(spark, sf_dir, "orders")
+    changes = cdc_change_batch(orders)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+
+    ivm = incremental_agg_refresh(
+        orders.withColumn("price_cents", cents),
+        changes.withColumn("price_cents", cents),
+        ["o_orderkey"], "o_orderstatus", "price_cents")
+
+    cur = (scd2_history(orders, changes, ["o_orderkey"])
+           .filter(F.col("is_current") == 1)
+           .groupBy("o_orderstatus")
+           .agg(F.count(F.lit(1)).alias("n_current")))
+
+    new = merge_upsert(orders, changes, ["o_orderkey"])
+    diff = snapshot_diff(orders, new, ["o_orderkey"], ["o_totalprice"])
+    # status lookup for diff keys: union of both states (removed keys
+    # exist only in old, added only in new; status never conflicts)
+    status = (orders.select("o_orderkey", "o_orderstatus")
+              .unionByName(new.select("o_orderkey", "o_orderstatus"))
+              .distinct())
+    dc = (diff.join(status, "o_orderkey")
+          .groupBy("o_orderstatus")
+          .agg(*[F.sum((F.col("change") == c).cast("long"))
+                 .alias(f"n_{c}")
+                 for c in ("added", "removed", "changed")]))
+
+    return (ivm.select("o_orderstatus",
+                       F.col("n_rows").alias("n_orders"),
+                       (F.col("total").cast("double") / F.lit(100.0))
+                       .alias("total_price"))
+            .join(cur, "o_orderstatus")
+            .join(dc, "o_orderstatus"))
+
+
+ORDERS_CDC_E2E_SQL = f"""
+WITH {_NEWSTATE_CTE},
+agg AS (
+  SELECT o_orderstatus,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(price * 100, 0) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS total_price,
+         CAST(count(*) AS BIGINT) AS n_current
+  FROM newstate GROUP BY 1
+),
+old AS (SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+        FROM orders),
+d AS (
+  SELECT coalesce(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              ELSE 'changed' END AS change
+  FROM old o FULL OUTER JOIN newstate n ON o.o_orderkey = n.o_orderkey
+  WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+     OR o.price IS DISTINCT FROM n.price
+),
+dc AS (
+  SELECT o_orderstatus,
+         CAST(count(*) FILTER (change = 'added') AS BIGINT) AS n_added,
+         CAST(count(*) FILTER (change = 'removed') AS BIGINT)
+           AS n_removed,
+         CAST(count(*) FILTER (change = 'changed') AS BIGINT)
+           AS n_changed
+  FROM d GROUP BY 1
+)
+SELECT a.o_orderstatus, a.n_orders, a.total_price, a.n_current,
+       dc.n_added, dc.n_removed, dc.n_changed
+FROM agg a JOIN dc USING (o_orderstatus)
+"""
+
+
+def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length outliers (``operators/outliers.py``):
+    flag docs beyond 3 MADs from their source's median length, report
+    the per-source cleaning summary (never empty, O(sources) rows)."""
+    from mapreducewordcount_spark.operators.outliers import (
+        robust_outlier_report,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    rep = robust_outlier_report(docs, "source",
+                                F.length("text").cast("long"),
+                                k_num=3, k_denom=1)
+    return rep.select(F.col("grp").alias("source"),
+                      F.col("n_rows").alias("n_docs"),
+                      "med4", "mad8", "n_outliers", "max_dev4")
+
+
+DOC_LENGTH_OUTLIERS_SQL = """
+WITH x AS (SELECT source, CAST(length(text) AS BIGINT) AS c
+           FROM documents),
+st AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(4 * quantile_cont(c, 0.5) AS BIGINT) AS med4
+  FROM x GROUP BY 1
+),
+d AS (
+  SELECT x.source, st.n_docs, st.med4,
+         abs(4 * x.c - st.med4) AS dev4
+  FROM x JOIN st USING (source)
+),
+m AS (
+  SELECT source, n_docs, med4,
+         CAST(2 * quantile_cont(dev4, 0.5) AS BIGINT) AS mad8
+  FROM d GROUP BY 1, 2, 3
+)
+SELECT m.source, m.n_docs, m.med4, m.mad8,
+       CAST(count(*) FILTER (2 * d.dev4 > 3 * m.mad8) AS BIGINT)
+         AS n_outliers,
+       max(d.dev4) AS max_dev4
+FROM d JOIN m USING (source, n_docs, med4)
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def doc_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality calibration: each doc's quality as a
+    percentile rank (ppm) WITHIN its source — the FineWeb/Gopher-style
+    normalization that makes scores comparable across sources whose
+    raw quality distributions differ. Integer ppm via row_number and
+    ``div`` (ties broken by doc_id) — no float ranks cross engines."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    q = docs.select("doc_id", "source",
+                    F.round(tm.quality_score("text"), 4).alias("quality"))
+    w = Window.partitionBy("source").orderBy(F.col("quality").asc(),
+                                             F.col("doc_id").asc())
+    return (q.withColumn("rn", F.row_number().over(w))
+             .withColumn("nsrc",
+                         F.count(F.lit(1)).over(Window.partitionBy("source")))
+             .select("doc_id", "source", "quality",
+                     F.expr("CAST(rn * 1000000 div nsrc AS BIGINT)")
+                      .alias("pct_ppm")))
+
+
+def _quality_calibrated_sql() -> str:
+    from mapreducewordcount_spark.queries.analytics import (
+        QUALITY_EXPR_SQL,
+        QUALITY_M_CTE,
+        _WORDS_CTE,
+    )
+
+    return f"""
+WITH {_WORDS_CTE},
+{QUALITY_M_CTE},
+q AS (
+  SELECT m.doc_id, d.source, {QUALITY_EXPR_SQL} AS quality
+  FROM m JOIN documents d ON m.doc_id = d.doc_id
+),
+r AS (
+  SELECT doc_id, source, quality,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS nsrc
+  FROM q
+)
+SELECT doc_id, source, quality,
+       CAST(rn * 1000000 // nsrc AS BIGINT) AS pct_ppm
+FROM r
+"""
+
+
+QUERIES = {
+    "orders_agg_ivm_minmax": QuerySpec(orders_agg_ivm_minmax,
+                                       ORDERS_IVM_MINMAX_SQL),
+    "orders_cdc_e2e": QuerySpec(orders_cdc_e2e, ORDERS_CDC_E2E_SQL),
+    "doc_length_outliers": QuerySpec(doc_length_outliers,
+                                     DOC_LENGTH_OUTLIERS_SQL),
+    "doc_quality_calibrated": QuerySpec(doc_quality_calibrated,
+                                        _quality_calibrated_sql()),
+}

@@ -488,3 +488,90 @@ def stream_source_token_budget_tws(docs: DataFrame,
                 outputStructType=_BUDGET_OUTPUT_SCHEMA,
                 outputMode="Append",
                 timeMode="None"))
+
+
+# --- streaming CDC: incremental view maintenance over a change feed ---------
+
+def latest_state_version(spark, state_dir: str) -> int | None:
+    """Highest committed ``v<N>`` subdirectory of a versioned state
+    dir, or None when unseeded."""
+    import os
+
+    if not os.path.isdir(state_dir):
+        return None
+    versions = [int(name[1:]) for name in os.listdir(state_dir)
+                if name.startswith("v") and name[1:].isdigit()]
+    return max(versions) if versions else None
+
+
+def read_state_version(spark, state_dir: str,
+                       version: int | None = None) -> DataFrame:
+    """Read one committed version (default: latest)."""
+    if version is None:
+        version = latest_state_version(spark, state_dir)
+    if version is None:
+        raise ValueError(f"no committed state under {state_dir}")
+    return spark.read.parquet(f"{state_dir}/v{version}")
+
+
+def start_cdc_agg_refresh(changes: DataFrame, *, snapshot_dir: str,
+                          view_dir: str, checkpoint_dir: str,
+                          keys, group_col: str, value_col: str,
+                          version_col: str = "_version",
+                          op_col: str = "_op"):
+    """Streaming IVM — the MUTATION leg of the streaming family
+    (VERDICT r7 next#6): maintain a materialized aggregate view over
+    a CDC change feed via ``foreachBatch``, refreshing through the
+    same delta rules as the batch operator
+    (``operators/ivm.incremental_agg_refresh``) so stream/batch
+    parity is an assertion, not a hope.
+
+    State is the pair (snapshot, view) kept as VERSIONED parquet
+    dirs: the caller seeds ``{snapshot_dir}/v0`` with the initial
+    table; micro-batch ``b`` reads version ``b`` and commits version
+    ``b+1`` of both dirs. Version-addressed writes make redelivery
+    idempotent (a replayed batch rewrites ITS OWN output version and
+    re-reads its original input — epoch-based exactly-once at the
+    sink), and old versions double as time travel for the diff/SCD2
+    companions. A production deployment swaps the dirs for a table
+    format with atomic commit; the refresh algebra is unchanged.
+
+    Per batch the snapshot is read ONLY through the delta path's
+    changed-key semi-join plus the merge's anti-join — O(changes +
+    groups) compute; the snapshot rewrite here is the simple full
+    copy (the honest cost of plain parquet state; table formats turn
+    it into a metadata commit).
+
+    Returns the started StreamingQuery (caller stops it).
+    """
+    from mapreducewordcount_spark.operators.ivm import (
+        incremental_agg_refresh,
+    )
+    from mapreducewordcount_spark.operators.merge import merge_upsert
+
+    spark = changes.sparkSession
+    klist = list(keys)
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        in_version = batch_id
+        if latest_state_version(spark, f"{snapshot_dir}") is not None:
+            in_version = min(batch_id,
+                             latest_state_version(spark, snapshot_dir))
+        snap = read_state_version(spark, snapshot_dir, in_version)
+        batch = batch_df.localCheckpoint(eager=True)  # cut stream lineage
+
+        view = incremental_agg_refresh(snap, batch, klist, group_col,
+                                       value_col, version_col=version_col,
+                                       op_col=op_col)
+        view.write.mode("overwrite").parquet(
+            f"{view_dir}/v{batch_id + 1}")
+        new_snap = merge_upsert(snap, batch, klist,
+                                version_col=version_col, op_col=op_col)
+        new_snap.write.mode("overwrite").parquet(
+            f"{snapshot_dir}/v{batch_id + 1}")
+
+    return (changes.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(refresh).start())

@@ -6,57 +6,52 @@ from __future__ import annotations
 
 from mapreducewordcount_spark.queries import all_queries
 
+R5_COHORT = (
+    "wc_word_count", "wc_word_count_salted",
+    "ann_cosine_topk", "boilerplate_lines", "bpe_pair_stats",
+    "c4_line_dedup", "curate_corpus", "curate_corpus_best",
+    "dataset_split_stats", "decontam_report",
+    "dedup_embedding_pairs", "dedup_exact", "dedup_groups",
+    "dedup_minhash_pairs", "dedup_ngram_pairs",
+    "dedup_prefix_pairs", "dedup_survivors", "dedup_winnow_pairs",
+    "doc_char_entropy", "doc_dup_spans", "doc_ngram_novelty",
+    "doc_quality_features", "doc_winnow_fingerprints",
+    "epoch_shuffle_order", "events_gapfill",
+    "incremental_dedup_report", "knn_label_accuracy",
+    "media_video_frames", "mixture_applied_sample",
+    "pack_curated_corpus", "pack_mixture_corpus",
+    "pii_scrub_stats", "seq_length_histogram",
+    "source_overlap_matrix", "stratified_sample_docs",
+    "training_mixture_plan")
 
-def test_gate_window_rotation_round7():
+
+def test_gate_window_rotation_round8():
     names = list(all_queries())
     window = set(names[:50])
-    # VERDICT r6 next#1: the 29 queries whose last green driver row
-    # is round 3 lead the window — after r7 every registry query's
-    # last green is ≥ r5
-    r3_stale = (
-        "q9_type_profit", "q10_returned_customers",
-        "q11_important_parts", "q12_ship_priority",
-        "q13_order_count_dist", "q14_promo_revenue",
-        "q15_top_supplier", "q16_part_supplier_counts",
-        "q17_small_qty_revenue", "q18_large_orders",
-        "q19_disjunctive", "q20_excess_share_suppliers",
-        "q21_late_suppliers", "q22_idle_customers",
-        "nation_balance_reconciliation", "above_avg_customers",
-        "acctbal_histogram", "part_name_features", "orders_by_month",
-        "label_centroid_norms", "orders_nearby_window",
-        "pivot_status_by_segment", "unpivot_part_measures",
-        "cube_revenue", "segment_price_quantiles",
-        "rollup_with_grouping_flags", "doc_stats", "doc_language_id",
-        "doc_fingerprints")
-    assert names[:29] == list(r3_stale)
-    # round-7 first-ever rows + this round's changed queries
-    assert names[29:50] == ["exact_substring_dedup",
-                            "sketch_hll_report",
-                            "part_name_fuzzy_pairs",
-                            "decontam_bloom_report",
-                            "orders_cdc_merge", "weighted_sample_docs",
-                            "events_compaction_plan",
-                            "doc_bm25_topk", "heavy_hitters_words",
-                            "lineitem_zorder_layout",
-                            "join_skew_report",
-                            "source_quota_cap", "orders_scd2_history",
-                            "events_funnel", "supplier_part_pagerank",
-                            "dsir_selection", "doc_bm25_multi",
-                            "orders_agg_ivm",
-                            "sketch_stats", "doc_bpe_tokens",
-                            "doc_quality"]
+    # VERDICT r7 next#1 / wrong#1: orders_snapshot_diff's first-ever
+    # driver row leads, then the round-8 first-evers and this round's
+    # plan-changed queries
+    assert names[:9] == ["orders_snapshot_diff",
+                         "orders_cdc_e2e", "orders_agg_ivm_minmax",
+                         "doc_length_outliers", "doc_quality_calibrated",
+                         "heavy_hitters_words", "weighted_sample_docs",
+                         "dedup_embedding_pairs_lsh",
+                         "decontam_bloom_report"]
+    # the full 36-query r5-last-green cohort — after r8 every
+    # registry query's last green driver row is >= r6
+    assert names[9:45] == list(R5_COHORT)
+    # 5 spare slots start the r6-cohort rotation (oldest greens next)
+    assert names[45:50] == ["dedup_simhash_pairs", "ann_lsh_topk",
+                            "doc_chunks", "q1_pricing_summary",
+                            "events_asof_orders"]
     assert len(names) >= 50 and len(window) == 50
-    # freshly green in r6 → correctly rotated OUT this round; the
-    # later ones ceded their slots to the session-3 first-evers and
-    # lead the r8 cohort instead
-    for q in ("dedup_simhash_pairs", "ann_lsh_topk", "doc_chunks",
-              "q1_pricing_summary", "events_asof_orders",
-              "dedup_ngram_pairs", "dedup_winnow_pairs",
-              "dedup_embedding_pairs", "curate_corpus",
-              "curate_corpus_best", "wc_word_count_salted",
-              "dedup_prefix_pairs", "dedup_groups",
-              "dedup_minhash_pairs", "dedup_exact", "ann_cosine_topk",
-              "wc_word_count"):
+    # freshly green in r7 → correctly rotated OUT this round
+    for q in ("q9_type_profit", "exact_substring_dedup",
+              "sketch_hll_report", "part_name_fuzzy_pairs",
+              "orders_cdc_merge", "doc_bm25_topk", "orders_agg_ivm",
+              "orders_scd2_history", "supplier_part_pagerank",
+              "dsir_selection", "sketch_stats", "doc_bpe_tokens",
+              "doc_quality", "doc_stats", "cube_revenue"):
         assert q not in window, q
 
 
