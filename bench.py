@@ -118,6 +118,9 @@ HEADLINE = (
     "orders_agg_ivm_minmax",
     "doc_length_outliers",
     "doc_quality_calibrated",
+    "bigram_collocations",
+    "lineitem_profile",
+    "events_rate_cusum",
 )
 
 #: FROZEN round-over-round comparison core (VERDICT r7 next#7): the

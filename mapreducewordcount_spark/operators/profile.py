@@ -1,0 +1,82 @@
+"""Table profiling: per-column null / distinct / min-max statistics.
+
+The ``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`` analog as a
+plain DataFrame operator — the first thing a pipeline runs against a
+new 100 TB drop to decide partitioning, z-order keys, and join
+strategies (and the statistics Catalyst's CBO itself consumes).
+
+Plan shape: ONE aggregate over the table computes every measure —
+``count``, per-column null counts, exact ``count_distinct`` (Spark
+plans multiple distinct aggregates via a single Expand + two-stage
+partial aggregation: one scan, one shuffle of partial states), and
+typed min/max — then the single stats row is pivoted to one row per
+column with ``stack`` (no second scan, no per-column jobs). Exact
+distinct counts are the oracle-able gate form; at 100 TB swap
+``approx_count_distinct`` (HLL++, partition-invariant — see
+tests/test_sketches.py) per column at a documented ±~2% cost.
+
+Typed rendering keeps the gate hash stable cross-engine: numeric
+min/max surface as DOUBLE (exact for integers to 2^53), strings as
+themselves, timestamps formatted to a fixed pattern — never an
+engine-default cast of a float to string.
+
+Reference parity: none (extension surface §2.5).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def profile_columns(df: DataFrame, numeric_cols: Sequence[str],
+                    string_cols: Sequence[str] = (),
+                    ts_cols: Sequence[str] = ()) -> DataFrame:
+    """One row per profiled column:
+    ``(column_name, n_rows, n_nulls, n_distinct, min_num, max_num,
+    min_str, max_str)`` — ``min_num``/``max_num`` NULL for
+    non-numeric columns, ``min_str``/``max_str`` NULL for numeric
+    ones (timestamps render into the string slots at ``TS_FMT``).
+    """
+    cols = [*numeric_cols, *string_cols, *ts_cols]
+    if not cols:
+        raise ValueError("profile_columns needs at least one column")
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"__nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+        if c in numeric_cols:
+            aggs.append(F.min(c).cast("double").alias(f"__min_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"__max_{c}"))
+        elif c in string_cols:
+            aggs.append(F.min(c).alias(f"__min_{c}"))
+            aggs.append(F.max(c).alias(f"__max_{c}"))
+        else:
+            aggs.append(F.date_format(F.min(c), TS_FMT).alias(f"__min_{c}"))
+            aggs.append(F.date_format(F.max(c), TS_FMT).alias(f"__max_{c}"))
+
+    stats = df.agg(*aggs)  # one row, one pass
+
+    # pivot the stats row to one output row per column: stack() is a
+    # generator expression over the already-computed row — no rescan
+    null_d = "CAST(NULL AS DOUBLE)"
+    null_s = "CAST(NULL AS STRING)"
+    rows = []
+    for c in cols:
+        if c in numeric_cols:
+            rows.append(f"'{c}', __n - `__nn_{c}`, `__nd_{c}`, "
+                        f"`__min_{c}`, `__max_{c}`, {null_s}, {null_s}")
+        else:
+            rows.append(f"'{c}', __n - `__nn_{c}`, `__nd_{c}`, "
+                        f"{null_d}, {null_d}, `__min_{c}`, `__max_{c}`")
+    stack = (f"stack({len(cols)}, " + ", ".join(rows)
+             + ") AS (column_name, n_nulls, n_distinct, min_num,"
+               " max_num, min_str, max_str)")
+    return (stats.select(F.col("__n").alias("n_rows"), F.expr(stack))
+            .select("column_name", "n_rows", "n_nulls", "n_distinct",
+                    "min_num", "max_num", "min_str", "max_str"))

@@ -256,6 +256,194 @@ FROM r
 """
 
 
+def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-50 bigrams by integer LIFT
+    ``n_ab·N / (n_a·n_b)`` in ppm (the log-free PMI rank — monotone
+    in PMI, so the ranking is identical with zero libm risk), with a
+    min-count floor so hapax pairs don't dominate. The vocabulary
+    shuffle is counts-only; the lift join's unigram side is the
+    bounded vocab table. Exactness headroom: ``n_ab·N·10⁶ < 2⁶³``
+    (N·n_ab < 9.2e12) — shard the lift pass beyond that."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ws = tm.words("text")
+    bigrams = F.zip_with(
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b))
+    uni = (docs.select(F.explode(ws).alias("word"))
+           .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
+    tot = uni.agg(F.sum("n").alias("n_total"))  # 1 row
+    bi = (docs.select(F.explode(bigrams).alias("bigram"))
+          .groupBy("bigram").agg(F.count(F.lit(1)).alias("n_ab"))
+          .filter(F.col("n_ab") >= 5)
+          .select(F.substring_index("bigram", " ", 1).alias("w1"),
+                  F.substring_index("bigram", " ", -1).alias("w2"),
+                  "n_ab"))
+    a = uni.select(F.col("word").alias("w1"), F.col("n").alias("n_a"))
+    b = uni.select(F.col("word").alias("w2"), F.col("n").alias("n_b"))
+    scored = (bi.join(a, "w1").join(b, "w2")
+              .crossJoin(F.broadcast(tot))
+              .withColumn("lift_ppm",
+                          F.expr("n_ab * n_total * 1000000"
+                                 " div (n_a * n_b)")))
+    top = scored.orderBy(F.col("lift_ppm").desc(), "w1", "w2").limit(50)
+    w = Window.orderBy(F.col("lift_ppm").desc(), "w1", "w2")
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "w1", "w2", "n_ab", "n_a", "n_b",
+                    "lift_ppm"))
+
+
+def _collocations_sql() -> str:
+    from mapreducewordcount_spark.queries.text_queries import _WORDS_CTE
+
+    return f"""
+WITH {_WORDS_CTE},
+b AS (
+  SELECT unnest([words[i] || ' ' || words[i+1]
+                 for i in range(1, greatest(len(words) - 1, 0) + 1)])
+           AS bigram
+  FROM w
+),
+bc AS (
+  SELECT split_part(bigram, ' ', 1) AS w1,
+         split_part(bigram, ' ', 2) AS w2,
+         count(*) AS n_ab
+  FROM b GROUP BY 1, 2 HAVING count(*) >= 5
+),
+u AS (SELECT unnest(words) AS word FROM w),
+uc AS (SELECT word, count(*) AS n FROM u GROUP BY 1),
+tot AS (SELECT count(*) AS n_total FROM u),
+scored AS (
+  SELECT bc.w1, bc.w2, bc.n_ab, a.n AS n_a, bb.n AS n_b,
+         bc.n_ab * tot.n_total * 1000000 // (a.n * bb.n) AS lift_ppm
+  FROM bc JOIN uc a ON bc.w1 = a.word
+          JOIN uc bb ON bc.w2 = bb.word, tot
+),
+top AS (SELECT * FROM scored ORDER BY lift_ppm DESC, w1, w2 LIMIT 50)
+SELECT CAST(row_number() OVER (ORDER BY lift_ppm DESC, w1, w2) AS INT)
+         AS rank,
+       w1, w2, n_ab, n_a, n_b, lift_ppm
+FROM top
+"""
+
+
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column statistics profile (``operators/profile.py``): one
+    aggregate pass over lineitem, one output row per column — the
+    ANALYZE-TABLE shape; the oracle recomputes every cell with
+    independent per-column SQL."""
+    from mapreducewordcount_spark.operators.profile import profile_columns
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_columns(
+        li,
+        numeric_cols=["l_orderkey", "l_quantity", "l_extendedprice"],
+        string_cols=["l_returnflag", "l_linestatus"],
+        ts_cols=["l_shipdate"])
+
+
+def _profile_sql() -> str:
+    def num(c):
+        return f"""
+SELECT '{c}' AS column_name, count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS DOUBLE) AS min_num,
+       CAST(max({c}) AS DOUBLE) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM lineitem"""
+
+    def s(c):
+        return f"""
+SELECT '{c}', count(*), count(*) - count({c}), count(DISTINCT {c}),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min({c}), max({c})
+FROM lineitem"""
+
+    def ts(c):
+        return f"""
+SELECT '{c}', count(*), count(*) - count({c}), count(DISTINCT {c}),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       strftime(min({c}), '%Y-%m-%d %H:%M:%S'),
+       strftime(max({c}), '%Y-%m-%d %H:%M:%S')
+FROM lineitem"""
+
+    return " UNION ALL ".join(
+        [num("l_orderkey"), num("l_quantity"), num("l_extendedprice"),
+         s("l_returnflag"), s("l_linestatus"), ts("l_shipdate")])
+
+
+def events_rate_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point signal over the event stream: one-sided CUSUM of
+    hourly-count deviations from each type's mean rate, via the
+    identity ``S_i = cum_i − min(0, min_{j≤i} cum_j)`` — two window
+    functions, no recursion, no driver loop. Deviations are scaled
+    by ``n_hours`` (``x_i·H − total``) so everything stays BIGINT.
+    Defined over OBSERVED hours (gaps carry no zero rows here; feed
+    ``operators/gapfill.py`` output to score a dense grid)."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (events
+              .groupBy("event_type",
+                       F.date_trunc("hour", F.col("ts")).alias("hr"))
+              .agg(F.count(F.lit(1)).alias("x")))
+    per = Window.partitionBy("event_type")
+    seq = per.orderBy("hr")
+    upto = seq.rowsBetween(Window.unboundedPreceding, 0)
+    scored = (hourly
+              .withColumn("n_hours", F.count(F.lit(1)).over(per))
+              .withColumn("total", F.sum("x").over(per))
+              .withColumn("dev", F.col("x") * F.col("n_hours")
+                          - F.col("total"))
+              .withColumn("cum", F.sum("dev").over(upto))
+              .withColumn("cusum", F.col("cum")
+                          - F.least(F.min("cum").over(upto), F.lit(0))))
+    pick = Window.partitionBy("event_type").orderBy(
+        F.col("cusum").desc(), F.col("hr").asc())
+    return (scored.withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select("event_type",
+                    F.col("n_hours").cast("long").alias("n_hours"),
+                    F.col("total").cast("long").alias("n_events"),
+                    F.col("cusum").cast("long").alias("peak_cusum"),
+                    F.date_format("hr", "yyyy-MM-dd HH:mm:ss")
+                     .alias("peak_hour")))
+
+
+EVENTS_CUSUM_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS x
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, hr, x,
+         count(*) OVER (PARTITION BY event_type) AS n_hours,
+         sum(x) OVER (PARTITION BY event_type) AS total
+  FROM hourly
+),
+c AS (
+  SELECT *,
+         sum(x * n_hours - total) OVER (
+           PARTITION BY event_type ORDER BY hr
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM scored
+),
+s AS (
+  SELECT *,
+         cum - least(min(cum) OVER (
+           PARTITION BY event_type ORDER BY hr
+           ROWS UNBOUNDED PRECEDING), 0) AS cusum
+  FROM c
+)
+SELECT event_type,
+       CAST(n_hours AS BIGINT) AS n_hours,
+       CAST(total AS BIGINT) AS n_events,
+       CAST(cusum AS BIGINT) AS peak_cusum,
+       strftime(hr, '%Y-%m-%d %H:%M:%S') AS peak_hour
+FROM s
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY cusum DESC, hr) = 1
+"""
+
+
 QUERIES = {
     "orders_agg_ivm_minmax": QuerySpec(orders_agg_ivm_minmax,
                                        ORDERS_IVM_MINMAX_SQL),
@@ -264,4 +452,8 @@ QUERIES = {
                                      DOC_LENGTH_OUTLIERS_SQL),
     "doc_quality_calibrated": QuerySpec(doc_quality_calibrated,
                                         _quality_calibrated_sql()),
+    "bigram_collocations": QuerySpec(bigram_collocations,
+                                     _collocations_sql()),
+    "lineitem_profile": QuerySpec(lineitem_profile, _profile_sql()),
+    "events_rate_cusum": QuerySpec(events_rate_cusum, EVENTS_CUSUM_SQL),
 }
