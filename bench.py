@@ -121,6 +121,7 @@ HEADLINE = (
     "bigram_collocations",
     "lineitem_profile",
     "events_rate_cusum",
+    "doc_hybrid_search",
 )
 
 #: FROZEN round-over-round comparison core (VERDICT r7 next#7): the

@@ -444,6 +444,140 @@ QUALIFY row_number() OVER (PARTITION BY event_type
 """
 
 
+HYBRID_TERMS = ("spark", "join", "hash", "vector")
+HYBRID_QUERY_VEC = 0   # embeddings.vec_id used as the query vector
+RRF_K = 60             # the standard reciprocal-rank-fusion constant
+RRF_SCALE = 1_000_000_000
+HYBRID_POOL = 100      # per-ranker candidate pool
+HYBRID_TOP = 20
+
+
+def doc_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: a lexical ranking (query-term occurrence
+    count) and a vector ranking (cosine to a query embedding) fused
+    by reciprocal-rank fusion in INTEGER form — each ranker
+    contributes ``RRF_SCALE div (RRF_K + rank)``, an integer per
+    term, so the fused score is a sum of integers: exact, order-
+    invariant, engine-portable (true float RRF differs only by
+    sub-ppb rounding of each reciprocal and gives the same order at
+    these pool sizes). Documents and embeddings share the id space
+    (doc_id == vec_id — the testdata convention every similarity
+    gate query uses).
+
+    Scale shape: each ranker is a TakeOrdered top-``HYBRID_POOL``
+    (per-partition heaps), rank windows run on the bounded cut, and
+    the fusion is a full-outer join of two 100-row frames — nothing
+    global ever sorts. Swap the lexical leg for ``operators/bm25``
+    scores when idf weighting matters; the fusion is ranker-agnostic.
+    """
+    from mapreducewordcount_spark.functions.vectors import dot, norm
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    ws = tm.words("text")
+    terms = F.array(*[F.lit(t) for t in HYBRID_TERMS])
+    n_hits = F.size(F.filter(ws, lambda w: F.array_contains(terms, w)))
+    tf_cut = (docs.select("doc_id", n_hits.alias("n_hits"))
+              .filter(F.col("n_hits") > 0)
+              .orderBy(F.col("n_hits").desc(), "doc_id")
+              .limit(HYBRID_POOL))
+    w_tf = Window.orderBy(F.col("n_hits").desc(), "doc_id")
+    tf_rank = tf_cut.select(
+        "doc_id", F.row_number().over(w_tf).alias("rank_tf"))
+
+    qv = (emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC)
+          .select(F.col("embedding").alias("q_vec")))
+    cos = F.when((norm("q_vec") > 0) & (norm("embedding") > 0),
+                 dot("q_vec", "embedding")
+                 / (norm("q_vec") * norm("embedding"))) \
+        .otherwise(F.lit(0.0))
+    vec_cut = (emb.filter(F.col("vec_id") != HYBRID_QUERY_VEC)
+               .crossJoin(F.broadcast(qv))   # 1-row query frame
+               .select(F.col("vec_id").alias("doc_id"),
+                       F.round(cos, 6).alias("cos"))
+               .orderBy(F.col("cos").desc(), "doc_id")
+               .limit(HYBRID_POOL))
+    w_vec = Window.orderBy(F.col("cos").desc(), "doc_id")
+    vec_rank = vec_cut.select(
+        "doc_id", F.row_number().over(w_vec).alias("rank_vec"))
+
+    fused = (tf_rank.join(vec_rank, "doc_id", "full_outer")
+             .withColumn(
+                 "rrf_micro",
+                 F.coalesce(F.expr(f"{RRF_SCALE} div ({RRF_K} + rank_tf)"),
+                            F.lit(0))
+                 + F.coalesce(F.expr(f"{RRF_SCALE} div ({RRF_K} + rank_vec)"),
+                              F.lit(0)))
+             .orderBy(F.col("rrf_micro").desc(), "doc_id")
+             .limit(HYBRID_TOP))
+    w_out = Window.orderBy(F.col("rrf_micro").desc(), "doc_id")
+    return (fused.withColumn("rank", F.row_number().over(w_out))
+            .select("rank", "doc_id", "rrf_micro", "rank_tf", "rank_vec"))
+
+
+def _hybrid_sql() -> str:
+    from mapreducewordcount_spark.queries.text_queries import _WORDS_CTE
+
+    terms = ", ".join(f"'{t}'" for t in HYBRID_TERMS)
+    return f"""
+WITH {_WORDS_CTE},
+tf AS (
+  SELECT doc_id,
+         len(list_filter(words, x -> list_contains([{terms}], x)))
+           AS n_hits
+  FROM w
+),
+tf_cut AS (SELECT doc_id, n_hits FROM tf WHERE n_hits > 0
+           ORDER BY n_hits DESC, doc_id LIMIT {HYBRID_POOL}),
+tf_rank AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY n_hits DESC, doc_id) AS rank_tf
+  FROM tf_cut
+),
+q AS (SELECT embedding AS q_vec FROM embeddings
+      WHERE vec_id = {HYBRID_QUERY_VEC}),
+scored AS (
+  SELECT e.vec_id AS doc_id,
+         round(CASE WHEN sqrt(list_dot_product(q.q_vec::DOUBLE[],
+                                               q.q_vec::DOUBLE[])) > 0
+                     AND sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                               e.embedding::DOUBLE[])) > 0
+               THEN list_dot_product(q.q_vec::DOUBLE[],
+                                     e.embedding::DOUBLE[])
+                    / (sqrt(list_dot_product(q.q_vec::DOUBLE[],
+                                             q.q_vec::DOUBLE[]))
+                       * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                               e.embedding::DOUBLE[])))
+               ELSE 0.0 END, 6) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> {HYBRID_QUERY_VEC}
+),
+vec_cut AS (SELECT doc_id, cos FROM scored
+            ORDER BY cos DESC, doc_id LIMIT {HYBRID_POOL}),
+vec_rank AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_vec
+  FROM vec_cut
+),
+fused AS (
+  SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
+         coalesce({RRF_SCALE} // ({RRF_K} + t.rank_tf), 0)
+           + coalesce({RRF_SCALE} // ({RRF_K} + v.rank_vec), 0)
+           AS rrf_micro,
+         t.rank_tf, v.rank_vec
+  FROM tf_rank t FULL OUTER JOIN vec_rank v ON t.doc_id = v.doc_id
+),
+top AS (SELECT * FROM fused
+        ORDER BY rrf_micro DESC, doc_id LIMIT {HYBRID_TOP})
+SELECT CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS INT)
+         AS rank,
+       doc_id, rrf_micro,
+       CAST(rank_tf AS INT) AS rank_tf,
+       CAST(rank_vec AS INT) AS rank_vec
+FROM top
+"""
+
+
 QUERIES = {
     "orders_agg_ivm_minmax": QuerySpec(orders_agg_ivm_minmax,
                                        ORDERS_IVM_MINMAX_SQL),
@@ -456,4 +590,5 @@ QUERIES = {
                                      _collocations_sql()),
     "lineitem_profile": QuerySpec(lineitem_profile, _profile_sql()),
     "events_rate_cusum": QuerySpec(events_rate_cusum, EVENTS_CUSUM_SQL),
+    "doc_hybrid_search": QuerySpec(doc_hybrid_search, _hybrid_sql()),
 }
