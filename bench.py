@@ -122,6 +122,7 @@ HEADLINE = (
     "lineitem_profile",
     "events_rate_cusum",
     "doc_hybrid_search",
+    "doc_cdc_chunks",
 )
 
 #: FROZEN round-over-round comparison core (VERDICT r7 next#7): the

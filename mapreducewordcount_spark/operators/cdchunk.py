@@ -1,0 +1,162 @@
+"""Content-defined chunking (FastCDC family) for storage-level dedup.
+
+Fixed-size chunking breaks on INSERTION: one added byte shifts every
+later chunk boundary and nothing downstream deduplicates. The CDC
+family (LBFS, FastCDC) instead cuts where a rolling hash of the last
+``window`` symbols hits a mask — boundaries depend only on LOCAL
+content, so an edit disturbs at most the chunks it touches and
+identical passages chunk identically wherever they appear. This is
+the primitive behind dedup storage (restic/borg/LBFS), delta-sync,
+and chunk-level corpus dedup between crawl snapshots.
+
+Implementation is the engine's measured hybrid (the exact-substring
+lesson): symbols are Unicode CODE POINTS (``str`` → utf-32 view, so
+offsets are exactly Python/SQL character positions), the window hash
+is the same vectorized uint64 polynomial as
+``exact_substring._rolling_keys_udf`` (one strided numpy
+multiply-add per doc — no per-byte Python), and only the SPARSE
+boundary candidates (density 2^-mask_bits) pass through the
+min/max-size enforcement loop. Chunk ids are md5 of the chunk's
+utf-8 bytes — which DuckDB reproduces as
+``md5(substring(text, offset+1, length))``, giving the gate oracle
+an INDEPENDENT verification of every chunk boundary the artifact
+claims (a wrong offset/length breaks the hash column, not just a
+count).
+
+Scale shape: the chunker is a zero-shuffle narrow map; the dedup
+report shuffles (chunk_md5) counts only — 16-byte keys, never chunk
+bodies. Reference parity: none (extension surface §2.5).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: odd 64-bit multiplier (same family as exact_substring's base)
+_BASE = 0x9E3779B97F4A7C15
+
+DEFAULT_WINDOW = 16
+DEFAULT_MASK_BITS = 6    # boundary density 1/64 → ~64+window avg chunk
+DEFAULT_MIN_CHUNK = 32
+DEFAULT_MAX_CHUNK = 512
+
+
+def _chunk_udf(window: int, mask_bits: int, min_chunk: int,
+               max_chunk: int):
+    """text → array<struct<offset,length,chunk_md5>>, Arrow-batched.
+
+    Offsets/lengths are in CHARACTERS (code points); md5 is over the
+    chunk's utf-8 bytes. Deterministic, partitioning-invariant.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    # power table via masked Python ints (no numpy scalar-overflow
+    # warnings — the exact_substring lesson, ADVICE r7)
+    mask64 = (1 << 64) - 1
+    plist, p = [], 1
+    for _ in range(window):
+        plist.append(p)
+        p = (p * _BASE) & mask64
+    powers = np.array(list(reversed(plist)), dtype=np.uint64)
+    bmask = np.uint64((1 << mask_bits) - 1)
+
+    schema = T.ArrayType(T.StructType([
+        T.StructField("offset", T.IntegerType()),
+        T.StructField("length", T.IntegerType()),
+        T.StructField("chunk_md5", T.StringType())]))
+
+    @pandas_udf(schema)
+    def chunk(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None or len(t) == 0:
+                out.append([])
+                continue
+            cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            n = len(cps)
+            if n >= window:
+                win = np.lib.stride_tricks.sliding_window_view(
+                    cps, window).astype(np.uint64)
+                h = (win * powers).sum(axis=1, dtype=np.uint64)
+                # candidate cut AFTER the window's last symbol
+                cand = (np.nonzero((h & bmask) == 0)[0] + window).tolist()
+            else:
+                cand = []
+            bounds, prev = [], 0
+            for c in cand:
+                if c - prev < min_chunk:
+                    continue
+                while c - prev > max_chunk:   # forced cuts in hashless runs
+                    prev += max_chunk
+                    bounds.append(prev)
+                bounds.append(c)
+                prev = c
+            while n - prev > max_chunk:
+                prev += max_chunk
+                bounds.append(prev)
+            cuts = [0] + bounds
+            if cuts[-1] != n:
+                cuts.append(n)
+            rows = []
+            for s, e in zip(cuts, cuts[1:]):
+                sub = t[s:e]  # str slicing is by code point — matches cps
+                rows.append((s, e - s,
+                             hashlib.md5(sub.encode("utf-8")).hexdigest()))
+            out.append(rows)
+        return pd.Series(out)
+
+    return chunk
+
+
+def cdc_chunk_table(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", *,
+                    window: int = DEFAULT_WINDOW,
+                    mask_bits: int = DEFAULT_MASK_BITS,
+                    min_chunk: int = DEFAULT_MIN_CHUNK,
+                    max_chunk: int = DEFAULT_MAX_CHUNK) -> DataFrame:
+    """``(doc_id, chunk_idx, offset, length, chunk_md5)`` — the chunk
+    index a dedup store would persist. Chunks tile each document
+    exactly (offsets contiguous from 0 to its length)."""
+    chunker = _chunk_udf(window, mask_bits, min_chunk, max_chunk)
+    return (docs
+            .select(F.col(id_col).alias("doc_id"),
+                    chunker(F.col(text_col)).alias("__chunks"))
+            .select("doc_id",
+                    F.posexplode("__chunks").alias("chunk_idx", "c"))
+            .select("doc_id", "chunk_idx", "c.offset", "c.length",
+                    "c.chunk_md5"))
+
+
+def chunk_dedup_report(chunks: DataFrame, docs: DataFrame,
+                       group_col: str = "source",
+                       text_col: str = "text") -> DataFrame:
+    """Per-group storage-dedup report over a chunk table, with every
+    chunk INDEPENDENTLY re-verified against the raw text
+    (``md5(substring(...))`` — the same expression the DuckDB oracle
+    runs, so a wrong boundary surfaces as ``n_verify_fail > 0`` on
+    both engines). Returns ``(group, n_chunks, n_unique_chunks,
+    total_chars, dup_chars, n_verify_fail)``."""
+    j = (chunks.join(docs.select("doc_id", group_col, text_col), "doc_id")
+         .withColumn("__re", F.md5(F.encode(
+             F.expr(f"substring({text_col}, offset + 1, length)"),
+             "UTF-8")))
+         .withColumn("__fail",
+                     (F.col("__re") != F.col("chunk_md5")).cast("long")))
+    per_hash = (j.groupBy(F.col(group_col).alias("grp"), "chunk_md5")
+                .agg(F.count(F.lit(1)).alias("cnt"),
+                     F.min("length").alias("len"),
+                     F.sum("__fail").alias("fails")))
+    return (per_hash.groupBy("grp")
+            .agg(F.sum("cnt").cast("long").alias("n_chunks"),
+                 F.count(F.lit(1)).cast("long").alias("n_unique_chunks"),
+                 F.sum(F.col("cnt") * F.col("len")).cast("long")
+                  .alias("total_chars"),
+                 F.sum((F.col("cnt") - 1) * F.col("len")).cast("long")
+                  .alias("dup_chars"),
+                 F.sum("fails").cast("long").alias("n_verify_fail")))

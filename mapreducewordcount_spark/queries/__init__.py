@@ -103,7 +103,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "orders_cdc_e2e", "orders_agg_ivm_minmax",
         "doc_length_outliers", "doc_quality_calibrated",
         "bigram_collocations", "lineitem_profile", "events_rate_cusum",
-        "doc_hybrid_search",
+        "doc_hybrid_search", "doc_cdc_chunks",
         # --- changed this round: heavy_hitters_words (vectorized MG
         # fold), weighted_sample_docs (weight>=1 guard expression),
         # dedup_embedding_pairs_lsh (Arrow exact-cosine verify),
@@ -130,10 +130,9 @@ def all_queries() -> dict[str, QuerySpec]:
         "pii_scrub_stats", "seq_length_histogram",
         "source_overlap_matrix", "stratified_sample_docs",
         "training_mixture_plan",
-        # --- 1 spare slot begins the r6-cohort rotation (oldest
-        # remaining greens); the rest of the r6 cohort plus the r7
-        # cohort rotate through r9/r10
-        "dedup_simhash_pairs",
+        # (no rotation spares left: the 9 r8 first-evers + 4 changed
+        # + the 36-query r5 cohort fill the window exactly; the r6
+        # and r7 cohorts rotate through r9/r10)
     )
     out = {n: full[n] for n in gate_first}
     out.update(full)  # remainder keeps its original relative order

@@ -578,6 +578,61 @@ FROM top
 """
 
 
+def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup report
+    (``operators/cdchunk.py``): the engine's chunk table (rolling-
+    hash boundaries — not SQL-expressible) is materialized as a
+    committed oracle artifact, and DuckDB re-verifies EVERY chunk
+    independently via ``md5(substring(text, offset+1, length))``
+    before recomputing the per-source dedup accounting — so a wrong
+    boundary, length, or hash breaks the gate row, not just a
+    count. ``n_verify_fail`` must be 0 on both engines."""
+    from mapreducewordcount_spark.operators.cdchunk import (
+        cdc_chunk_table,
+        chunk_dedup_report,
+    )
+    from mapreducewordcount_spark.sources import sig_artifacts
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = cdc_chunk_table(spread(docs))
+    art = sig_artifacts.materialize_frame(
+        chunks, "doc_cdc_chunks", sig_artifacts.corpus_key(docs),
+        ["doc_id", "chunk_idx"])
+    rep = chunk_dedup_report(art, docs)
+    return (rep.select(F.col("grp").alias("source"), "n_chunks",
+                       "n_unique_chunks", "total_chars", "dup_chars",
+                       "n_verify_fail"))
+
+
+def _cdc_chunks_sql() -> str:
+    from mapreducewordcount_spark.sources.sig_artifacts import (
+        DOC_KEY_SQL,
+        frame_cte,
+    )
+
+    return f"""
+WITH {frame_cte('ch', 'doc_cdc_chunks', DOC_KEY_SQL)},
+j AS (
+  SELECT d.source, ch.length, ch.chunk_md5,
+         CASE WHEN md5(substring(d.text, ch."offset" + 1, ch.length))
+                   = ch.chunk_md5 THEN 0 ELSE 1 END AS fail
+  FROM ch JOIN documents d ON ch.doc_id = d.doc_id
+),
+per_hash AS (
+  SELECT source, chunk_md5, count(*) AS cnt, min(length) AS len,
+         sum(fail) AS fails
+  FROM j GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(cnt) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_unique_chunks,
+       CAST(sum(cnt * len) AS BIGINT) AS total_chars,
+       CAST(sum((cnt - 1) * len) AS BIGINT) AS dup_chars,
+       CAST(sum(fails) AS BIGINT) AS n_verify_fail
+FROM per_hash GROUP BY 1
+"""
+
+
 QUERIES = {
     "orders_agg_ivm_minmax": QuerySpec(orders_agg_ivm_minmax,
                                        ORDERS_IVM_MINMAX_SQL),
@@ -591,4 +646,5 @@ QUERIES = {
     "lineitem_profile": QuerySpec(lineitem_profile, _profile_sql()),
     "events_rate_cusum": QuerySpec(events_rate_cusum, EVENTS_CUSUM_SQL),
     "doc_hybrid_search": QuerySpec(doc_hybrid_search, _hybrid_sql()),
+    "doc_cdc_chunks": QuerySpec(doc_cdc_chunks, _cdc_chunks_sql()),
 }

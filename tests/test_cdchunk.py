@@ -1,0 +1,103 @@
+"""Content-defined chunking: tiling exactness, size bounds,
+determinism, and the property the whole family exists for —
+insertion robustness (an edit disturbs only nearby chunks, unlike
+fixed-size chunking where one inserted character shifts every later
+boundary)."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from pyspark.sql import functions as F
+
+from mapreducewordcount_spark.operators.cdchunk import (
+    DEFAULT_MAX_CHUNK,
+    DEFAULT_MIN_CHUNK,
+    cdc_chunk_table,
+    chunk_dedup_report,
+)
+
+
+def _text(n, seed=7):
+    rng = random.Random(seed)
+    return "".join(rng.choice("abcdefgh ") for _ in range(n))
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunks_tile_each_document_exactly(spark):
+    rows = [(1, _text(2000)), (2, _text(10)), (3, ""), (4, None)]
+    got = cdc_chunk_table(_docs(spark, rows)).collect()
+    by_doc: dict = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2}  # empty/None docs emit nothing
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        text = dict(rows)[doc_id]
+        pos = 0
+        for c in chunks:
+            assert c.offset == pos
+            assert c.chunk_md5 == hashlib.md5(
+                text[c.offset:c.offset + c.length].encode()).hexdigest()
+            pos += c.length
+        assert pos == len(text)
+
+
+def test_chunk_size_bounds(spark):
+    got = cdc_chunk_table(_docs(spark, [(1, _text(20000))])).collect()
+    assert len(got) > 10
+    for c in got:
+        assert c.length <= DEFAULT_MAX_CHUNK
+    # all but the final tail respect the minimum
+    for c in sorted(got, key=lambda r: r.chunk_idx)[:-1]:
+        assert c.length >= DEFAULT_MIN_CHUNK
+
+
+def test_partitioning_invariance(spark):
+    rows = [(i, _text(1500, seed=i)) for i in range(20)]
+    a = sorted(map(tuple, cdc_chunk_table(
+        _docs(spark, rows).repartition(1)).collect()))
+    b = sorted(map(tuple, cdc_chunk_table(
+        _docs(spark, rows).repartition(16)).collect()))
+    assert a == b
+
+
+def test_insertion_robustness_vs_fixed_chunking(spark):
+    """Insert a few characters at the FRONT of a long document: CDC
+    boundaries resynchronize after the edit, so most chunk hashes
+    survive — the property fixed-size chunking lacks (every chunk
+    after the edit shifts)."""
+    base = _text(20000)
+    edited = "XYZZY" + base
+    table = cdc_chunk_table(_docs(spark, [(1, base), (2, edited)]))
+    rows = table.collect()
+    h1 = {r.chunk_md5 for r in rows if r.doc_id == 1}
+    h2 = {r.chunk_md5 for r in rows if r.doc_id == 2}
+    shared = len(h1 & h2) / len(h1)
+    assert shared >= 0.8, shared
+    # fixed-size control: every 256-char block after the insertion
+    # point differs
+    fixed1 = {hashlib.md5(base[i:i + 256].encode()).hexdigest()
+              for i in range(0, len(base), 256)}
+    fixed2 = {hashlib.md5(edited[i:i + 256].encode()).hexdigest()
+              for i in range(0, len(edited), 256)}
+    assert len(fixed1 & fixed2) / len(fixed1) < 0.05
+
+
+def test_dedup_report_counts_duplicate_mass(spark):
+    shared = _text(5000, seed=1)
+    docs = spark.createDataFrame(
+        [(1, "s1", shared), (2, "s1", shared), (3, "s1", _text(500, 9))],
+        "doc_id long, source string, text string")
+    chunks = cdc_chunk_table(docs)
+    rep = {r.grp: r for r in chunk_dedup_report(chunks, docs).collect()}
+    r = rep["s1"]
+    assert r.n_verify_fail == 0
+    # the two identical docs chunk identically: duplicate mass at
+    # least the shared doc's length
+    assert r.dup_chars >= len(shared)
+    assert r.total_chars == 2 * len(shared) + 500

@@ -31,19 +31,18 @@ def test_gate_window_rotation_round8():
     # VERDICT r7 next#1 / wrong#1: orders_snapshot_diff's first-ever
     # driver row leads, then the round-8 first-evers and this round's
     # plan-changed queries
-    assert names[:13] == ["orders_snapshot_diff",
+    assert names[:14] == ["orders_snapshot_diff",
                           "orders_cdc_e2e", "orders_agg_ivm_minmax",
                           "doc_length_outliers", "doc_quality_calibrated",
                           "bigram_collocations", "lineitem_profile",
                           "events_rate_cusum", "doc_hybrid_search",
+                          "doc_cdc_chunks",
                           "heavy_hitters_words", "weighted_sample_docs",
                           "dedup_embedding_pairs_lsh",
                           "decontam_bloom_report"]
     # the full 36-query r5-last-green cohort — after r8 every
     # registry query's last green driver row is >= r6
-    assert names[13:49] == list(R5_COHORT)
-    # 1 spare slot starts the r6-cohort rotation (oldest greens next)
-    assert names[49:50] == ["dedup_simhash_pairs"]
+    assert names[14:50] == list(R5_COHORT)
     assert len(names) >= 50 and len(window) == 50
     # freshly green in r7 → correctly rotated OUT this round
     for q in ("q9_type_profit", "exact_substring_dedup",
@@ -51,7 +50,8 @@ def test_gate_window_rotation_round8():
               "orders_cdc_merge", "doc_bm25_topk", "orders_agg_ivm",
               "orders_scd2_history", "supplier_part_pagerank",
               "dsir_selection", "sketch_stats", "doc_bpe_tokens",
-              "doc_quality", "doc_stats", "cube_revenue"):
+              "doc_quality", "doc_stats", "cube_revenue",
+              "dedup_simhash_pairs", "ann_lsh_topk"):
         assert q not in window, q
 
 

@@ -106,6 +106,7 @@ ARTIFACT_QUERIES = {
     "doc_bpe_tokens": ("doc_bpe_tokens",),
     "sketch_hll_report": ("sketch_hll_report",),
     "dsir_selection": ("dsir_selection",),
+    "doc_cdc_chunks": ("doc_cdc_chunks",),
 }
 
 
