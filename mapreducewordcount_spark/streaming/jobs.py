@@ -555,10 +555,11 @@ def start_cdc_agg_refresh(changes: DataFrame, *, snapshot_dir: str,
     def refresh(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        in_version = batch_id
-        if latest_state_version(spark, f"{snapshot_dir}") is not None:
-            in_version = min(batch_id,
-                             latest_state_version(spark, snapshot_dir))
+        latest = latest_state_version(spark, snapshot_dir)
+        # normal flow: input version == batch id (seed v0, batch b
+        # commits v{b+1}); redelivery re-reads its ORIGINAL input even
+        # though its own output version already exists
+        in_version = batch_id if latest is None else min(batch_id, latest)
         snap = read_state_version(spark, snapshot_dir, in_version)
         batch = batch_df.localCheckpoint(eager=True)  # cut stream lineage
 
