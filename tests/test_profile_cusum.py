@@ -38,9 +38,12 @@ def test_profile_nulls_distinct_and_typed_minmax(spark):
     assert t.max_str == "2024-01-02 11:00:00"
 
 
-def test_profile_single_aggregate_pass(spark):
-    """The whole profile must be ONE aggregate over the input — no
-    per-column jobs (the operator's scale contract)."""
+def test_profile_two_aggregate_passes(spark):
+    """The profile is exactly TWO aggregates over the input — the
+    plain pass and the multi-distinct pass — never per-column jobs,
+    and never ONE mixed aggregate (Catalyst would drag every
+    min/max/count partial through the Expand's per-distinct-tuple
+    hash table: measured 11.4s vs 2.1s on sf0.1 lineitem)."""
     from mapreducewordcount_spark.plans import explain_str
 
     import re
@@ -48,10 +51,17 @@ def test_profile_single_aggregate_pass(spark):
     df = spark.range(100).select(
         F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
     plan = explain_str(profile_columns(df, numeric_cols=["k", "v"]))
-    # one scan of the range source; the multi-distinct is planned as
-    # a single Expand + two-stage aggregation, never per-column jobs
-    assert len(re.findall(r"\(\d+\) Range", plan)) == 1, plan
+    # two scans (one per aggregate family); ALL distincts share a
+    # single Expand + two-stage aggregation
+    assert len(re.findall(r"\(\d+\) Range", plan)) == 2, plan
     assert len(re.findall(r"\(\d+\) Expand", plan)) == 1, plan
+    # the plain pass must NOT sit under the Expand: no aggregate
+    # node keyed by the distinct tuples (gid) may carry min/max
+    # partials
+    for block in plan.split("\n("):
+        if "HashAggregate" in block and "gid" in block:
+            assert "partial_min" not in block, block
+            assert "partial_max" not in block, block
 
 
 def test_cusum_peak_matches_python_replay(spark):
