@@ -1,6 +1,8 @@
 """Round-8 operators: the IVM min/max delta rules, the composed CDC
 end-to-end pipeline, robust (median/MAD) per-group outlier detection,
-and per-source quality calibration.
+per-source quality calibration, collocation mining, table profiling,
+CUSUM change-point detection, hybrid retrieval (integer RRF), and
+content-defined chunking.
 
 Oracle notes:
 
