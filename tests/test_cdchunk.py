@@ -101,3 +101,42 @@ def test_dedup_report_counts_duplicate_mass(spark):
     # least the shared doc's length
     assert r.dup_chars >= len(shared)
     assert r.total_chars == 2 * len(shared) + 500
+
+
+def test_unicode_code_point_offsets(spark):
+    """Offsets/lengths are CODE POINTS and md5 is over utf-8 bytes —
+    pinned on text mixing 1-, 2-, 3- and 4-byte characters (accents,
+    CJK, an astral-plane emoji), where byte offsets and code-point
+    offsets diverge hard."""
+    base = ("héllo wörld 中文字符串 🜁🜂🜃🜄 " * 200) + "tail"
+    got = sorted(cdc_chunk_table(
+        _docs(spark, [(1, base)])).collect(),
+        key=lambda r: r.chunk_idx)
+    assert len(got) > 3
+    pos = 0
+    for c in got:
+        sub = base[c.offset:c.offset + c.length]  # code-point slice
+        assert c.offset == pos
+        assert c.chunk_md5 == hashlib.md5(sub.encode("utf-8")).hexdigest()
+        pos += c.length
+    assert pos == len(base)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(text=st.text(min_size=0, max_size=3000))
+def test_tiling_property_any_unicode(spark, text):
+    got = sorted(cdc_chunk_table(
+        _docs(spark, [(1, text)])).collect(),
+        key=lambda r: r.chunk_idx)
+    pos = 0
+    for c in got:
+        assert c.offset == pos
+        assert c.chunk_md5 == hashlib.md5(
+            text[c.offset:c.offset + c.length].encode("utf-8")).hexdigest()
+        pos += c.length
+    assert pos == len(text)
