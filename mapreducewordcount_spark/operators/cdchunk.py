@@ -45,6 +45,42 @@ DEFAULT_MIN_CHUNK = 32
 DEFAULT_MAX_CHUNK = 512
 
 
+def cut_positions(cand: list, n: int, min_chunk: int,
+                  max_chunk: int) -> list:
+    """Boundary positions (exclusive cut offsets, ascending, ending at
+    ``n``) from the sparse hash-candidate list: enforce the min/max
+    size envelope so every chunk except the final tail has length in
+    ``[min_chunk, max_chunk]`` and the tail has length in
+    ``(0, max_chunk]``.
+
+    A candidate is dropped when it falls within ``min_chunk`` of the
+    previous emitted cut — INCLUDING a cut the max-size loop just
+    forced inside a hashless run (ADVICE r8: appending such a
+    candidate unconditionally emitted a sub-min mid-document chunk,
+    e.g. candidates [513, 700] with n=900 → lengths [512, 1, 187,
+    200]). Skipping it preserves the exact tiling; the next candidate
+    measures from the forced cut.
+    """
+    bounds, prev = [], 0
+    for c in cand:
+        if c - prev < min_chunk:
+            continue
+        while c - prev > max_chunk:   # forced cuts in hashless runs
+            prev += max_chunk
+            bounds.append(prev)
+        if c - prev < min_chunk:      # too close to a forced cut
+            continue
+        bounds.append(c)
+        prev = c
+    while n - prev > max_chunk:
+        prev += max_chunk
+        bounds.append(prev)
+    cuts = bounds
+    if not cuts or cuts[-1] != n:
+        cuts = cuts + [n]
+    return cuts
+
+
 def _chunk_udf(window: int, mask_bits: int, min_chunk: int,
                max_chunk: int):
     """text → array<struct<offset,length,chunk_md5>>, Arrow-batched.
@@ -88,21 +124,7 @@ def _chunk_udf(window: int, mask_bits: int, min_chunk: int,
                 cand = (np.nonzero((h & bmask) == 0)[0] + window).tolist()
             else:
                 cand = []
-            bounds, prev = [], 0
-            for c in cand:
-                if c - prev < min_chunk:
-                    continue
-                while c - prev > max_chunk:   # forced cuts in hashless runs
-                    prev += max_chunk
-                    bounds.append(prev)
-                bounds.append(c)
-                prev = c
-            while n - prev > max_chunk:
-                prev += max_chunk
-                bounds.append(prev)
-            cuts = [0] + bounds
-            if cuts[-1] != n:
-                cuts.append(n)
+            cuts = [0] + cut_positions(cand, n, min_chunk, max_chunk)
             rows = []
             for s, e in zip(cuts, cuts[1:]):
                 sub = t[s:e]  # str slicing is by code point — matches cps

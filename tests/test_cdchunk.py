@@ -9,6 +9,8 @@ from __future__ import annotations
 import hashlib
 import random
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from mapreducewordcount_spark.operators.cdchunk import (
@@ -45,6 +47,42 @@ def test_chunks_tile_each_document_exactly(spark):
                 text[c.offset:c.offset + c.length].encode()).hexdigest()
             pos += c.length
         assert pos == len(text)
+
+
+def test_cut_positions_forced_cut_min_size(spark):
+    """ADVICE r8 repro: a candidate within min_chunk of a boundary the
+    max-size loop just forced must be SKIPPED, not emitted as a
+    sub-min chunk (candidates [513, 700], n=900 used to yield chunk
+    lengths [512, 1, 187, 200])."""
+    from mapreducewordcount_spark.operators.cdchunk import cut_positions
+
+    cuts = cut_positions([513, 700], 900, 32, 512)
+    assert cuts == [512, 700, 900]
+    lengths = [b - a for a, b in zip([0] + cuts, cuts)]
+    assert all(ln >= 32 for ln in lengths[:-1])
+    # candidate exactly AT a forced cut (c - prev == 0) is also skipped
+    cuts = cut_positions([512, 1024], 1100, 32, 512)
+    assert cuts == [512, 1024, 1100]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.data())
+def test_cut_positions_envelope_property(data):
+    """For ANY candidate list: cuts tile [0, n] exactly, every chunk
+    except the final tail has length in [min, max], and the tail has
+    length in (0, max] (n > 0)."""
+    from mapreducewordcount_spark.operators.cdchunk import cut_positions
+
+    n = data.draw(st.integers(min_value=1, max_value=5000))
+    min_c = data.draw(st.integers(min_value=1, max_value=64))
+    max_c = data.draw(st.integers(min_value=min_c, max_value=600))
+    cand = sorted(data.draw(st.sets(
+        st.integers(min_value=1, max_value=n), max_size=60)))
+    cuts = cut_positions(cand, n, min_c, max_c)
+    assert cuts == sorted(set(cuts)) and cuts[-1] == n
+    lengths = [b - a for a, b in zip([0] + cuts, cuts)]
+    assert all(0 < ln <= max_c for ln in lengths)
+    assert all(ln >= min_c for ln in lengths[:-1])
 
 
 def test_chunk_size_bounds(spark):
@@ -120,10 +158,6 @@ def test_unicode_code_point_offsets(spark):
         assert c.chunk_md5 == hashlib.md5(sub.encode("utf-8")).hexdigest()
         pos += c.length
     assert pos == len(base)
-
-
-from hypothesis import HealthCheck, given, settings
-from hypothesis import strategies as st
 
 
 @settings(max_examples=10, deadline=None,
