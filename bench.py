@@ -123,6 +123,13 @@ HEADLINE = (
     "events_rate_cusum",
     "doc_hybrid_search",
     "doc_cdc_chunks",
+    # round-9 operators: chunk-index probe dedup (batch-vs-index
+    # asymmetry over the committed chunk artifact), BM25-leg hybrid
+    # fusion. doc_quality_calibrated keeps its row above — its r9
+    # ECDF rework changed the plan, so compare it per-query, not in
+    # any frozen subset (it is not in CORE).
+    "doc_cdc_chunk_dedup",
+    "doc_hybrid_bm25",
 )
 
 #: FROZEN round-over-round comparison core (VERDICT r7 next#7): the
@@ -135,12 +142,57 @@ CORE = HEADLINE[:24]
 assert CORE[-1] == "source_overlap_matrix", "frozen core displaced"
 
 
+def _env_fingerprint() -> dict:
+    """Machine-state snapshot recorded with every bench report
+    (VERDICT r8 next#3): rounds 7 and 8 both measured a UNIFORM
+    1.15-1.3x inflation across untouched queries — a machine-state
+    signature, not a plan regression — and the fingerprint is what
+    lets a round distinguish the two without re-bisecting. Best
+    effort: any missing /proc or /sys source records as None."""
+    fp: dict = {"cpus": os.cpu_count()}
+    try:
+        with open("/proc/loadavg") as f:
+            fp["loadavg"] = [float(x) for x in f.read().split()[:3]]
+    except Exception:  # noqa: BLE001
+        fp["loadavg"] = None
+    try:
+        mem = {}
+        with open("/proc/meminfo") as f:
+            for line in f:
+                k, v = line.split(":", 1)
+                if k in ("MemTotal", "MemAvailable", "Cached",
+                         "Dirty", "SwapFree"):
+                    mem[k] = int(v.strip().split()[0])  # kB
+        fp["meminfo_kb"] = mem
+    except Exception:  # noqa: BLE001
+        fp["meminfo_kb"] = None
+    try:
+        gov = Path("/sys/devices/system/cpu/cpu0/cpufreq"
+                   "/scaling_governor")
+        fp["cpu_governor"] = gov.read_text().strip() \
+            if gov.exists() else None
+    except Exception:  # noqa: BLE001
+        fp["cpu_governor"] = None
+    try:
+        with open("/proc/stat") as f:
+            first = f.readline().split()
+        # aggregate jiffies since boot: (busy, total) — two snapshots
+        # give machine-wide utilization over the bench window
+        vals = [int(x) for x in first[1:]]
+        fp["cpu_jiffies"] = {"busy": sum(vals) - vals[3] - vals[4],
+                             "total": sum(vals)}
+    except Exception:  # noqa: BLE001
+        fp["cpu_jiffies"] = None
+    return fp
+
+
 def run_session() -> dict:
     """One fresh-session measurement pass: per-query median-of-3."""
     from mapreducewordcount_spark.queries import all_queries
     from mapreducewordcount_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    env_start = _env_fingerprint()
     spark = get_spark("bench")
     specs = all_queries()
 
@@ -193,11 +245,28 @@ def run_session() -> dict:
                            if n in CORE and v is not None), 3)
     report = {"metric": "headline_total", "value": total, "unit": "sec",
               "core_total": core_total, "queries": timings, "sf": sf_dir,
+              "env_start": env_start, "env_end": _env_fingerprint(),
               "method": "median-of-3, cache-cleared+GC between queries"}
     if errors:
         report["errors"] = errors
     spark.stop()
     return report
+
+
+def _session_env(report: dict) -> dict:
+    """Condense one session's start/end fingerprints, deriving the
+    machine-wide CPU utilization across its window from the two
+    /proc/stat jiffy snapshots."""
+    start, end = report.get("env_start"), report.get("env_end")
+    out = {"start": start, "end": end, "cpu_util_pct": None}
+    try:
+        db = end["cpu_jiffies"]["busy"] - start["cpu_jiffies"]["busy"]
+        dt = end["cpu_jiffies"]["total"] - start["cpu_jiffies"]["total"]
+        if dt > 0:
+            out["cpu_util_pct"] = round(100.0 * db / dt, 1)
+    except (KeyError, TypeError):
+        pass
+    return out
 
 
 def main() -> None:
@@ -268,6 +337,11 @@ def main() -> None:
                      "core_totals": core_totals,
                      "min": totals[0], "median": totals[len(totals) // 2],
                      "max": totals[-1]},
+        # per-session machine-state fingerprints (VERDICT r8 next#3):
+        # cpu_util_pct is MACHINE-WIDE busy share over the session
+        # window — anything far above this process's fair share marks
+        # an externally-loaded (inflated) session.
+        "env": [_session_env(r) for r in reports],
         "method": (f"{len(reports)} fresh-JVM sessions x (median-of-3 "
                    "per query, cache-cleared+GC between queries); "
                    "headline = median session total"),

@@ -155,6 +155,72 @@ def cdc_chunk_table(docs: DataFrame, id_col: str = "doc_id",
                     "c.chunk_md5"))
 
 
+def chunk_incremental_report(chunks: DataFrame, docs: DataFrame,
+                             index_source: str,
+                             group_col: str = "source") -> DataFrame:
+    """Chunk-level incremental dedup between crawl snapshots: probe a
+    new batch's chunks against the stored chunk index and account
+    per-source new/duplicate bytes — the follow-on the cdchunk
+    posture names (VERDICT r8 next#4). ``index_source`` plays the
+    indexed history (its chunk hashes are the stored index); every
+    other source plays the incoming batch.
+
+    Each batch chunk is labeled ``dup_of_index`` (hash already in the
+    index), ``dup_in_batch`` (an earlier batch chunk — by (doc_id,
+    chunk_idx) order — has the same hash), or ``new``. Because
+    boundaries are content-defined, an insertion in a re-crawled page
+    re-flags only the chunks it touches: everything after the edit
+    re-synchronizes and still probes as ``dup_of_index`` (pinned in
+    tests/test_cdchunk.py).
+
+    Scale shape: the index side is DIGESTS ONLY (16 bytes/chunk — at
+    100 TB it is the persisted output of the previous run, never the
+    historical bodies); first-in-batch is the partial-agg
+    ``groupBy(hash).agg(min)`` + join-back form, no window; chunk
+    bodies never shuffle. Returns one row per batch source:
+    ``(grp, n_chunks, total_chars, n_dup_index, dup_index_chars,
+    n_dup_batch, dup_batch_chars, n_new, new_chars)``.
+    """
+    with_src = chunks.join(
+        docs.select("doc_id", F.col(group_col).alias("grp")), "doc_id")
+    index = (with_src.filter(F.col("grp") == index_source)
+             .select("chunk_md5").distinct())
+    # deterministic within-batch order: (doc_id, chunk_idx) packed
+    # into one BIGINT (chunk_idx < 1e6 — max_chunk bounds chunks/doc)
+    rk = (F.col("doc_id") * F.lit(1_000_000) + F.col("chunk_idx"))
+    batch = (with_src.filter(F.col("grp") != index_source)
+             .select("grp", "chunk_md5", "length", rk.alias("rk")))
+    first = batch.groupBy("chunk_md5").agg(F.min("rk").alias("first_rk"))
+    lab = (batch
+           .join(index.withColumn("__indexed", F.lit(1)),
+                 "chunk_md5", "left")
+           .join(first, "chunk_md5")
+           .withColumn("status",
+                       F.when(F.col("__indexed").isNotNull(),
+                              "dup_of_index")
+                       .when(F.col("rk") != F.col("first_rk"),
+                             "dup_in_batch")
+                       .otherwise("new")))
+
+    def n_of(s):
+        return F.sum((F.col("status") == s).cast("long"))
+
+    def chars_of(s):
+        return F.coalesce(
+            F.sum(F.when(F.col("status") == s, F.col("length"))
+                  .cast("long")), F.lit(0))
+
+    return (lab.groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum("length").cast("long").alias("total_chars"),
+                 n_of("dup_of_index").alias("n_dup_index"),
+                 chars_of("dup_of_index").alias("dup_index_chars"),
+                 n_of("dup_in_batch").alias("n_dup_batch"),
+                 chars_of("dup_in_batch").alias("dup_batch_chars"),
+                 n_of("new").alias("n_new"),
+                 chars_of("new").alias("new_chars")))
+
+
 def chunk_dedup_report(chunks: DataFrame, docs: DataFrame,
                        group_col: str = "source",
                        text_col: str = "text") -> DataFrame:

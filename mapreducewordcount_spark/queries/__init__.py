@@ -45,6 +45,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline4,
         pipeline5,
         pipeline6,
+        pipeline7,
         text_queries,
         tpch,
         wordcount_queries,
@@ -77,62 +78,65 @@ def all_queries() -> dict[str, QuerySpec]:
     #   r7 window — VERDICT r6 next#1: the 29 r3-stale queries led,
     #   then the 18 session-3 first-ever rows and 3 changed queries
     #   (50/50, 49 hash-green + the sketch_stats rows-only residue);
-    #   r8 window (below) — orders_snapshot_diff's FIRST driver row
-    #   (landed after r7's window filled), the four round-8 operators
-    #   (orders_cdc_e2e — merge→SCD2→IVM→diff composed under one
-    #   oracle; orders_agg_ivm_minmax — min/max delta rules with
-    #   touched-group recompute; doc_length_outliers — median/MAD
-    #   robust outlier report; doc_quality_calibrated — per-source
-    #   percentile calibration), this round's four plan-changed
-    #   queries, the full 36-query r5-last-green cohort (VERDICT r7
-    #   next#1 — after this round every query's last green is ≥ r6),
-    #   and 5 slots starting the r6-cohort rotation toward r9/r10.
+    #   r8 window — orders_snapshot_diff's first driver row, the nine
+    #   round-8 operators, four plan-changed queries, and the full
+    #   36-query r5-last-green cohort (50/50 hash-green);
+    #   r9 window (below) — VERDICT r8 next#1: the value-changed
+    #   doc_quality_calibrated (scale-safe ECDF form) and the two
+    #   round-9 first-evers (doc_cdc_chunk_dedup, doc_hybrid_bm25)
+    #   lead, then the 48-query r6-last-green cohort. 51 entries:
+    #   wc_top20 sits LAST so it is the one to spill if the driver
+    #   cuts at 50 (its tokenize/count path is re-gated through
+    #   wc_word_count r8 + wc_bucket_hist here; it then leads r10
+    #   with the 46-query r7 cohort). doc_cdc_chunks and
+    #   doc_hybrid_search were TOUCHED this round but are
+    #   value-identical and keep their r8 rows: the chunker fix
+    #   leaves every committed artifact byte-identical (writer
+    #   skip + freshness test) and the hybrid refactor is pure code
+    #   motion into shared helpers — both re-verified hash-green
+    #   against their oracles locally before commit.
     full: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries,
                 pipeline_queries, pipeline2, pipeline3, pipeline4,
-                pipeline5, pipeline6,
+                pipeline5, pipeline6, pipeline7,
                 tpch, bucketed_join, analytics, text_queries,
                 analytics2, analytics3, tpch2, tpch3):
         full.update(mod.QUERIES)
 
     gate_first = (
-        # --- r8 first-ever rows: orders_snapshot_diff landed in r7's
-        # final hours after the 50-slot window filled (VERDICT r7
-        # wrong#1 — it leads), then the four round-8 operators
-        "orders_snapshot_diff",
-        "orders_cdc_e2e", "orders_agg_ivm_minmax",
-        "doc_length_outliers", "doc_quality_calibrated",
-        "bigram_collocations", "lineitem_profile", "events_rate_cusum",
-        "doc_hybrid_search", "doc_cdc_chunks",
-        # --- changed this round: heavy_hitters_words (vectorized MG
-        # fold), weighted_sample_docs (weight>=1 guard expression),
-        # dedup_embedding_pairs_lsh (Arrow exact-cosine verify),
-        # decontam_bloom_report (tracked-persist lifecycle)
-        "heavy_hitters_words", "weighted_sample_docs",
-        "dedup_embedding_pairs_lsh", "decontam_bloom_report",
-        # --- the 36-query r5-last-green cohort (VERDICT r7 next#1):
+        # --- changed this round: doc_quality_calibrated (per-source
+        # global rank window -> scale-safe ECDF histogram; max-rank
+        # tie semantics, BIGINT ppm — VERDICT r8 next#2 + ADVICE)
+        "doc_quality_calibrated",
+        # --- r9 first-ever rows: chunk-level incremental dedup
+        # between crawl snapshots (next#4) and hybrid retrieval with
+        # the BM25 lexical leg (next#5)
+        "doc_cdc_chunk_dedup", "doc_hybrid_bm25",
+        # --- the 48-query r6-last-green cohort (VERDICT r8 next#1):
         # after this round every registry query's last green driver
-        # row is >= r6. dedup_embedding_pairs is ALSO plan-changed
-        # this round (Arrow verify).
-        "wc_word_count", "wc_word_count_salted",
-        "ann_cosine_topk", "boilerplate_lines", "bpe_pair_stats",
-        "c4_line_dedup", "curate_corpus", "curate_corpus_best",
-        "dataset_split_stats", "decontam_report",
-        "dedup_embedding_pairs", "dedup_exact", "dedup_groups",
-        "dedup_minhash_pairs", "dedup_ngram_pairs",
-        "dedup_prefix_pairs", "dedup_survivors", "dedup_winnow_pairs",
-        "doc_char_entropy", "doc_dup_spans", "doc_ngram_novelty",
-        "doc_quality_features", "doc_winnow_fingerprints",
-        "epoch_shuffle_order", "events_gapfill",
-        "incremental_dedup_report", "knn_label_accuracy",
-        "media_video_frames", "mixture_applied_sample",
-        "pack_curated_corpus", "pack_mixture_corpus",
-        "pii_scrub_stats", "seq_length_histogram",
-        "source_overlap_matrix", "stratified_sample_docs",
-        "training_mixture_plan",
-        # (no rotation spares left: the 9 r8 first-evers + 4 changed
-        # + the 36-query r5 cohort fill the window exactly; the r6
-        # and r7 cohorts rotate through r9/r10)
+        # row is >= r7 (modulo the wc_top20 tail slot, see above).
+        "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
+        "dedup_simhash_pairs", "semantic_dedup_embeddings",
+        "embedding_cluster_stats", "curriculum_epoch_order",
+        "incremental_neardup_report", "doc_chunks",
+        "media_image_features", "media_audio_features",
+        "media_image_dhash_pairs", "media_audio_fp_pairs",
+        "doc_length_deciles", "doc_repetition_stats",
+        "pack_training_sequences", "doc_lm_quality",
+        "doc_compression_ratio", "doc_keywords_tfidf",
+        "top_bigrams", "content_word_counts",
+        "q1_pricing_summary", "q2_min_cost_supplier", "q3_top_orders",
+        "q4_priority_late", "q5_region_revenue", "q6_forecast_revenue",
+        "q7_nation_volume", "q8_market_share",
+        "events_hourly", "events_json_stats", "events_sessions",
+        "events_asof_orders", "events_after_purchase",
+        "events_props_keys",
+        "top_customers", "part_brand_stats", "big_spender_segments",
+        "customers_without_orders", "top_orders_per_customer",
+        "running_revenue", "rollup_revenue", "distinct_stats",
+        "retained_customers", "churned_customers",
+        "bucketed_order_revenue", "wc_bucket_hist",
+        "wc_top20",
     )
     out = {n: full[n] for n in gate_first}
     out.update(full)  # remainder keeps its original relative order

@@ -479,6 +479,61 @@ HYBRID_POOL = 100      # per-ranker candidate pool
 HYBRID_TOP = 20
 
 
+def vec_rank_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid retrieval family's shared vector leg: the
+    ``HYBRID_POOL``-row (doc_id, rank_vec) frame ranked by cosine to
+    the fixed query embedding. TakeOrdered bounds the global work;
+    the rank window runs on the already-cut pool."""
+    from mapreducewordcount_spark.functions.vectors import dot, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = (emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC)
+          .select(F.col("embedding").alias("q_vec")))
+    cos = F.when((norm("q_vec") > 0) & (norm("embedding") > 0),
+                 dot("q_vec", "embedding")
+                 / (norm("q_vec") * norm("embedding"))) \
+        .otherwise(F.lit(0.0))
+    vec_cut = (emb.filter(F.col("vec_id") != HYBRID_QUERY_VEC)
+               .crossJoin(F.broadcast(qv))   # 1-row query frame
+               .select(F.col("vec_id").alias("doc_id"),
+                       F.round(cos, 6).alias("cos"))
+               .orderBy(F.col("cos").desc(), "doc_id")
+               .limit(HYBRID_POOL))
+    w_vec = Window.orderBy(F.col("cos").desc(), "doc_id")
+    return vec_cut.select(
+        "doc_id", F.row_number().over(w_vec).alias("rank_vec"))
+
+
+def vec_rank_ctes() -> str:
+    """DuckDB CTE chain computing the identical vector pool —
+    terminates in ``vec_rank(doc_id, rank_vec)``; callers append it
+    after their own CTEs."""
+    return f"""q AS (SELECT embedding AS q_vec FROM embeddings
+      WHERE vec_id = {HYBRID_QUERY_VEC}),
+scored AS (
+  SELECT e.vec_id AS doc_id,
+         round(CASE WHEN sqrt(list_dot_product(q.q_vec::DOUBLE[],
+                                               q.q_vec::DOUBLE[])) > 0
+                     AND sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                               e.embedding::DOUBLE[])) > 0
+               THEN list_dot_product(q.q_vec::DOUBLE[],
+                                     e.embedding::DOUBLE[])
+                    / (sqrt(list_dot_product(q.q_vec::DOUBLE[],
+                                             q.q_vec::DOUBLE[]))
+                       * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                               e.embedding::DOUBLE[])))
+               ELSE 0.0 END, 6) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> {HYBRID_QUERY_VEC}
+),
+vec_cut AS (SELECT doc_id, cos FROM scored
+            ORDER BY cos DESC, doc_id LIMIT {HYBRID_POOL}),
+vec_rank AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_vec
+  FROM vec_cut
+)"""
+
+
 def doc_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: a lexical ranking (query-term occurrence
     count) and a vector ranking (cosine to a query embedding) fused
@@ -497,10 +552,7 @@ def doc_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     global ever sorts. Swap the lexical leg for ``operators/bm25``
     scores when idf weighting matters; the fusion is ranker-agnostic.
     """
-    from mapreducewordcount_spark.functions.vectors import dot, norm
-
     docs = spread(load_table(spark, sf_dir, "documents"))
-    emb = load_table(spark, sf_dir, "embeddings")
 
     ws = tm.words("text")
     terms = F.array(*[F.lit(t) for t in HYBRID_TERMS])
@@ -513,21 +565,7 @@ def doc_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf_rank = tf_cut.select(
         "doc_id", F.row_number().over(w_tf).alias("rank_tf"))
 
-    qv = (emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC)
-          .select(F.col("embedding").alias("q_vec")))
-    cos = F.when((norm("q_vec") > 0) & (norm("embedding") > 0),
-                 dot("q_vec", "embedding")
-                 / (norm("q_vec") * norm("embedding"))) \
-        .otherwise(F.lit(0.0))
-    vec_cut = (emb.filter(F.col("vec_id") != HYBRID_QUERY_VEC)
-               .crossJoin(F.broadcast(qv))   # 1-row query frame
-               .select(F.col("vec_id").alias("doc_id"),
-                       F.round(cos, 6).alias("cos"))
-               .orderBy(F.col("cos").desc(), "doc_id")
-               .limit(HYBRID_POOL))
-    w_vec = Window.orderBy(F.col("cos").desc(), "doc_id")
-    vec_rank = vec_cut.select(
-        "doc_id", F.row_number().over(w_vec).alias("rank_vec"))
+    vec_rank = vec_rank_pool(spark, sf_dir)
 
     fused = (tf_rank.join(vec_rank, "doc_id", "full_outer")
              .withColumn(
@@ -562,30 +600,7 @@ tf_rank AS (
          row_number() OVER (ORDER BY n_hits DESC, doc_id) AS rank_tf
   FROM tf_cut
 ),
-q AS (SELECT embedding AS q_vec FROM embeddings
-      WHERE vec_id = {HYBRID_QUERY_VEC}),
-scored AS (
-  SELECT e.vec_id AS doc_id,
-         round(CASE WHEN sqrt(list_dot_product(q.q_vec::DOUBLE[],
-                                               q.q_vec::DOUBLE[])) > 0
-                     AND sqrt(list_dot_product(e.embedding::DOUBLE[],
-                                               e.embedding::DOUBLE[])) > 0
-               THEN list_dot_product(q.q_vec::DOUBLE[],
-                                     e.embedding::DOUBLE[])
-                    / (sqrt(list_dot_product(q.q_vec::DOUBLE[],
-                                             q.q_vec::DOUBLE[]))
-                       * sqrt(list_dot_product(e.embedding::DOUBLE[],
-                                               e.embedding::DOUBLE[])))
-               ELSE 0.0 END, 6) AS cos
-  FROM embeddings e, q WHERE e.vec_id <> {HYBRID_QUERY_VEC}
-),
-vec_cut AS (SELECT doc_id, cos FROM scored
-            ORDER BY cos DESC, doc_id LIMIT {HYBRID_POOL}),
-vec_rank AS (
-  SELECT doc_id,
-         row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_vec
-  FROM vec_cut
-),
+{vec_rank_ctes()},
 fused AS (
   SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
          coalesce({RRF_SCALE} // ({RRF_K} + t.rank_tf), 0)

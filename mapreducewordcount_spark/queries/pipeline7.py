@@ -1,0 +1,183 @@
+"""Round-9 operators: chunk-level incremental dedup between crawl
+snapshots, and hybrid retrieval with the BM25 lexical leg.
+
+Oracle notes:
+
+- ``doc_cdc_chunk_dedup`` — reuses the committed ``doc_cdc_chunks``
+  artifact (the chunk table a dedup store persists; boundaries are
+  rolling-hash, not SQL-expressible), so the oracle probes the SAME
+  bytes the engine reads: DuckDB rebuilds the index/batch split, the
+  first-in-batch accounting, and the per-source byte totals from the
+  artifact with plain SQL. Pure integer accounting — nothing float
+  crosses the engines.
+- ``doc_hybrid_bm25`` — the ranker-agnostic swap
+  ``doc_hybrid_search``'s docstring promises: the lexical pool is
+  ``operators/bm25`` (rational idf, integer-quantized contributions
+  — already bit-exact cross-engine) instead of the raw term-hit
+  count, fused with the identical integer RRF; the vector leg and
+  fusion CTEs are shared with ``doc_hybrid_search``
+  (``pipeline6.vec_rank_pool`` / ``vec_rank_ctes``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreducewordcount_spark.queries import QuerySpec
+from mapreducewordcount_spark.queries.pipeline3 import INDEX_SOURCE
+from mapreducewordcount_spark.queries.pipeline6 import (
+    HYBRID_POOL,
+    HYBRID_TERMS,
+    HYBRID_TOP,
+    RRF_K,
+    RRF_SCALE,
+    vec_rank_ctes,
+    vec_rank_pool,
+)
+from mapreducewordcount_spark.sources.tables import load_table, spread
+
+
+def doc_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level incremental dedup between crawl snapshots
+    (VERDICT r8 next#4): probe the incoming batch's chunks (every
+    source but ``src0``) against the stored chunk index (``src0``'s
+    chunk hashes — 16-byte keys, the persisted output of the previous
+    run), reporting per-source new/duplicate chunk and byte counts.
+    Content-defined boundaries mean an insertion in a re-crawled page
+    re-flags only the chunks it touches (pinned in
+    tests/test_cdchunk.py); see
+    ``operators/cdchunk.chunk_incremental_report`` for the plan
+    shape. The chunk table is the committed ``doc_cdc_chunks``
+    artifact, so both engines account over identical bytes."""
+    from mapreducewordcount_spark.operators.cdchunk import (
+        cdc_chunk_table,
+        chunk_incremental_report,
+    )
+    from mapreducewordcount_spark.sources import sig_artifacts
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = cdc_chunk_table(spread(docs))
+    art = sig_artifacts.materialize_frame(
+        chunks, "doc_cdc_chunks", sig_artifacts.corpus_key(docs),
+        ["doc_id", "chunk_idx"])
+    rep = chunk_incremental_report(art, docs, INDEX_SOURCE)
+    return rep.select(F.col("grp").alias("source"), "n_chunks",
+                      "total_chars", "n_dup_index", "dup_index_chars",
+                      "n_dup_batch", "dup_batch_chars", "n_new",
+                      "new_chars")
+
+
+def _cdc_chunk_dedup_sql() -> str:
+    from mapreducewordcount_spark.sources.sig_artifacts import (
+        DOC_KEY_SQL,
+        frame_cte,
+    )
+
+    return f"""
+WITH {frame_cte('ch', 'doc_cdc_chunks', DOC_KEY_SQL)},
+j AS (
+  SELECT ch.doc_id, ch.chunk_idx, ch.length, ch.chunk_md5, d.source
+  FROM ch JOIN documents d ON ch.doc_id = d.doc_id
+),
+idx AS (SELECT DISTINCT chunk_md5 FROM j
+        WHERE source = '{INDEX_SOURCE}'),
+batch AS (
+  SELECT source, chunk_md5, length,
+         doc_id * 1000000 + chunk_idx AS rk
+  FROM j WHERE source <> '{INDEX_SOURCE}'
+),
+first AS (SELECT chunk_md5, min(rk) AS first_rk FROM batch GROUP BY 1),
+lab AS (
+  SELECT b.source, b.length,
+         CASE WHEN i.chunk_md5 IS NOT NULL THEN 'dup_of_index'
+              WHEN b.rk <> f.first_rk THEN 'dup_in_batch'
+              ELSE 'new' END AS status
+  FROM batch b
+  LEFT JOIN idx i ON b.chunk_md5 = i.chunk_md5
+  JOIN first f ON b.chunk_md5 = f.chunk_md5
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(length) AS BIGINT) AS total_chars,
+       CAST(count(*) FILTER (status = 'dup_of_index') AS BIGINT)
+         AS n_dup_index,
+       CAST(coalesce(sum(length) FILTER (status = 'dup_of_index'), 0)
+            AS BIGINT) AS dup_index_chars,
+       CAST(count(*) FILTER (status = 'dup_in_batch') AS BIGINT)
+         AS n_dup_batch,
+       CAST(coalesce(sum(length) FILTER (status = 'dup_in_batch'), 0)
+            AS BIGINT) AS dup_batch_chars,
+       CAST(count(*) FILTER (status = 'new') AS BIGINT) AS n_new,
+       CAST(coalesce(sum(length) FILTER (status = 'new'), 0) AS BIGINT)
+         AS new_chars
+FROM lab GROUP BY 1
+"""
+
+
+def doc_hybrid_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, BM25 edition (VERDICT r8 next#5): the
+    lexical pool is the top-``HYBRID_POOL`` BM25 ranking over the
+    same query terms (idf-weighted, length-normalized — the ranker
+    ``doc_hybrid_search``'s raw hit count approximates), fused with
+    the shared cosine pool by the identical integer RRF. Everything
+    scale-relevant is inherited: both pools are TakeOrdered-bounded,
+    rank windows run on the 100-row cuts, and the fusion is a
+    full-outer join of two bounded frames — nothing global sorts."""
+    from mapreducewordcount_spark.operators.bm25 import bm25_topk
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bm = bm25_topk(docs, HYBRID_TERMS, k=HYBRID_POOL)
+    bm_rank = bm.select("doc_id", F.col("rank").alias("rank_bm25"))
+    vec_rank = vec_rank_pool(spark, sf_dir)
+
+    fused = (bm_rank.join(vec_rank, "doc_id", "full_outer")
+             .withColumn(
+                 "rrf_micro",
+                 F.coalesce(
+                     F.expr(f"{RRF_SCALE} div ({RRF_K} + rank_bm25)"),
+                     F.lit(0))
+                 + F.coalesce(
+                     F.expr(f"{RRF_SCALE} div ({RRF_K} + rank_vec)"),
+                     F.lit(0)))
+             .orderBy(F.col("rrf_micro").desc(), "doc_id")
+             .limit(HYBRID_TOP))
+    w_out = Window.orderBy(F.col("rrf_micro").desc(), "doc_id")
+    return (fused.withColumn("rank", F.row_number().over(w_out))
+            .select("rank", "doc_id", "rrf_micro", "rank_bm25",
+                    "rank_vec"))
+
+
+def _hybrid_bm25_sql() -> str:
+    from mapreducewordcount_spark.operators.bm25 import bm25_oracle_sql
+    from mapreducewordcount_spark.queries.dedup_queries import _WORDS_CTE
+
+    bm = bm25_oracle_sql(HYBRID_TERMS, _WORDS_CTE, k=HYBRID_POOL)
+    return f"""
+WITH bm AS ({bm}),
+bm_rank AS (SELECT doc_id, rank AS rank_bm25 FROM bm),
+{vec_rank_ctes()},
+fused AS (
+  SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+         coalesce({RRF_SCALE} // ({RRF_K} + b.rank_bm25), 0)
+           + coalesce({RRF_SCALE} // ({RRF_K} + v.rank_vec), 0)
+           AS rrf_micro,
+         b.rank_bm25, v.rank_vec
+  FROM bm_rank b FULL OUTER JOIN vec_rank v ON b.doc_id = v.doc_id
+),
+top AS (SELECT * FROM fused
+        ORDER BY rrf_micro DESC, doc_id LIMIT {HYBRID_TOP})
+SELECT CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS INT)
+         AS rank,
+       doc_id, rrf_micro,
+       CAST(rank_bm25 AS INT) AS rank_bm25,
+       CAST(rank_vec AS INT) AS rank_vec
+FROM top
+"""
+
+
+QUERIES = {
+    "doc_cdc_chunk_dedup": QuerySpec(doc_cdc_chunk_dedup,
+                                     _cdc_chunk_dedup_sql()),
+    "doc_hybrid_bm25": QuerySpec(doc_hybrid_bm25, _hybrid_bm25_sql()),
+}

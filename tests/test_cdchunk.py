@@ -141,6 +141,64 @@ def test_dedup_report_counts_duplicate_mass(spark):
     assert r.total_chars == 2 * len(shared) + 500
 
 
+def test_incremental_report_planted_edit(spark):
+    """The VERDICT r8 next#4 contract: a re-crawled page with one
+    mid-document insertion must re-flag only the chunks the edit
+    touches — boundaries resynchronize, so the bulk of its bytes
+    still probe as dup_of_index (fixed-size chunking would re-flag
+    everything after the edit)."""
+    from mapreducewordcount_spark.operators.cdchunk import (
+        chunk_incremental_report,
+    )
+
+    base = _text(20000)
+    edited = base[:10000] + "INSERTED!" + base[10000:]
+    fresh = _text(3000, seed=99)
+    docs = spark.createDataFrame(
+        [(1, "src0", base),        # the indexed history
+         (2, "srcA", edited),      # re-crawl with one insertion
+         (3, "srcB", fresh)],      # genuinely new content
+        "doc_id long, source string, text string")
+    chunks = cdc_chunk_table(docs)
+    rep = {r.grp: r for r in
+           chunk_incremental_report(chunks, docs, "src0").collect()}
+    assert set(rep) == {"srcA", "srcB"}  # the index source emits no row
+    a = rep["srcA"]
+    # the edit disturbs only nearby chunks: >=80% of the re-crawl's
+    # bytes are recognized as already indexed
+    assert a.dup_index_chars / a.total_chars >= 0.8, a
+    assert a.n_new >= 1                    # the touched chunk(s)
+    assert a.total_chars == len(edited)
+    assert a.n_chunks == (a.n_dup_index + a.n_dup_batch + a.n_new)
+    b = rep["srcB"]
+    assert b.n_dup_index == 0 and b.new_chars == len(fresh), b
+
+
+def test_incremental_report_within_batch_dups(spark):
+    """A chunk hash absent from the index but repeated inside the
+    batch: its FIRST occurrence (by (doc_id, chunk_idx) order) is
+    'new', later ones 'dup_in_batch' — and an indexed hash is
+    dup_of_index in EVERY batch occurrence."""
+    from mapreducewordcount_spark.operators.cdchunk import (
+        chunk_incremental_report,
+    )
+
+    shared = _text(5000, seed=3)
+    docs = spark.createDataFrame(
+        [(1, "src0", _text(4000, seed=4)),
+         (2, "srcA", shared), (3, "srcA", shared)],
+        "doc_id long, source string, text string")
+    chunks = cdc_chunk_table(docs)
+    rep = {r.grp: r for r in
+           chunk_incremental_report(chunks, docs, "src0").collect()}
+    a = rep["srcA"]
+    # doc 2 and doc 3 chunk identically: doc 3's chunks are all
+    # within-batch dups of doc 2's
+    assert a.n_dup_batch >= a.n_new >= 1
+    assert a.dup_batch_chars >= len(shared)
+    assert a.n_dup_index == 0
+
+
 def test_unicode_code_point_offsets(spark):
     """Offsets/lengths are CODE POINTS and md5 is over utf-8 bytes —
     pinned on text mixing 1-, 2-, 3- and 4-byte characters (accents,

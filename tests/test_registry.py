@@ -6,52 +6,53 @@ from __future__ import annotations
 
 from mapreducewordcount_spark.queries import all_queries
 
-R5_COHORT = (
-    "wc_word_count", "wc_word_count_salted",
-    "ann_cosine_topk", "boilerplate_lines", "bpe_pair_stats",
-    "c4_line_dedup", "curate_corpus", "curate_corpus_best",
-    "dataset_split_stats", "decontam_report",
-    "dedup_embedding_pairs", "dedup_exact", "dedup_groups",
-    "dedup_minhash_pairs", "dedup_ngram_pairs",
-    "dedup_prefix_pairs", "dedup_survivors", "dedup_winnow_pairs",
-    "doc_char_entropy", "doc_dup_spans", "doc_ngram_novelty",
-    "doc_quality_features", "doc_winnow_fingerprints",
-    "epoch_shuffle_order", "events_gapfill",
-    "incremental_dedup_report", "knn_label_accuracy",
-    "media_video_frames", "mixture_applied_sample",
-    "pack_curated_corpus", "pack_mixture_corpus",
-    "pii_scrub_stats", "seq_length_histogram",
-    "source_overlap_matrix", "stratified_sample_docs",
-    "training_mixture_plan")
+R6_COHORT = (
+    "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
+    "dedup_simhash_pairs", "semantic_dedup_embeddings",
+    "embedding_cluster_stats", "curriculum_epoch_order",
+    "incremental_neardup_report", "doc_chunks",
+    "media_image_features", "media_audio_features",
+    "media_image_dhash_pairs", "media_audio_fp_pairs",
+    "doc_length_deciles", "doc_repetition_stats",
+    "pack_training_sequences", "doc_lm_quality",
+    "doc_compression_ratio", "doc_keywords_tfidf",
+    "top_bigrams", "content_word_counts",
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_top_orders",
+    "q4_priority_late", "q5_region_revenue", "q6_forecast_revenue",
+    "q7_nation_volume", "q8_market_share",
+    "events_hourly", "events_json_stats", "events_sessions",
+    "events_asof_orders", "events_after_purchase",
+    "events_props_keys",
+    "top_customers", "part_brand_stats", "big_spender_segments",
+    "customers_without_orders", "top_orders_per_customer",
+    "running_revenue", "rollup_revenue", "distinct_stats",
+    "retained_customers", "churned_customers",
+    "bucketed_order_revenue", "wc_bucket_hist",
+    "wc_top20")
 
 
-def test_gate_window_rotation_round8():
+def test_gate_window_rotation_round9():
     names = list(all_queries())
     window = set(names[:50])
-    # VERDICT r7 next#1 / wrong#1: orders_snapshot_diff's first-ever
-    # driver row leads, then the round-8 first-evers and this round's
-    # plan-changed queries
-    assert names[:14] == ["orders_snapshot_diff",
-                          "orders_cdc_e2e", "orders_agg_ivm_minmax",
-                          "doc_length_outliers", "doc_quality_calibrated",
-                          "bigram_collocations", "lineitem_profile",
-                          "events_rate_cusum", "doc_hybrid_search",
-                          "doc_cdc_chunks",
-                          "heavy_hitters_words", "weighted_sample_docs",
-                          "dedup_embedding_pairs_lsh",
-                          "decontam_bloom_report"]
-    # the full 36-query r5-last-green cohort — after r8 every
-    # registry query's last green driver row is >= r6
-    assert names[14:50] == list(R5_COHORT)
-    assert len(names) >= 50 and len(window) == 50
-    # freshly green in r7 → correctly rotated OUT this round
-    for q in ("q9_type_profit", "exact_substring_dedup",
-              "sketch_hll_report", "part_name_fuzzy_pairs",
-              "orders_cdc_merge", "doc_bm25_topk", "orders_agg_ivm",
-              "orders_scd2_history", "supplier_part_pagerank",
-              "dsir_selection", "sketch_stats", "doc_bpe_tokens",
-              "doc_quality", "doc_stats", "cube_revenue",
-              "dedup_simhash_pairs", "ann_lsh_topk"):
+    # VERDICT r8 next#1: the value-changed calibrated query and the
+    # two round-9 first-evers lead, then the 48-query r6-last-green
+    # cohort; wc_top20 holds the 51st slot (the designated spill if
+    # the driver cuts at 50 — it leads r10 with the r7 cohort)
+    assert names[:3] == ["doc_quality_calibrated",
+                         "doc_cdc_chunk_dedup", "doc_hybrid_bm25"]
+    assert names[3:51] == list(R6_COHORT)
+    assert len(names) >= 51 and len(window) == 50
+    # freshly green in r8 → correctly rotated OUT this round
+    for q in ("orders_snapshot_diff", "orders_cdc_e2e",
+              "orders_agg_ivm_minmax", "doc_length_outliers",
+              "bigram_collocations", "lineitem_profile",
+              "events_rate_cusum", "doc_hybrid_search",
+              "doc_cdc_chunks", "heavy_hitters_words",
+              "weighted_sample_docs", "dedup_embedding_pairs_lsh",
+              "decontam_bloom_report", "wc_word_count",
+              "dedup_exact", "training_mixture_plan",
+              # r7 cohort stays queued for r10
+              "q9_type_profit", "doc_bm25_topk", "sketch_stats"):
         assert q not in window, q
 
 
