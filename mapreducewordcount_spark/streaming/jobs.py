@@ -527,9 +527,13 @@ def start_cdc_agg_refresh(changes: DataFrame, *, snapshot_dir: str,
     parity is an assertion, not a hope.
 
     State is the pair (snapshot, view) kept as VERSIONED parquet
-    dirs: the caller seeds ``{snapshot_dir}/v0`` with the initial
-    table; micro-batch ``b`` reads version ``b`` and commits version
-    ``b+1`` of both dirs. Version-addressed writes make redelivery
+    dirs ON THE LOCAL FILESYSTEM (version discovery walks the dir
+    with ``os.listdir`` — a remote object store needs the table-
+    format swap below): the caller MUST seed ``{snapshot_dir}/v0``
+    with the initial table before ``start()`` (an unseeded dir
+    raises immediately, not as an opaque AnalysisException inside
+    the stream — ADVICE r8); micro-batch ``b`` reads version ``b``
+    and commits version ``b+1`` of both dirs. Version-addressed writes make redelivery
     idempotent (a replayed batch rewrites ITS OWN output version and
     re-reads its original input — epoch-based exactly-once at the
     sink), and old versions double as time travel for the diff/SCD2
@@ -551,6 +555,12 @@ def start_cdc_agg_refresh(changes: DataFrame, *, snapshot_dir: str,
 
     spark = changes.sparkSession
     klist = list(keys)
+    if latest_state_version(spark, snapshot_dir) is None:
+        raise ValueError(
+            f"no committed state under {snapshot_dir}: seed "
+            f"{snapshot_dir}/v0 with the initial snapshot before "
+            "start() (note: state dirs are local-filesystem only — "
+            "version discovery uses os.listdir)")
 
     def refresh(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -558,8 +568,9 @@ def start_cdc_agg_refresh(changes: DataFrame, *, snapshot_dir: str,
         latest = latest_state_version(spark, snapshot_dir)
         # normal flow: input version == batch id (seed v0, batch b
         # commits v{b+1}); redelivery re-reads its ORIGINAL input even
-        # though its own output version already exists
-        in_version = batch_id if latest is None else min(batch_id, latest)
+        # though its own output version already exists. The seed check
+        # at start() guarantees latest is not None here.
+        in_version = min(batch_id, latest)
         snap = read_state_version(spark, snapshot_dir, in_version)
         batch = batch_df.localCheckpoint(eager=True)  # cut stream lineage
 

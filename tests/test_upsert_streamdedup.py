@@ -225,6 +225,16 @@ def test_stream_cdc_view_refresh_matches_batch(spark, tmp_path):
                                           F.sum("v").alias("t")).collect()}
 
     assert latest_state_version(spark, view_dir) == 2
+    # unseeded state dir fails FAST at start() with the seed-first
+    # message, not as an AnalysisException inside the stream
+    # (ADVICE r8)
+    import pytest
+
+    with pytest.raises(ValueError, match="seed .*/v0"):
+        start_cdc_agg_refresh(
+            stream, snapshot_dir=str(tmp_path / "never_seeded"),
+            view_dir=view_dir, checkpoint_dir=str(tmp_path / "ckpt2"),
+            keys=["k"], group_col="grp", value_col="v")
     # intermediate version: view after batch 1 only
     assert _view(read_state_version(spark, view_dir, 1)) == _recompute(b1)
     # final: across-batch state carried through the versioned snapshot
