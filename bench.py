@@ -130,6 +130,8 @@ HEADLINE = (
     # any frozen subset (it is not in CORE).
     "doc_cdc_chunk_dedup",
     "doc_hybrid_bm25",
+    "doc_chunk_share_pairs",
+    "hybrid_rank_overlap",
 )
 
 #: FROZEN round-over-round comparison core (VERDICT r7 next#7): the

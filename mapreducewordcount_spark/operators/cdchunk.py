@@ -221,6 +221,57 @@ def chunk_incremental_report(chunks: DataFrame, docs: DataFrame,
                  chars_of("new").alias("new_chars")))
 
 
+def chunk_share_pairs(chunks: DataFrame, *, min_shared: int = 2,
+                      fanout_cap: int = 16) -> DataFrame:
+    """Near-duplicate DOCUMENT pairs detected through the chunk index:
+    two documents sharing >= ``min_shared`` (non-boilerplate) chunks
+    are near-dups — the storage-dedup-informed detector (a chunk
+    store's view of MinHash: shared passages chunk identically, so
+    overlap is observable from 16-byte keys without re-reading any
+    text).
+
+    ``fanout_cap`` is the skew guard, same family as the banded-LSH
+    fanout caps: a chunk hash present in more than ``fanout_cap``
+    documents is BOILERPLATE (headers, license blocks) — it would
+    contribute O(n_docs²) pairs while carrying no near-dup signal, so
+    it is excluded from the pair space AND from the per-doc set sizes
+    (the Jaccard universe is the filtered chunk set, consistently on
+    both sides).
+
+    Scale shape: the only join key is the 16-byte hash; per-hash pair
+    fan-out is bounded by ``fanout_cap²/2``; (doc, hash) dedup and
+    the per-hash frequency are partial-agg groupBys. Returns
+    ``(a_id, b_id, n_shared, shared_chars, jaccard_ppm)`` where
+    ``jaccard_ppm = n_shared·10⁶ div (n_a + n_b − n_shared)``.
+    """
+    dc = chunks.select("doc_id", "chunk_md5", "length").distinct()
+    freq = dc.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).alias("__n_docs"))
+    kept = (dc.join(freq, "chunk_md5")
+            .filter(F.col("__n_docs") <= fanout_cap)
+            .drop("__n_docs"))
+    sizes = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_set"))
+    a = kept.select(F.col("doc_id").alias("a_id"), "chunk_md5",
+                    "length")
+    b = kept.select(F.col("doc_id").alias("b_id"), "chunk_md5")
+    pairs = (a.join(b, "chunk_md5")
+             .filter(F.col("a_id") < F.col("b_id"))
+             .groupBy("a_id", "b_id")
+             .agg(F.count(F.lit(1)).alias("n_shared"),
+                  F.sum("length").cast("long").alias("shared_chars"))
+             .filter(F.col("n_shared") >= min_shared))
+    sa = sizes.select(F.col("doc_id").alias("a_id"),
+                      F.col("n_set").alias("__n_a"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"),
+                      F.col("n_set").alias("__n_b"))
+    return (pairs.join(sa, "a_id").join(sb, "b_id")
+            .select("a_id", "b_id", "n_shared", "shared_chars",
+                    F.expr("CAST(n_shared * 1000000 div "
+                           "(__n_a + __n_b - n_shared) AS BIGINT)")
+                    .alias("jaccard_ppm")))
+
+
 def chunk_dedup_report(chunks: DataFrame, docs: DataFrame,
                        group_col: str = "source",
                        text_col: str = "text") -> DataFrame:

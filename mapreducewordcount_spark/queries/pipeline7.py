@@ -1,5 +1,6 @@
 """Round-9 operators: chunk-level incremental dedup between crawl
-snapshots, and hybrid retrieval with the BM25 lexical leg.
+snapshots, hybrid retrieval with the BM25 lexical leg, chunk-share
+near-dup pairs, and ranker-agreement (truncated RBO) diagnostics.
 
 Oracle notes:
 
@@ -176,8 +177,163 @@ FROM top
 """
 
 
+CHUNK_PAIR_MIN_SHARED = 2
+CHUNK_FANOUT_CAP = 16
+
+
+def doc_chunk_share_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup document pairs through the chunk index
+    (``operators/cdchunk.chunk_share_pairs``): documents sharing >= 2
+    non-boilerplate chunks, with the per-hash fanout cap excluding
+    chunks present in > 16 docs from pair space and Jaccard universe
+    alike. Completes the dedup ladder's storage-level rung — overlap
+    observed from 16-byte keys, no text re-read. The chunk table is
+    the committed ``doc_cdc_chunks`` artifact; the oracle recomputes
+    the cap, the pair join, and the integer Jaccard from it."""
+    from mapreducewordcount_spark.operators.cdchunk import (
+        cdc_chunk_table,
+        chunk_share_pairs,
+    )
+    from mapreducewordcount_spark.sources import sig_artifacts
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = cdc_chunk_table(spread(docs))
+    art = sig_artifacts.materialize_frame(
+        chunks, "doc_cdc_chunks", sig_artifacts.corpus_key(docs),
+        ["doc_id", "chunk_idx"])
+    return chunk_share_pairs(art, min_shared=CHUNK_PAIR_MIN_SHARED,
+                             fanout_cap=CHUNK_FANOUT_CAP)
+
+
+def _chunk_share_pairs_sql() -> str:
+    from mapreducewordcount_spark.sources.sig_artifacts import (
+        DOC_KEY_SQL,
+        frame_cte,
+    )
+
+    return f"""
+WITH {frame_cte('ch', 'doc_cdc_chunks', DOC_KEY_SQL)},
+dc AS (SELECT DISTINCT doc_id, chunk_md5, length FROM ch),
+freq AS (SELECT chunk_md5, count(*) AS n_docs FROM dc GROUP BY 1),
+kept AS (
+  SELECT dc.doc_id, dc.chunk_md5, dc.length
+  FROM dc JOIN freq USING (chunk_md5)
+  WHERE freq.n_docs <= {CHUNK_FANOUT_CAP}
+),
+sizes AS (SELECT doc_id, count(*) AS n_set FROM kept GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         count(*) AS n_shared,
+         CAST(sum(a.length) AS BIGINT) AS shared_chars
+  FROM kept a JOIN kept b
+    ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {CHUNK_PAIR_MIN_SHARED}
+)
+SELECT p.a_id, p.b_id,
+       CAST(p.n_shared AS BIGINT) AS n_shared, p.shared_chars,
+       CAST(p.n_shared * 1000000
+            // (sa.n_set + sb.n_set - p.n_shared) AS BIGINT)
+         AS jaccard_ppm
+FROM pairs p
+JOIN sizes sa ON p.a_id = sa.doc_id
+JOIN sizes sb ON p.b_id = sb.doc_id
+"""
+
+
+RBO_P = 0.9
+RBO_SCALE = 1_000_000_000
+
+#: (1−p)·p^(d−1) for d = 1..HYBRID_POOL, computed ONCE in Python and
+#: injected into both engines as identical repr literals — no libm
+#: pow crosses the engines (the BM25 float-parity recipe).
+RBO_WEIGHTS = tuple((1.0 - RBO_P) * RBO_P ** (d - 1)
+                    for d in range(1, HYBRID_POOL + 1))
+
+
+def hybrid_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranker-agreement diagnostics for the hybrid family: per-depth
+    overlap between the BM25 and cosine top-100 pools, plus the
+    truncated rank-biased-overlap prefix sum (Webber et al. RBO with
+    p = 0.9) — the statistic that tells a curation pipeline whether
+    two rankers are redundant (high RBO → fusing adds little) or
+    complementary. Everything is bounded: two 100-row pools, one
+    inner join, a 100-row depth grid; the non-equi depth join and the
+    single-partition cumulative window run on O(pool²) and O(pool)
+    rows. Integer parity: per-depth RBO terms are quantized to 1e-9
+    units from identical repr-injected weight literals, then
+    integer-summed — order-invariant, engine-portable."""
+    from mapreducewordcount_spark.operators.bm25 import bm25_topk
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bm_rank = (bm25_topk(docs, HYBRID_TERMS, k=HYBRID_POOL)
+               .select("doc_id", F.col("rank").alias("rank_bm25")))
+    vec_rank = vec_rank_pool(spark, sf_dir)
+    both = (bm_rank.join(vec_rank, "doc_id")
+            .select("doc_id",
+                    F.greatest("rank_bm25", "rank_vec").alias("mr")))
+    depths = spark.range(1, HYBRID_POOL + 1).select(
+        F.col("id").alias("depth"))
+    ov = (depths.join(F.broadcast(both),
+                      F.col("mr") <= F.col("depth"), "left")
+          .groupBy("depth")
+          .agg(F.count("doc_id").alias("n_overlap")))
+    wt = spark.createDataFrame(
+        [(d + 1, w) for d, w in enumerate(RBO_WEIGHTS)],
+        "depth long, w double")
+    term = F.round(
+        F.col("w") * (F.col("n_overlap").cast("double")
+                      / F.col("depth").cast("double"))
+        * F.lit(float(RBO_SCALE)), 0).cast("long")
+    w_cum = (Window.orderBy("depth")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    return (ov.join(F.broadcast(wt), "depth")
+            .withColumn("__term", term)
+            .select("depth", "n_overlap",
+                    F.expr("CAST(n_overlap * 1000000 div depth "
+                           "AS BIGINT)").alias("overlap_ppm"),
+                    F.sum("__term").over(w_cum).alias("rbo_units")))
+
+
+def _rank_overlap_sql() -> str:
+    from mapreducewordcount_spark.operators.bm25 import bm25_oracle_sql
+    from mapreducewordcount_spark.queries.dedup_queries import _WORDS_CTE
+
+    bm = bm25_oracle_sql(HYBRID_TERMS, _WORDS_CTE, k=HYBRID_POOL)
+    wt_rows = ", ".join(f"({d + 1}, {w!r})"
+                        for d, w in enumerate(RBO_WEIGHTS))
+    return f"""
+WITH bm AS ({bm}),
+bm_rank AS (SELECT doc_id, rank AS rank_bm25 FROM bm),
+{vec_rank_ctes()},
+both_m AS (
+  SELECT b.doc_id, greatest(b.rank_bm25, v.rank_vec) AS mr
+  FROM bm_rank b JOIN vec_rank v USING (doc_id)
+),
+depths AS (SELECT unnest(range(1, {HYBRID_POOL} + 1)) AS depth),
+ov AS (
+  SELECT d.depth, count(m.doc_id) AS n_overlap
+  FROM depths d LEFT JOIN both_m m ON m.mr <= d.depth
+  GROUP BY 1
+),
+wt(depth, w) AS (VALUES {wt_rows})
+SELECT ov.depth, ov.n_overlap,
+       CAST(ov.n_overlap * 1000000 // ov.depth AS BIGINT)
+         AS overlap_ppm,
+       sum(CAST(round(wt.w * (CAST(ov.n_overlap AS DOUBLE)
+                              / CAST(ov.depth AS DOUBLE))
+                      * {float(RBO_SCALE)!r}) AS BIGINT))
+         OVER (ORDER BY ov.depth ROWS UNBOUNDED PRECEDING)
+         AS rbo_units
+FROM ov JOIN wt ON ov.depth = wt.depth
+"""
+
+
 QUERIES = {
     "doc_cdc_chunk_dedup": QuerySpec(doc_cdc_chunk_dedup,
                                      _cdc_chunk_dedup_sql()),
     "doc_hybrid_bm25": QuerySpec(doc_hybrid_bm25, _hybrid_bm25_sql()),
+    "doc_chunk_share_pairs": QuerySpec(doc_chunk_share_pairs,
+                                       _chunk_share_pairs_sql()),
+    "hybrid_rank_overlap": QuerySpec(hybrid_rank_overlap,
+                                     _rank_overlap_sql()),
 }

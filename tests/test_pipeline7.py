@@ -1,0 +1,96 @@
+"""Round-9 operator coverage beyond the DuckDB gate oracles:
+chunk-share pair semantics (planted passage, boilerplate cap) and
+the truncated-RBO identity against a direct Python replay."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from mapreducewordcount_spark.operators.cdchunk import (
+    cdc_chunk_table,
+    chunk_share_pairs,
+)
+
+
+def _text(n, seed=7):
+    rng = random.Random(seed)
+    return "".join(rng.choice("abcdefgh ") for _ in range(n))
+
+
+def test_chunk_share_pairs_planted_passage(spark):
+    """Two documents sharing a long passage pair up through the chunk
+    index; unrelated documents do not."""
+    shared = _text(8000, seed=1)
+    docs = spark.createDataFrame(
+        [(1, _text(2000, seed=2) + shared),
+         (2, shared + _text(2000, seed=3)),
+         (3, _text(6000, seed=4))],
+        "doc_id long, text string")
+    pairs = {(r.a_id, r.b_id): r for r in
+             chunk_share_pairs(cdc_chunk_table(docs)).collect()}
+    assert (1, 2) in pairs
+    p = pairs[(1, 2)]
+    # the shared passage dominates both docs: most chunks agree
+    assert p.shared_chars >= 0.5 * len(shared), p
+    assert 0 < p.jaccard_ppm <= 1_000_000
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_chunk_share_pairs_boilerplate_cap(spark):
+    """A chunk hash present in more than fanout_cap documents is
+    boilerplate: it must contribute NO pairs (it would otherwise
+    emit O(n_docs²) of them) and not count in the Jaccard universe."""
+    boiler = _text(2000, seed=5)
+    rows = [(i, boiler) for i in range(20)]          # 20 identical docs
+    rows += [(100, _text(3000, seed=6) * 2)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = cdc_chunk_table(docs)
+    got = chunk_share_pairs(chunks, fanout_cap=16).collect()
+    assert got == []  # the 20-doc clique is entirely capped out
+    # with the cap lifted the clique pairs appear (sanity that the
+    # filter, not the data, produced the empty result)
+    lifted = chunk_share_pairs(chunks, fanout_cap=64).collect()
+    assert len(lifted) == 20 * 19 // 2
+
+
+def test_rank_overlap_matches_python_replay(spark):
+    """depth/overlap/RBO columns replayed in Python from the two
+    pools the query itself is built on — exact equality, including
+    the quantized RBO prefix sums."""
+    from mapreducewordcount_spark.operators.bm25 import bm25_topk
+    from mapreducewordcount_spark.queries.pipeline6 import (
+        HYBRID_POOL,
+        HYBRID_TERMS,
+        vec_rank_pool,
+    )
+    from mapreducewordcount_spark.queries.pipeline7 import (
+        RBO_SCALE,
+        RBO_WEIGHTS,
+        hybrid_rank_overlap,
+    )
+    from mapreducewordcount_spark.sources.tables import load_table, spread
+    from tests.conftest import SF_SMOKE
+
+    docs = spread(load_table(spark, SF_SMOKE, "documents"))
+    bm = {r.doc_id: r.rank for r in
+          bm25_topk(docs, HYBRID_TERMS, k=HYBRID_POOL).collect()}
+    vec = {r.doc_id: r.rank_vec for r in
+           vec_rank_pool(spark, SF_SMOKE).collect()}
+    mr = [max(bm[d], vec[d]) for d in set(bm) & set(vec)]
+
+    got = {r.depth: r for r in
+           hybrid_rank_overlap(spark, SF_SMOKE).collect()}
+    assert set(got) == set(range(1, HYBRID_POOL + 1))
+    rbo = 0
+    for d in range(1, HYBRID_POOL + 1):
+        n = sum(1 for m in mr if m <= d)
+        rbo += int(round(RBO_WEIGHTS[d - 1] * (n / d) * RBO_SCALE))
+        r = got[d]
+        assert (r.n_overlap, r.overlap_ppm, r.rbo_units) == \
+            (n, n * 1_000_000 // d, rbo), d
+        assert r.n_overlap <= d
+        if d > 1:
+            assert r.n_overlap >= got[d - 1].n_overlap
+    assert got[HYBRID_POOL].rbo_units <= RBO_SCALE
