@@ -178,13 +178,31 @@ def _env_fingerprint() -> dict:
     try:
         with open("/proc/stat") as f:
             first = f.readline().split()
-        # aggregate jiffies since boot: (busy, total) — two snapshots
-        # give machine-wide utilization over the bench window
+        # aggregate jiffies since boot: (busy, total, steal) — two
+        # snapshots give machine-wide utilization AND hypervisor
+        # steal share over the bench window (steal is the smoking gun
+        # for host-level contention a guest can't otherwise see)
         vals = [int(x) for x in first[1:]]
         fp["cpu_jiffies"] = {"busy": sum(vals) - vals[3] - vals[4],
-                             "total": sum(vals)}
+                             "total": sum(vals),
+                             "steal": vals[7] if len(vals) > 7 else 0}
     except Exception:  # noqa: BLE001
         fp["cpu_jiffies"] = None
+    # deterministic single-core calibration: the same fixed pure-
+    # Python loop every round (min-of-3) — two reports whose scores
+    # differ materially ran on effectively different machines, and
+    # their wall-clock totals must not be compared raw
+    try:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            s = 0
+            for i in range(2_000_000):
+                s += i * i
+            best = min(best, time.perf_counter() - t0)
+        fp["cpu_score_ms"] = round(best * 1000, 1)
+    except Exception:  # noqa: BLE001
+        fp["cpu_score_ms"] = None
     return fp
 
 
@@ -260,12 +278,16 @@ def _session_env(report: dict) -> dict:
     machine-wide CPU utilization across its window from the two
     /proc/stat jiffy snapshots."""
     start, end = report.get("env_start"), report.get("env_end")
-    out = {"start": start, "end": end, "cpu_util_pct": None}
+    out = {"start": start, "end": end, "cpu_util_pct": None,
+           "steal_pct": None}
     try:
         db = end["cpu_jiffies"]["busy"] - start["cpu_jiffies"]["busy"]
         dt = end["cpu_jiffies"]["total"] - start["cpu_jiffies"]["total"]
+        ds = (end["cpu_jiffies"].get("steal", 0)
+              - start["cpu_jiffies"].get("steal", 0))
         if dt > 0:
             out["cpu_util_pct"] = round(100.0 * db / dt, 1)
+            out["steal_pct"] = round(100.0 * ds / dt, 2)
     except (KeyError, TypeError):
         pass
     return out
