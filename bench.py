@@ -132,6 +132,7 @@ HEADLINE = (
     "doc_hybrid_bm25",
     "doc_chunk_share_pairs",
     "hybrid_rank_overlap",
+    "doc_chunk_gc_report",
 )
 
 #: FROZEN round-over-round comparison core (VERDICT r7 next#7): the

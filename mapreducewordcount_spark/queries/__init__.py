@@ -141,6 +141,7 @@ def all_queries() -> dict[str, QuerySpec]:
         # 50/51-slot window by construction — the orders_snapshot_diff
         # precedent): they LEAD the r10 window with the r7 cohort
         "doc_chunk_share_pairs", "hybrid_rank_overlap",
+        "doc_chunk_gc_report",
     )
     out = {n: full[n] for n in gate_first}
     out.update(full)  # remainder keeps its original relative order

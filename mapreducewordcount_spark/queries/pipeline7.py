@@ -1,6 +1,7 @@
 """Round-9 operators: chunk-level incremental dedup between crawl
 snapshots, hybrid retrieval with the BM25 lexical leg, chunk-share
-near-dup pairs, and ranker-agreement (truncated RBO) diagnostics.
+near-dup pairs, ranker-agreement (truncated RBO) diagnostics, and
+chunk-store GC planning.
 
 Oracle notes:
 
@@ -240,6 +241,85 @@ JOIN sizes sb ON p.b_id = sb.doc_id
 """
 
 
+def doc_chunk_gc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-store garbage collection planning — the lifecycle leg of
+    the chunk family: when documents are deleted (the registry's CDC
+    delete convention, ``doc_id % 13 = 0``), a stored chunk becomes
+    reclaimable only when NO live document references it. Each unique
+    chunk is attributed to the source of the document that first
+    introduced it (min (doc_id, chunk_idx) — the stored copy's
+    owner); the report gives per-owner-source stored/reclaimable
+    accounting, i.e. how much of each source's contribution to the
+    store a purge would actually free.
+
+    Scale shape: reference counting is one groupBy over 16-byte
+    hashes (live refs counted with a filtered aggregate — partial-agg
+    friendly); the owner doc_id is recovered ARITHMETICALLY from the
+    packed min rank (``rk div 1e6``), so ownership costs no extra
+    join against the chunk table; the only row-proportional join is
+    the broadcast-sized docs(doc_id → source) projection."""
+    from mapreducewordcount_spark.operators.cdchunk import (
+        cdc_chunk_table,
+    )
+    from mapreducewordcount_spark.sources import sig_artifacts
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = cdc_chunk_table(spread(docs))
+    art = sig_artifacts.materialize_frame(
+        chunks, "doc_cdc_chunks", sig_artifacts.corpus_key(docs),
+        ["doc_id", "chunk_idx"])
+    live = (F.col("doc_id") % 13 != 0).cast("long")
+    rk = F.col("doc_id") * F.lit(1_000_000) + F.col("chunk_idx")
+    per_hash = (art
+                .select("chunk_md5", "length", live.alias("__live"),
+                        rk.alias("__rk"))
+                .groupBy("chunk_md5")
+                .agg(F.min("length").alias("len"),
+                     F.sum("__live").alias("n_live_refs"),
+                     F.min("__rk").alias("__min_rk")))
+    owner = per_hash.withColumn(
+        "doc_id", F.expr("CAST(__min_rk div 1000000 AS BIGINT)"))
+    j = owner.join(docs.select("doc_id", "source"), "doc_id")
+    reclaim = (F.col("n_live_refs") == 0).cast("long")
+    return (j.groupBy(F.col("source").alias("owner_source"))
+            .agg(F.count(F.lit(1)).alias("n_chunks_owned"),
+                 F.sum("len").cast("long").alias("owned_chars"),
+                 F.sum(reclaim).alias("n_reclaimable"),
+                 F.sum(reclaim * F.col("len")).cast("long")
+                 .alias("reclaimable_chars")))
+
+
+def _chunk_gc_sql() -> str:
+    from mapreducewordcount_spark.sources.sig_artifacts import (
+        DOC_KEY_SQL,
+        frame_cte,
+    )
+
+    return f"""
+WITH {frame_cte('ch', 'doc_cdc_chunks', DOC_KEY_SQL)},
+per_hash AS (
+  SELECT chunk_md5, min(length) AS len,
+         sum(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END)
+           AS n_live_refs,
+         min(doc_id * 1000000 + chunk_idx) AS min_rk
+  FROM ch GROUP BY 1
+),
+owned AS (
+  SELECT p.*, d.source AS owner_source
+  FROM per_hash p
+  JOIN documents d ON d.doc_id = p.min_rk // 1000000
+)
+SELECT owner_source,
+       CAST(count(*) AS BIGINT) AS n_chunks_owned,
+       CAST(sum(len) AS BIGINT) AS owned_chars,
+       CAST(sum(CASE WHEN n_live_refs = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_reclaimable,
+       CAST(sum(CASE WHEN n_live_refs = 0 THEN len ELSE 0 END)
+            AS BIGINT) AS reclaimable_chars
+FROM owned GROUP BY 1
+"""
+
+
 RBO_P = 0.9
 RBO_SCALE = 1_000_000_000
 
@@ -336,4 +416,6 @@ QUERIES = {
                                        _chunk_share_pairs_sql()),
     "hybrid_rank_overlap": QuerySpec(hybrid_rank_overlap,
                                      _rank_overlap_sql()),
+    "doc_chunk_gc_report": QuerySpec(doc_chunk_gc_report,
+                                     _chunk_gc_sql()),
 }

@@ -55,6 +55,45 @@ def test_chunk_share_pairs_boilerplate_cap(spark):
     assert len(lifted) == 20 * 19 // 2
 
 
+def test_chunk_gc_report_matches_python_replay(spark):
+    """Reference-count GC accounting replayed in Python from the same
+    chunk table: a chunk is reclaimable iff NO live (doc_id %% 13 != 0)
+    document references it, and it is owned by the source of its
+    first-referencing (doc_id, chunk_idx)."""
+    from mapreducewordcount_spark.queries.pipeline7 import (
+        doc_chunk_gc_report,
+    )
+    from mapreducewordcount_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = {r.doc_id: r.source for r in
+           docs.select("doc_id", "source").collect()}
+    chunks = cdc_chunk_table(docs.select("doc_id", "text")).collect()
+    by_hash: dict = {}
+    for c in chunks:
+        h = by_hash.setdefault(c.chunk_md5,
+                               {"len": c.length, "live": 0, "rk": None})
+        rk = c.doc_id * 1_000_000 + c.chunk_idx
+        h["rk"] = rk if h["rk"] is None else min(h["rk"], rk)
+        h["live"] += int(c.doc_id % 13 != 0)
+    exp: dict = {}
+    for h in by_hash.values():
+        s = src[h["rk"] // 1_000_000]
+        e = exp.setdefault(s, [0, 0, 0, 0])
+        e[0] += 1
+        e[1] += h["len"]
+        if h["live"] == 0:
+            e[2] += 1
+            e[3] += h["len"]
+    got = {r.owner_source: (r.n_chunks_owned, r.owned_chars,
+                            r.n_reclaimable, r.reclaimable_chars)
+           for r in doc_chunk_gc_report(spark, SF_SMOKE).collect()}
+    assert got == {s: tuple(v) for s, v in exp.items()}
+    # the deletion rule really bites at this sf (non-degenerate test)
+    assert sum(v[2] for v in exp.values()) > 0
+
+
 def test_rank_overlap_matches_python_replay(spark):
     """depth/overlap/RBO columns replayed in Python from the two
     pools the query itself is built on — exact equality, including
