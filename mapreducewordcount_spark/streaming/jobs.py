@@ -587,3 +587,88 @@ def start_cdc_agg_refresh(changes: DataFrame, *, snapshot_dir: str,
     return (changes.writeStream.outputMode("append")
             .option("checkpointLocation", checkpoint_dir)
             .foreachBatch(refresh).start())
+
+
+def start_chunk_index_maintenance(docs: DataFrame, *, index_dir: str,
+                                  report_dir: str, checkpoint_dir: str,
+                                  id_col: str = "doc_id",
+                                  source_col: str = "source",
+                                  text_col: str = "text"):
+    """Streaming twin of the round-9 chunk family: as document
+    micro-batches arrive, chunk them (``operators/cdchunk``), probe
+    the chunk hashes against the maintained index, append a per-batch
+    per-source new/dup report, and commit the grown index — the
+    continuous-crawl shape where each re-crawled page pays storage
+    only for the chunks it actually changed.
+
+    State discipline is identical to :func:`start_cdc_agg_refresh`:
+    the index is a VERSIONED parquet dir on the LOCAL filesystem,
+    seeded at ``{index_dir}/v0`` (an empty frame with schema
+    ``chunk_md5 string, length int`` is a legitimate seed — but it
+    must exist, and an unseeded dir raises before ``start()``);
+    micro-batch ``b`` reads ``min(b, latest)`` and writes ``v{b+1}``
+    of the index plus ``v{b+1}`` of the report, so redelivery
+    rewrites its own output version idempotently.
+
+    Per batch the index is touched ONLY through the hash anti-join
+    (16-byte keys); chunk bodies never shuffle; the report is one
+    grouped aggregate over the batch. The full-index rewrite per
+    version is plain-parquet state's honest cost (a table format
+    makes it an append + metadata commit).
+
+    Returns the started StreamingQuery (caller stops it).
+    """
+    from mapreducewordcount_spark.operators.cdchunk import (
+        cdc_chunk_table,
+    )
+
+    spark = docs.sparkSession
+    if latest_state_version(spark, index_dir) is None:
+        raise ValueError(
+            f"no committed state under {index_dir}: seed "
+            f"{index_dir}/v0 (an empty chunk_md5/length frame is "
+            "fine) before start(); state dirs are local-filesystem "
+            "only")
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        latest = latest_state_version(spark, index_dir)
+        in_version = min(batch_id, latest)
+        index = read_state_version(spark, index_dir, in_version) \
+            .select("chunk_md5", "length")
+        batch = batch_df.localCheckpoint(eager=True)
+
+        chunks = cdc_chunk_table(batch, id_col=id_col,
+                                 text_col=text_col)
+        with_src = chunks.join(
+            batch.select(F.col(id_col).alias("doc_id"), source_col),
+            "doc_id")
+        probed = with_src.join(
+            index.select("chunk_md5").withColumn("__idx", F.lit(1))
+                 .distinct(),
+            "chunk_md5", "left")
+        report = (probed.groupBy(source_col)
+                  .agg(F.count(F.lit(1)).alias("n_chunks"),
+                       F.sum("length").cast("long").alias("total_chars"),
+                       F.sum(F.when(F.col("__idx").isNotNull(),
+                                    F.lit(1)).otherwise(F.lit(0)))
+                       .cast("long").alias("n_dup_index"),
+                       F.sum(F.when(F.col("__idx").isNotNull(),
+                                    F.col("length")).otherwise(F.lit(0)))
+                       .cast("long").alias("dup_index_chars"))
+                  .withColumn("batch_id", F.lit(batch_id).cast("long")))
+        report.write.mode("overwrite").parquet(
+            f"{report_dir}/v{batch_id + 1}")
+
+        fresh = (probed.filter(F.col("__idx").isNull())
+                 .groupBy("chunk_md5")
+                 .agg(F.min("length").alias("length")))
+        new_index = index.unionByName(
+            fresh.select("chunk_md5", "length")).distinct()
+        new_index.write.mode("overwrite").parquet(
+            f"{index_dir}/v{batch_id + 1}")
+
+    return (docs.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(refresh).start())

@@ -241,3 +241,82 @@ def test_stream_cdc_view_refresh_matches_batch(spark, tmp_path):
     assert _view(read_state_version(spark, view_dir)) == _recompute(b1, b2)
     # group moves/extinction audit: 'c' survives with only the insert
     assert _view(read_state_version(spark, view_dir))["c"] == (1, 900)
+
+
+def test_stream_chunk_index_maintenance_matches_batch(spark, tmp_path):
+    """Streaming chunk-index twin (round 9): micro-batches chunk,
+    probe, report, and grow the versioned index; the final index must
+    equal the batch chunker's distinct hash set over all documents,
+    and a re-crawled duplicate must show up as index dups in ITS
+    batch's report."""
+    import json
+    import random
+
+    from mapreducewordcount_spark.operators.cdchunk import (
+        cdc_chunk_table,
+    )
+    from mapreducewordcount_spark.streaming.jobs import (
+        latest_state_version,
+        read_state_version,
+        start_chunk_index_maintenance,
+    )
+
+    def _text(n, seed):
+        rng = random.Random(seed)
+        return "".join(rng.choice("abcdefgh ") for _ in range(n))
+
+    text_a, text_b = _text(6000, 1), _text(4000, 2)
+    idx_dir = str(tmp_path / "chunk_index")
+    rep_dir = str(tmp_path / "chunk_reports")
+    # seed: the empty index
+    spark.createDataFrame([], "chunk_md5 string, length int") \
+        .write.parquet(f"{idx_dir}/v0")
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("text", T.StringType())])
+    (src / "b1.json").write_text(json.dumps(
+        {"doc_id": 1, "source": "crawl1", "text": text_a}))
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = start_chunk_index_maintenance(
+        stream, index_dir=idx_dir, report_dir=rep_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        (src / "b2.json").write_text("\n".join([
+            json.dumps({"doc_id": 2, "source": "recrawl",
+                        "text": text_a}),      # exact re-crawl
+            json.dumps({"doc_id": 3, "source": "crawl2",
+                        "text": text_b})]))    # new content
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert latest_state_version(spark, idx_dir) == 2
+    all_docs = spark.createDataFrame(
+        [(1, text_a), (2, text_a), (3, text_b)],
+        "doc_id long, text string")
+    expected = {(r.chunk_md5, r.length) for r in
+                cdc_chunk_table(all_docs)
+                .select("chunk_md5", "length").distinct().collect()}
+    final = {(r.chunk_md5, r.length) for r in
+             read_state_version(spark, idx_dir).collect()}
+    assert final == expected
+
+    rep2 = {r.source: r for r in
+            read_state_version(spark, rep_dir, 2).collect()}
+    # the exact re-crawl is ALL index dups; the new doc all new
+    assert rep2["recrawl"].n_dup_index == rep2["recrawl"].n_chunks
+    assert rep2["recrawl"].dup_index_chars == len(text_a)
+    assert rep2["crawl2"].n_dup_index == 0
+    # unseeded index dir fails fast before start()
+    import pytest
+
+    with pytest.raises(ValueError, match="seed .*/v0"):
+        start_chunk_index_maintenance(
+            stream, index_dir=str(tmp_path / "nope"),
+            report_dir=rep_dir, checkpoint_dir=str(tmp_path / "c2"))
