@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Cross-round bench comparison that APPLIES the fingerprint rule
+(BASELINE.md round 9): wall-clock totals from two reports are only
+comparable when their machines were comparable, so this tool reads
+two bench JSONs (raw ``bench.py`` output, or a driver ``BENCH_r*.json``
+wrapper with the report under ``parsed``), checks their
+``cpu_score_ms`` calibration constants, and prints per-query ratios
+over the shared set plus the score-normalized core ratio.
+
+Usage: python tools/compare_bench.py OLD.json NEW.json [top_n]
+
+Reading the output:
+- ``cpu_score ratio`` far from 1.0 → different machine states; trust
+  the normalized numbers and per-query RATIO SHAPE (uniform ≈ machine,
+  mixed ≈ plan changes), not raw totals.
+- pre-round-9 reports carry no fingerprint → the tool says so and
+  prints raw ratios only.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+
+
+def load(path: str) -> dict:
+    with open(path) as f:
+        d = json.load(f)
+    return d.get("parsed", d)  # driver wrapper or raw report
+
+
+def score_of(rep: dict) -> float | None:
+    """Median cpu_score_ms across every fingerprint in the report."""
+    scores = []
+    for e in rep.get("env", []):
+        for side in ("start", "end"):
+            s = (e.get(side) or {}).get("cpu_score_ms")
+            if s:
+                scores.append(s)
+    for side in ("env_start", "env_end"):  # single-session report
+        s = (rep.get(side) or {}).get("cpu_score_ms")
+        if s:
+            scores.append(s)
+    return statistics.median(scores) if scores else None
+
+
+def main() -> None:
+    if len(sys.argv) < 3:
+        raise SystemExit(__doc__)
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+
+    s_old, s_new = score_of(old), score_of(new)
+    if s_old and s_new:
+        cal = s_new / s_old
+        print(f"cpu_score_ms: old {s_old} new {s_new} "
+              f"(ratio {cal:.3f} — single-core speed factor)")
+    else:
+        cal = None
+        missing = [n for n, s in (("old", s_old), ("new", s_new))
+                   if not s]
+        print(f"no fingerprint in: {', '.join(missing)} "
+              "(pre-round-9 report) — raw ratios only")
+
+    shared = sorted(q for q, v in old.get("queries", {}).items()
+                    if v and new.get("queries", {}).get(q))
+    if not shared:
+        raise SystemExit("no shared queries between the reports")
+    ratios = {q: new["queries"][q] / old["queries"][q] for q in shared}
+    med = statistics.median(ratios.values())
+    spread_lo = sorted(ratios.items(), key=lambda kv: kv[1])[:top_n]
+    spread_hi = sorted(ratios.items(), key=lambda kv: kv[1])[-top_n:]
+    print(f"shared queries: {len(shared)}; median ratio new/old "
+          f"{med:.3f}" + (f" (score-normalized {med / cal:.3f})"
+                          if cal else ""))
+    print("uniform-ratio test: a machine-state shift moves every "
+          "query together; plan changes move specific queries.")
+    print(f"  lowest {top_n}: " + ", ".join(
+        f"{q} {r:.2f}" for q, r in spread_lo))
+    print(f"  highest {top_n}: " + ", ".join(
+        f"{q} {r:.2f}" for q, r in spread_hi))
+
+    for key in ("core_total", "value"):
+        a, b = old.get(key), new.get(key)
+        if a and b:
+            line = f"{key}: old {a} new {b} (ratio {b / a:.3f}"
+            if cal:
+                line += f", score-normalized {b / a / cal:.3f}"
+            print(line + ")")
+
+
+if __name__ == "__main__":
+    main()
