@@ -3,6 +3,10 @@ snapshots, hybrid retrieval with the BM25 lexical leg, chunk-share
 near-dup pairs, ranker-agreement (truncated RBO) diagnostics, and
 chunk-store GC planning.
 
+Reference parity: none — all five are extension surface (SURVEY.md
+§2.5); the reference engine (549 LoC, /root/reference/src) has no
+retrieval, chunking, or storage-lifecycle operators.
+
 Oracle notes:
 
 - ``doc_cdc_chunk_dedup`` — reuses the committed ``doc_cdc_chunks``
