@@ -403,11 +403,11 @@ wt(depth, w) AS (VALUES {wt_rows})
 SELECT ov.depth, ov.n_overlap,
        CAST(ov.n_overlap * 1000000 // ov.depth AS BIGINT)
          AS overlap_ppm,
-       sum(CAST(round(wt.w * (CAST(ov.n_overlap AS DOUBLE)
-                              / CAST(ov.depth AS DOUBLE))
-                      * {float(RBO_SCALE)!r}) AS BIGINT))
-         OVER (ORDER BY ov.depth ROWS UNBOUNDED PRECEDING)
-         AS rbo_units
+       CAST(sum(CAST(round(wt.w * (CAST(ov.n_overlap AS DOUBLE)
+                                   / CAST(ov.depth AS DOUBLE))
+                           * {float(RBO_SCALE)!r}) AS BIGINT))
+            OVER (ORDER BY ov.depth ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS rbo_units
 FROM ov JOIN wt ON ov.depth = wt.depth
 """
 
