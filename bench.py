@@ -133,6 +133,7 @@ HEADLINE = (
     "doc_chunk_share_pairs",
     "hybrid_rank_overlap",
     "doc_chunk_gc_report",
+    "semantic_decontam_report",
 )
 
 #: FROZEN round-over-round comparison core (VERDICT r7 next#7): the

@@ -137,11 +137,11 @@ def all_queries() -> dict[str, QuerySpec]:
         "retained_customers", "churned_customers",
         "bucketed_order_revenue", "wc_bucket_hist",
         "wc_top20",
-        # --- late round-9 first-evers at positions 52-53 (outside a
+        # --- late round-9 first-evers at positions 52-55 (outside a
         # 50/51-slot window by construction — the orders_snapshot_diff
         # precedent): they LEAD the r10 window with the r7 cohort
         "doc_chunk_share_pairs", "hybrid_rank_overlap",
-        "doc_chunk_gc_report",
+        "doc_chunk_gc_report", "semantic_decontam_report",
     )
     out = {n: full[n] for n in gate_first}
     out.update(full)  # remainder keeps its original relative order

@@ -1,9 +1,10 @@
 """Round-9 operators: chunk-level incremental dedup between crawl
 snapshots, hybrid retrieval with the BM25 lexical leg, chunk-share
-near-dup pairs, ranker-agreement (truncated RBO) diagnostics, and
-chunk-store GC planning.
+near-dup pairs, ranker-agreement (truncated RBO) diagnostics,
+chunk-store GC planning, and embedding-level (semantic) eval-set
+decontamination.
 
-Reference parity: none — all five are extension surface (SURVEY.md
+Reference parity: none — all six are extension surface (SURVEY.md
 §2.5); the reference engine (549 LoC, /root/reference/src) has no
 retrieval, chunking, or storage-lifecycle operators.
 
@@ -324,6 +325,89 @@ FROM owned GROUP BY 1
 """
 
 
+#: semantic decontamination threshold on max cosine-to-eval —
+#: injected into both engines via repr; the compare runs on the
+#: FULL-precision max (rounding is display-only), so a boundary value
+#: cannot flip between engines.
+SEMANTIC_DECONTAM_TAU = 0.35
+
+
+def semantic_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level eval-set decontamination — the semantic member
+    of the decontam family (exact n-gram `decontam_report`, Bloom
+    `decontam_bloom_report`, cross-source `source_overlap_matrix`):
+    paraphrased eval leakage shares no n-grams but sits close in
+    embedding space, so each candidate document is scored by its MAX
+    cosine to ANY eval vector and flagged above ``tau``. Eval set =
+    ``src0``'s embeddings (the registry's index-source convention);
+    candidates = every other source's.
+
+    Scale shape: eval sets are SMALL by nature (benchmarks), so the
+    eval side broadcasts and the scan stays map-side; the per-pair
+    cosine is the JVM sequential fold (bit-exact vs DuckDB — the ANN
+    oracle's proven recipe), and ``max`` + the threshold compare are
+    order-invariant at full precision (round(·, 6) is display-only).
+    The groupBy(doc) max is partial-aggregating: one row per doc
+    leaves each task regardless of |eval|."""
+    from mapreducewordcount_spark.functions.vectors import dot, norm
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_src = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id"), "source"),
+        "vec_id")
+    ev = (with_src.filter(F.col("source") == INDEX_SOURCE)
+          .select(F.col("embedding").alias("ev_vec")))
+    batch = with_src.filter(F.col("source") != INDEX_SOURCE)
+    cos = F.when((norm("ev_vec") > 0) & (norm("embedding") > 0),
+                 dot("ev_vec", "embedding")
+                 / (norm("ev_vec") * norm("embedding"))) \
+        .otherwise(F.lit(0.0))
+    mc = (batch.crossJoin(F.broadcast(ev))   # |eval|-row frame
+          .select(F.col("vec_id").alias("doc_id"), "source",
+                  cos.alias("__cos"))
+          .groupBy("doc_id", "source")
+          .agg(F.max("__cos").alias("__mc")))
+    return (mc.select("doc_id", "source",
+                      F.round("__mc", 6).alias("max_eval_cos"),
+                      F.when(F.col("__mc") > SEMANTIC_DECONTAM_TAU,
+                             "contaminated").otherwise("clean")
+                      .alias("status")))
+
+
+SEMANTIC_DECONTAM_SQL = f"""
+WITH ev AS (
+  SELECT e.embedding AS ev_vec FROM embeddings e
+  JOIN documents d ON e.vec_id = d.doc_id
+  WHERE d.source = '{INDEX_SOURCE}'
+),
+b AS (
+  SELECT e.vec_id AS doc_id, d.source, e.embedding
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  WHERE d.source <> '{INDEX_SOURCE}'
+),
+mc AS (
+  SELECT b.doc_id, b.source,
+         max(CASE WHEN sqrt(list_dot_product(ev.ev_vec::DOUBLE[],
+                                             ev.ev_vec::DOUBLE[])) > 0
+                   AND sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[])) > 0
+             THEN list_dot_product(ev.ev_vec::DOUBLE[],
+                                   b.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(ev.ev_vec::DOUBLE[],
+                                           ev.ev_vec::DOUBLE[]))
+                     * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[])))
+             ELSE 0.0 END) AS mc
+  FROM b, ev GROUP BY 1, 2
+)
+SELECT doc_id, source, round(mc, 6) AS max_eval_cos,
+       CASE WHEN mc > {SEMANTIC_DECONTAM_TAU!r} THEN 'contaminated'
+            ELSE 'clean' END AS status
+FROM mc
+"""
+
+
 RBO_P = 0.9
 RBO_SCALE = 1_000_000_000
 
@@ -422,4 +506,6 @@ QUERIES = {
                                      _rank_overlap_sql()),
     "doc_chunk_gc_report": QuerySpec(doc_chunk_gc_report,
                                      _chunk_gc_sql()),
+    "semantic_decontam_report": QuerySpec(semantic_decontam_report,
+                                          SEMANTIC_DECONTAM_SQL),
 }

@@ -94,6 +94,53 @@ def test_chunk_gc_report_matches_python_replay(spark):
     assert sum(v[2] for v in exp.values()) > 0
 
 
+def test_semantic_decontam_matches_sequential_fold_replay(spark):
+    """Max-cosine-to-eval replayed in pure Python with the engines'
+    exact left-to-right fold (numpy pairwise summation would NOT
+    reproduce the doubles): per-doc max, 6dp rounding, and the
+    full-precision threshold compare must all agree."""
+    from mapreducewordcount_spark.queries.pipeline7 import (
+        SEMANTIC_DECONTAM_TAU,
+        semantic_decontam_report,
+    )
+    from mapreducewordcount_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    src = {r.doc_id: r.source for r in docs.collect()}
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)   # sequential fold
+        return acc
+
+    import math
+
+    def cos(a, b):
+        na, nb = math.sqrt(dot(a, a)), math.sqrt(dot(b, b))
+        return dot(a, b) / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    ev = [v for i, v in vecs.items() if src.get(i) == "src0"]
+    got = {r.doc_id: r for r in
+           semantic_decontam_report(spark, SF_SMOKE).collect()}
+    n_contaminated = 0
+    for i, v in vecs.items():
+        if src.get(i) in (None, "src0"):
+            assert i not in got
+            continue
+        mc = max(cos(e, v) for e in ev)
+        r = got[i]
+        assert r.max_eval_cos == round(mc, 6), (i, mc, r.max_eval_cos)
+        want = "contaminated" if mc > SEMANTIC_DECONTAM_TAU else "clean"
+        assert r.status == want, (i, mc)
+        n_contaminated += want == "contaminated"
+    assert len(got) == sum(1 for i in vecs if src.get(i) not in
+                           (None, "src0"))
+
+
 def test_rank_overlap_matches_python_replay(spark):
     """depth/overlap/RBO columns replayed in Python from the two
     pools the query itself is built on — exact equality, including
