@@ -112,6 +112,12 @@ def embeddings_corpus_key(emb: DataFrame,
     return int(row.n), int(row.s or 0)
 
 
+#: (query_name, key) families whose artifact THIS process already
+#: verified or wrote — see ``materialize_frame``. The artifact-
+#: freshness test clears this set so its recompute stays genuine.
+_SESSION_VERIFIED: set = set()
+
+
 def materialize_frame(df: DataFrame, query_name: str,
                       key: tuple[int, int],
                       sort_cols: list[str]) -> DataFrame:
@@ -126,12 +132,27 @@ def materialize_frame(df: DataFrame, query_name: str,
     centroid tables): the DuckDB oracle recomputes everything
     DOWNSTREAM of the artifact in SQL, while the artifact content
     itself stays pytest-pinned.
+
+    Session memoization (round 9): the FIRST call per (query_name,
+    key) in a process verifies/writes as always (full model recompute
+    + content compare); later calls return the committed bytes
+    directly — the chunk family alone has four gate queries sharing
+    one artifact, and each redundant verify costs ~1.8 s at sf0.1
+    (2.0 s vs 0.24 s plain read, measured). Sound because every
+    caller of a family builds the identical model table by contract
+    (pinned by the freshness test, which clears
+    ``_SESSION_VERIFIED`` so its own recompute stays genuine).
     """
     n, s = key
     path = ARTIFACT_ROOT / query_name / f"k={n}_{s}"
+    target_path = path / "data.parquet"
+    if (query_name, key) in _SESSION_VERIFIED and target_path.exists():
+        return (df.sparkSession.read.parquet(str(target_path))
+                .drop("k_rows", "k_sum"))
     out = (df.withColumn("k_rows", F.lit(n).cast("long"))
            .withColumn("k_sum", F.lit(s).cast("long")))
     target = _write_artifact(out, path, "data.parquet", sort_cols)
+    _SESSION_VERIFIED.add((query_name, key))
     return (df.sparkSession.read.parquet(str(target))
             .drop("k_rows", "k_sum"))
 

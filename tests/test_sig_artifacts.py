@@ -131,6 +131,11 @@ def test_committed_artifacts_match_fresh_recompute(spark):
     assert no committed byte moved — including files for the other
     corpora, which these runs must not touch."""
     from mapreducewordcount_spark.queries import all_queries
+    from mapreducewordcount_spark.sources import sig_artifacts
+
+    # a prior test in this session may have verified a family already
+    # — clear the session memo so THIS recompute is genuine
+    sig_artifacts._SESSION_VERIFIED.clear()
 
     before = _artifact_digests()
     expected_dirs = {f for fams in ARTIFACT_QUERIES.values()
@@ -189,3 +194,42 @@ def test_artifact_query_paths_match_one_shot_operators(spark):
     via_artifact = {tuple(r) for r in ann_pq_topk(spark, SF_ORACLE).collect()}
     direct = {tuple(r) for r in pq_topk(emb, queries, k=5).collect()}
     assert via_artifact == direct
+
+
+def test_materialize_frame_session_memo(spark, monkeypatch):
+    """Second materialize_frame call for the same (name, key) in one
+    session skips the verify/write path entirely (the chunk family's
+    four gate queries share one artifact; each redundant verify costs
+    ~1.8s at sf0.1) — while a different key still verifies."""
+    import shutil
+
+    from mapreducewordcount_spark.sources import sig_artifacts
+
+    calls = []
+    real = sig_artifacts._write_artifact
+
+    def counting(out, path, filename, sort_cols):
+        calls.append(str(path))
+        return real(out, path, filename, sort_cols)
+
+    monkeypatch.setattr(sig_artifacts, "_write_artifact", counting)
+    df = spark.createDataFrame([(1, "a"), (2, "b")],
+                               "doc_id long, v string")
+    try:
+        sig_artifacts._SESSION_VERIFIED.discard(("test_memo", (2, 9)))
+        sig_artifacts._SESSION_VERIFIED.discard(("test_memo", (2, 10)))
+        a = sig_artifacts.materialize_frame(df, "test_memo", (2, 9),
+                                            ["doc_id"])
+        b = sig_artifacts.materialize_frame(df, "test_memo", (2, 9),
+                                            ["doc_id"])
+        assert len(calls) == 1          # second call memoized
+        assert sorted(map(tuple, a.collect())) \
+            == sorted(map(tuple, b.collect()))
+        sig_artifacts.materialize_frame(df, "test_memo", (2, 10),
+                                        ["doc_id"])
+        assert len(calls) == 2          # different key → fresh verify
+    finally:
+        sig_artifacts._SESSION_VERIFIED.discard(("test_memo", (2, 9)))
+        sig_artifacts._SESSION_VERIFIED.discard(("test_memo", (2, 10)))
+        shutil.rmtree(sig_artifacts.ARTIFACT_ROOT / "test_memo",
+                      ignore_errors=True)
