@@ -348,7 +348,12 @@ def semantic_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's proven recipe), and ``max`` + the threshold compare are
     order-invariant at full precision (round(·, 6) is display-only).
     The groupBy(doc) max is partial-aggregating: one row per doc
-    leaves each task regardless of |eval|."""
+    leaves each task regardless of |eval|. NORMS ARE PRECOMPUTED once
+    per side before the pair join — the identical
+    ``sqrt(dot(v, v))`` doubles, evaluated |eval|+|batch| times
+    instead of 2·|pairs| times, leaving ONE interpreted fold per pair
+    (measured 6.1 s → see SCALE.md; values bit-identical, so the
+    oracle's per-pair evaluation still hash-matches)."""
     from mapreducewordcount_spark.functions.vectors import dot, norm
 
     docs = load_table(spark, sf_dir, "documents")
@@ -357,11 +362,13 @@ def semantic_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("doc_id").alias("vec_id"), "source"),
         "vec_id")
     ev = (with_src.filter(F.col("source") == INDEX_SOURCE)
-          .select(F.col("embedding").alias("ev_vec")))
-    batch = with_src.filter(F.col("source") != INDEX_SOURCE)
-    cos = F.when((norm("ev_vec") > 0) & (norm("embedding") > 0),
+          .select(F.col("embedding").alias("ev_vec"))
+          .withColumn("__en", norm("ev_vec")))
+    batch = (with_src.filter(F.col("source") != INDEX_SOURCE)
+             .withColumn("__bn", norm("embedding")))
+    cos = F.when((F.col("__en") > 0) & (F.col("__bn") > 0),
                  dot("ev_vec", "embedding")
-                 / (norm("ev_vec") * norm("embedding"))) \
+                 / (F.col("__en") * F.col("__bn"))) \
         .otherwise(F.lit(0.0))
     mc = (batch.crossJoin(F.broadcast(ev))   # |eval|-row frame
           .select(F.col("vec_id").alias("doc_id"), "source",
