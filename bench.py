@@ -185,9 +185,13 @@ def _env_fingerprint() -> dict:
         # steal share over the bench window (steal is the smoking gun
         # for host-level contention a guest can't otherwise see)
         vals = [int(x) for x in first[1:]]
-        fp["cpu_jiffies"] = {"busy": sum(vals) - vals[3] - vals[4],
+        steal = vals[7] if len(vals) > 7 else 0
+        # busy excludes idle, iowait AND steal so cpu_util_pct and
+        # steal_pct partition the window consistently (ADVICE r9 —
+        # counting steal inside busy double-counted stolen time)
+        fp["cpu_jiffies"] = {"busy": sum(vals) - vals[3] - vals[4] - steal,
                              "total": sum(vals),
-                             "steal": vals[7] if len(vals) > 7 else 0}
+                             "steal": steal}
     except Exception:  # noqa: BLE001
         fp["cpu_jiffies"] = None
     # deterministic single-core calibration: the same fixed pure-

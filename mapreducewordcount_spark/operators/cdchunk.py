@@ -136,6 +136,43 @@ def _chunk_udf(window: int, mask_bits: int, min_chunk: int,
     return chunk
 
 
+#: stride of the (doc_id, chunk_idx) → BIGINT rank packing; shared by
+#: the Spark expression and the DuckDB oracle mirror below.
+RK_STRIDE = 1_000_000
+
+
+def packed_rank(doc_id_col, chunk_idx_col):
+    """``(doc_id, chunk_idx)`` packed into one orderable BIGINT:
+    ``doc_id * RK_STRIDE + chunk_idx``. It is **min_chunk** that
+    bounds chunks/doc (~n/min_chunk — max_chunk only bounds them from
+    below), so a document of >= ``min_chunk * RK_STRIDE`` characters
+    (~32 M chars at the default min_chunk=32) would overflow the
+    stride and silently bleed into the next doc_id's rank space,
+    misattributing first-in-batch status and GC ownership. The guard
+    makes that pathological document FAIL the job instead
+    (ADVICE/VERDICT r9): ``assert_true`` raises per-row at runtime;
+    on the happy path it is NULL and the packing value passes through
+    unchanged, so committed artifacts and gate hashes are untouched.
+    """
+    guard = F.assert_true(
+        chunk_idx_col < RK_STRIDE,
+        F.concat(F.lit(f"chunk_idx >= {RK_STRIDE} breaks rk packing "
+                       "for doc_id "), doc_id_col.cast("string")))
+    return F.when(guard.isNull(),
+                  doc_id_col * F.lit(RK_STRIDE) + chunk_idx_col)
+
+
+def packed_rank_sql(doc_id_sql: str = "doc_id",
+                    chunk_idx_sql: str = "chunk_idx") -> str:
+    """DuckDB mirror of :func:`packed_rank` — same guard, same
+    packing, so the oracle fails the same pathological input instead
+    of silently diverging."""
+    return (f"CASE WHEN {chunk_idx_sql} >= {RK_STRIDE} THEN "
+            f"error('chunk_idx overflow at doc ' "
+            f"|| CAST({doc_id_sql} AS VARCHAR)) "
+            f"ELSE {doc_id_sql} * {RK_STRIDE} + {chunk_idx_sql} END")
+
+
 def cdc_chunk_table(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", *,
                     window: int = DEFAULT_WINDOW,
@@ -186,8 +223,8 @@ def chunk_incremental_report(chunks: DataFrame, docs: DataFrame,
     index = (with_src.filter(F.col("grp") == index_source)
              .select("chunk_md5").distinct())
     # deterministic within-batch order: (doc_id, chunk_idx) packed
-    # into one BIGINT (chunk_idx < 1e6 — max_chunk bounds chunks/doc)
-    rk = (F.col("doc_id") * F.lit(1_000_000) + F.col("chunk_idx"))
+    # into one BIGINT — guarded, see packed_rank
+    rk = packed_rank(F.col("doc_id"), F.col("chunk_idx"))
     batch = (with_src.filter(F.col("grp") != index_source)
              .select("grp", "chunk_md5", "length", rk.alias("rk")))
     first = batch.groupBy("chunk_md5").agg(F.min("rk").alias("first_rk"))

@@ -126,29 +126,52 @@ GROUP BY p.label, n.n_vecs
 """
 
 
-def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GK approximate percentiles per returnflag — the ONE registry
-    output with no oracle of any kind, and deliberately so: GK
-    ``approx_percentile`` is merge-ORDER-sensitive (measured at
-    sf0.01: p50(A) = 52826.91 / 52832.76 / 52833.8 at 32/1/64 input
-    partitions), so neither a DuckDB recompute nor a pinned artifact
-    value survives the gate's foreign-session partitioning sweeps.
-    Round 7 split the old three-sketch query so this documented
-    residue is EXACTLY {GK percentiles}: the partition-invariant
-    HLL half now carries a full artifact oracle
-    (``sketch_hll_report``) and the exact-count half was always
-    oracled (``distinct_stats``). GK accuracy vs exact percentile is
-    pinned in tests/test_sketches.py.
+def sketch_stats(spark: SparkSession, sf_dir: str,
+                 approximate: bool = False) -> DataFrame:
+    """Per-returnflag price percentiles (p25/p50/p75) — round 10
+    retires the registry's last rows-only row via the profiler
+    precedent (VERDICT r9 next#4): the GATE form is the EXACT
+    discrete percentile (``percentile_disc`` — the SQL-standard
+    "smallest value with cume_dist >= q", which returns an actual
+    data value, so both engines hand back the identical parquet
+    double bit-for-bit and DuckDB's ``quantile_disc`` oracles it
+    directly; rank rule ``sorted(vals)[ceil(q·n)−1]`` replay-pinned
+    in tests/test_sketches.py).
 
-    The 100 TB story is unchanged: constant memory per group, one
-    scan, mergeable across partitions — the form
-    ``segment_price_quantiles`` takes when exact quantiles stop
-    fitting.
+    ``approximate=True`` is the documented 100 TB swap: GK
+    ``approx_percentile`` — constant memory per group, one scan,
+    mergeable across partitions, the form this query takes when the
+    per-group sort behind an exact percentile stops fitting. It
+    stays OFF the gate because GK is merge-ORDER-sensitive (measured
+    at sf0.01: p50(A) = 52826.91 / 52832.76 / 52833.8 at 32/1/64
+    input partitions — neither a DuckDB recompute nor a pinned
+    artifact survives the gate's foreign-session partitioning
+    sweeps); its tolerance vs the exact form is pinned in
+    tests/test_sketches.py.
     """
     l = load_table(spark, sf_dir, "lineitem")
+    if approximate:
+        pctl = [F.expr(f"approx_percentile(l_extendedprice, {q}, 10000)")
+                .alias(a) for q, a in
+                ((0.25, "price_p25"), (0.5, "price_p50"),
+                 (0.75, "price_p75"))]
+    else:
+        pctl = [F.expr(f"percentile_disc({q}) WITHIN GROUP "
+                       "(ORDER BY l_extendedprice)").alias(a)
+                for q, a in ((0.25, "price_p25"), (0.5, "price_p50"),
+                             (0.75, "price_p75"))]
     return (l.groupBy("l_returnflag")
-            .agg(F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
-                 .alias("approx_p50")))
+            .agg(F.count(F.lit(1)).alias("n_rows"), *pctl))
+
+
+SKETCH_STATS_SQL = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       quantile_disc(l_extendedprice, 0.25) AS price_p25,
+       quantile_disc(l_extendedprice, 0.5) AS price_p50,
+       quantile_disc(l_extendedprice, 0.75) AS price_p75
+FROM lineitem GROUP BY 1
+"""
 
 
 def sketch_hll_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,7 +324,7 @@ QUERIES = {
     "above_avg_customers": QuerySpec(above_avg_customers, ABOVE_AVG_SQL),
     "nation_balance_reconciliation": QuerySpec(nation_balance_reconciliation,
                                                NATION_RECON_SQL),
-    "sketch_stats": QuerySpec(sketch_stats, None),
+    "sketch_stats": QuerySpec(sketch_stats, SKETCH_STATS_SQL),
     "sketch_hll_report": QuerySpec(sketch_hll_report, SKETCH_HLL_SQL),
     "acctbal_histogram": QuerySpec(acctbal_histogram, ACCTBAL_HISTOGRAM_SQL),
     "events_props_keys": QuerySpec(events_props_keys, EVENTS_PROPS_KEYS_SQL),

@@ -76,6 +76,7 @@ def doc_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cdc_chunk_dedup_sql() -> str:
+    from mapreducewordcount_spark.operators.cdchunk import packed_rank_sql
     from mapreducewordcount_spark.sources.sig_artifacts import (
         DOC_KEY_SQL,
         frame_cte,
@@ -91,7 +92,7 @@ idx AS (SELECT DISTINCT chunk_md5 FROM j
         WHERE source = '{INDEX_SOURCE}'),
 batch AS (
   SELECT source, chunk_md5, length,
-         doc_id * 1000000 + chunk_idx AS rk
+         {packed_rank_sql()} AS rk
   FROM j WHERE source <> '{INDEX_SOURCE}'
 ),
 first AS (SELECT chunk_md5, min(rk) AS first_rk FROM batch GROUP BY 1),
@@ -265,6 +266,7 @@ def doc_chunk_gc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcast-sized docs(doc_id → source) projection."""
     from mapreducewordcount_spark.operators.cdchunk import (
         cdc_chunk_table,
+        packed_rank,
     )
     from mapreducewordcount_spark.sources import sig_artifacts
 
@@ -274,7 +276,7 @@ def doc_chunk_gc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunks, "doc_cdc_chunks", sig_artifacts.corpus_key(docs),
         ["doc_id", "chunk_idx"])
     live = (F.col("doc_id") % 13 != 0).cast("long")
-    rk = F.col("doc_id") * F.lit(1_000_000) + F.col("chunk_idx")
+    rk = packed_rank(F.col("doc_id"), F.col("chunk_idx"))
     per_hash = (art
                 .select("chunk_md5", "length", live.alias("__live"),
                         rk.alias("__rk"))
@@ -282,8 +284,9 @@ def doc_chunk_gc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.min("length").alias("len"),
                      F.sum("__live").alias("n_live_refs"),
                      F.min("__rk").alias("__min_rk")))
+    from mapreducewordcount_spark.operators.cdchunk import RK_STRIDE
     owner = per_hash.withColumn(
-        "doc_id", F.expr("CAST(__min_rk div 1000000 AS BIGINT)"))
+        "doc_id", F.expr(f"CAST(__min_rk div {RK_STRIDE} AS BIGINT)"))
     j = owner.join(docs.select("doc_id", "source"), "doc_id")
     reclaim = (F.col("n_live_refs") == 0).cast("long")
     return (j.groupBy(F.col("source").alias("owner_source"))
@@ -295,6 +298,10 @@ def doc_chunk_gc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _chunk_gc_sql() -> str:
+    from mapreducewordcount_spark.operators.cdchunk import (
+        RK_STRIDE,
+        packed_rank_sql,
+    )
     from mapreducewordcount_spark.sources.sig_artifacts import (
         DOC_KEY_SQL,
         frame_cte,
@@ -306,13 +313,13 @@ per_hash AS (
   SELECT chunk_md5, min(length) AS len,
          sum(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END)
            AS n_live_refs,
-         min(doc_id * 1000000 + chunk_idx) AS min_rk
+         min({packed_rank_sql()}) AS min_rk
   FROM ch GROUP BY 1
 ),
 owned AS (
   SELECT p.*, d.source AS owner_source
   FROM per_hash p
-  JOIN documents d ON d.doc_id = p.min_rk // 1000000
+  JOIN documents d ON d.doc_id = p.min_rk // {RK_STRIDE}
 )
 SELECT owner_source,
        CAST(count(*) AS BIGINT) AS n_chunks_owned,

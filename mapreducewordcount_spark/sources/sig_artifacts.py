@@ -138,21 +138,26 @@ def materialize_frame(df: DataFrame, query_name: str,
     + content compare); later calls return the committed bytes
     directly — the chunk family alone has four gate queries sharing
     one artifact, and each redundant verify costs ~1.8 s at sf0.1
-    (2.0 s vs 0.24 s plain read, measured). Sound because every
-    caller of a family builds the identical model table by contract
-    (pinned by the freshness test, which clears
-    ``_SESSION_VERIFIED`` so its own recompute stays genuine).
+    (2.0 s vs 0.24 s plain read, measured). The memo is keyed on the
+    incoming frame's ANALYZED-PLAN fingerprint (``semanticHash``) as
+    well as (query_name, key), so two queries of one family that ever
+    diverge in how they build the model table stop sharing the hit
+    and the second one re-verifies against the committed bytes
+    (ADVICE r9 — without the fingerprint the divergence was silently
+    masked until the freshness test ran). The freshness test still
+    clears ``_SESSION_VERIFIED`` so its own recompute stays genuine.
     """
     n, s = key
     path = ARTIFACT_ROOT / query_name / f"k={n}_{s}"
     target_path = path / "data.parquet"
-    if (query_name, key) in _SESSION_VERIFIED and target_path.exists():
+    memo_key = (query_name, key, df.semanticHash())
+    if memo_key in _SESSION_VERIFIED and target_path.exists():
         return (df.sparkSession.read.parquet(str(target_path))
                 .drop("k_rows", "k_sum"))
     out = (df.withColumn("k_rows", F.lit(n).cast("long"))
            .withColumn("k_sum", F.lit(s).cast("long")))
     target = _write_artifact(out, path, "data.parquet", sort_cols)
-    _SESSION_VERIFIED.add((query_name, key))
+    _SESSION_VERIFIED.add(memo_key)
     return (df.sparkSession.read.parquet(str(target))
             .drop("k_rows", "k_sum"))
 

@@ -568,8 +568,15 @@ def start_cdc_agg_refresh(changes: DataFrame, *, snapshot_dir: str,
         latest = latest_state_version(spark, snapshot_dir)
         # normal flow: input version == batch id (seed v0, batch b
         # commits v{b+1}); redelivery re-reads its ORIGINAL input even
-        # though its own output version already exists. The seed check
-        # at start() guarantees latest is not None here.
+        # though its own output version already exists. The start()
+        # seed check does not survive a state dir removed MID-stream,
+        # so re-raise the same seed-first error here instead of an
+        # opaque TypeError from min(batch_id, None) (ADVICE r9).
+        if latest is None:
+            raise ValueError(
+                f"no committed state under {snapshot_dir}: the state "
+                "dir lost its versions mid-stream — re-seed "
+                f"{snapshot_dir}/v0 before restarting")
         in_version = min(batch_id, latest)
         snap = read_state_version(spark, snapshot_dir, in_version)
         batch = batch_df.localCheckpoint(eager=True)  # cut stream lineage
@@ -634,6 +641,11 @@ def start_chunk_index_maintenance(docs: DataFrame, *, index_dir: str,
         if batch_df.isEmpty():
             return
         latest = latest_state_version(spark, index_dir)
+        if latest is None:  # state dir removed mid-stream (ADVICE r9)
+            raise ValueError(
+                f"no committed state under {index_dir}: the state "
+                "dir lost its versions mid-stream — re-seed "
+                f"{index_dir}/v0 before restarting")
         in_version = min(batch_id, latest)
         index = read_state_version(spark, index_dir, in_version) \
             .select("chunk_md5", "length")

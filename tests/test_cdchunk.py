@@ -232,3 +232,55 @@ def test_tiling_property_any_unicode(spark, text):
             text[c.offset:c.offset + c.length].encode("utf-8")).hexdigest()
         pos += c.length
     assert pos == len(text)
+
+
+def test_packed_rank_guard_raises_on_oversized_doc(spark):
+    """The rk packing guard (ADVICE/VERDICT r9): a chunk_idx at or
+    above RK_STRIDE would bleed into the next doc_id's rank space and
+    silently misattribute first-in-batch status / GC ownership — the
+    guarded packing must FAIL the job instead. Planted directly at
+    the chunk-table level (a real >32 M-char document is the only way
+    to produce it through the chunker)."""
+    import pytest
+
+    from mapreducewordcount_spark.operators.cdchunk import (
+        RK_STRIDE,
+        chunk_incremental_report,
+        packed_rank,
+    )
+
+    bad_chunks = spark.createDataFrame(
+        [(7, RK_STRIDE, 0, 40, "d" * 32)],
+        "doc_id long, chunk_idx long, offset int, length int, "
+        "chunk_md5 string")
+    docs = spark.createDataFrame([(7, "srcA")],
+                                 "doc_id long, source string")
+    with pytest.raises(Exception, match="rk packing|assert"):
+        chunk_incremental_report(bad_chunks, docs, "src0").collect()
+    # happy path: packing values are the exact pre-guard arithmetic
+    ok = spark.createDataFrame([(3, 5), (3, RK_STRIDE - 1)],
+                               "doc_id long, chunk_idx long")
+    got = [r.rk for r in ok.select(
+        packed_rank(F.col("doc_id"), F.col("chunk_idx"))
+        .alias("rk")).collect()]
+    assert got == [3 * RK_STRIDE + 5, 4 * RK_STRIDE - 1]
+
+
+def test_packed_rank_guard_duckdb_mirror():
+    """The DuckDB oracle mirrors the guard: same overflow input, same
+    failure (instead of a silent wrong owner)."""
+    import duckdb
+    import pytest
+
+    from mapreducewordcount_spark.operators.cdchunk import (
+        RK_STRIDE,
+        packed_rank_sql,
+    )
+
+    con = duckdb.connect()
+    ok = con.execute(
+        f"SELECT {packed_rank_sql('3', '5')}").fetchone()[0]
+    assert ok == 3 * RK_STRIDE + 5
+    with pytest.raises(Exception, match="chunk_idx overflow"):
+        con.execute(
+            f"SELECT {packed_rank_sql('7', str(RK_STRIDE))}").fetchall()

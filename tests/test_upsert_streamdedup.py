@@ -320,3 +320,48 @@ def test_stream_chunk_index_maintenance_matches_batch(spark, tmp_path):
         start_chunk_index_maintenance(
             stream, index_dir=str(tmp_path / "nope"),
             report_dir=rep_dir, checkpoint_dir=str(tmp_path / "c2"))
+
+
+def test_stream_state_dir_removed_mid_stream_fails_with_seed_error(
+        spark, tmp_path):
+    """A state dir removed MID-stream (after start()'s seed check
+    passed) must surface the same seed-first ValueError from inside
+    refresh(), not an opaque TypeError from min(batch_id, None)
+    (ADVICE r9)."""
+    import json
+    import shutil
+
+    import pytest
+
+    from mapreducewordcount_spark.streaming.jobs import (
+        start_chunk_index_maintenance,
+    )
+
+    idx_dir = str(tmp_path / "chunk_index")
+    rep_dir = str(tmp_path / "chunk_reports")
+    spark.createDataFrame([], "chunk_md5 string, length int") \
+        .write.parquet(f"{idx_dir}/v0")
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("text", T.StringType())])
+    (src / "b1.json").write_text(json.dumps(
+        {"doc_id": 1, "source": "crawl1", "text": "abcd efgh " * 50}))
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = start_chunk_index_maintenance(
+        stream, index_dir=idx_dir, report_dir=rep_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        shutil.rmtree(idx_dir)  # state loss between batches
+        (src / "b2.json").write_text(json.dumps(
+            {"doc_id": 2, "source": "crawl2", "text": "zz yy xx " * 40}))
+        with pytest.raises(Exception, match="no committed state"):
+            q.processAllAvailable()
+            raise AssertionError("stream survived state loss")
+    finally:
+        q.stop()
