@@ -46,6 +46,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline5,
         pipeline6,
         pipeline7,
+        pipeline8,
         text_queries,
         tpch,
         wordcount_queries,
@@ -98,7 +99,7 @@ def all_queries() -> dict[str, QuerySpec]:
     full: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries,
                 pipeline_queries, pipeline2, pipeline3, pipeline4,
-                pipeline5, pipeline6, pipeline7,
+                pipeline5, pipeline6, pipeline7, pipeline8,
                 tpch, bucketed_join, analytics, text_queries,
                 analytics2, analytics3, tpch2, tpch3):
         full.update(mod.QUERIES)

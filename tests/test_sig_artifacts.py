@@ -107,6 +107,7 @@ ARTIFACT_QUERIES = {
     "sketch_hll_report": ("sketch_hll_report",),
     "dsir_selection": ("dsir_selection",),
     "doc_cdc_chunks": ("doc_cdc_chunks",),
+    "doc_language_ngram": ("doc_language_ngram",),
 }
 
 
