@@ -180,3 +180,73 @@ def test_rank_overlap_matches_python_replay(spark):
         if d > 1:
             assert r.n_overlap >= got[d - 1].n_overlap
     assert got[HYBRID_POOL].rbo_units <= RBO_SCALE
+
+
+def test_semantic_decontam_lsh_mode_matches_exact_on_planted(
+        spark, tmp_path):
+    """The large-eval composition (VERDICT r9 next#2): LSH-banded
+    prefilter + exact-cosine verify must reproduce the brute-force
+    form's contamination decisions on a planted corpus — recall is
+    exactly 1.0 for the planted above-tau pairs because they are
+    sign-identical with their eval twin (scaled copies and
+    no-sign-flip paraphrases share every band key deterministically).
+    The documented delta: max_eval_cos is a LOWER bound for clean
+    docs whose true max pair was never a candidate (0.0 when no
+    candidate at all)."""
+    import random as _random
+
+    from mapreducewordcount_spark.queries.pipeline7 import (
+        semantic_decontam_report,
+    )
+
+    rng = _random.Random(42)
+
+    def vec(scale=1.0):
+        return [scale * (rng.random() * 2 - 1) for _ in range(64)]
+
+    ev_vecs = [vec() for _ in range(5)]
+    rows, emb = [], []
+    for i, v in enumerate(ev_vecs):           # eval set = src0
+        rows.append((i, "src0", "eval doc"))
+        emb.append((i, v, 0))
+    # contaminated: scaled copies (cos exactly 1, signs identical)
+    for j, (i, s) in enumerate([(0, 2.0), (1, 0.5), (2, 3.0)]):
+        rows.append((100 + j, "srcA", "leak"))
+        emb.append((100 + j, [s * x for x in ev_vecs[i]], 0))
+    # contaminated: paraphrase — tiny same-sign perturbation
+    para = [x * (1.001 if x >= 0 else 0.999) for x in ev_vecs[3]]
+    rows.append((110, "srcA", "paraphrase"))
+    emb.append((110, para, 0))
+    # clean: independent random vectors
+    for j in range(12):
+        rows.append((200 + j, "srcB", "clean doc"))
+        emb.append((200 + j, vec(), 0))
+    spark.createDataFrame(rows, "doc_id long, source string, "
+                                "text string") \
+        .write.parquet(f"{tmp_path}/documents.parquet")
+    spark.createDataFrame(emb, "vec_id long, embedding array<float>, "
+                               "label int") \
+        .write.parquet(f"{tmp_path}/embeddings.parquet")
+
+    exact = {r.doc_id: r for r in
+             semantic_decontam_report(spark, str(tmp_path)).collect()}
+    lsh = {r.doc_id: r for r in
+           semantic_decontam_report(spark, str(tmp_path),
+                                    method="lsh").collect()}
+    assert set(exact) == set(lsh)
+    for d, e in exact.items():
+        assert lsh[d].status == e.status, (d, e.status, lsh[d].status)
+        # lower-bound contract on the reported max (the no-candidate
+        # floor is 0.0, which may sit above a NEGATIVE true max —
+        # both are below any sane tau, so status is unaffected)
+        assert lsh[d].max_eval_cos <= max(e.max_eval_cos, 0.0) + 1e-9, d
+    # the planted leaks are all flagged, with the exact max preserved
+    for d in (100, 101, 102, 110):
+        assert exact[d].status == "contaminated"
+        assert lsh[d].max_eval_cos == exact[d].max_eval_cos, d
+    # and the prefilter genuinely pruned: some clean doc never met a
+    # candidate, reporting the documented 0.0 floor
+    floors = [d for d, r in lsh.items()
+              if exact[d].status == "clean" and r.max_eval_cos == 0.0
+              and exact[d].max_eval_cos != 0.0]
+    assert floors, "prefilter pruned nothing — banding degenerated"
