@@ -82,20 +82,28 @@ def all_queries() -> dict[str, QuerySpec]:
     #   r8 window — orders_snapshot_diff's first driver row, the nine
     #   round-8 operators, four plan-changed queries, and the full
     #   36-query r5-last-green cohort (50/50 hash-green);
-    #   r9 window (below) — VERDICT r8 next#1: the value-changed
+    #   r9 window — VERDICT r8 next#1: the value-changed
     #   doc_quality_calibrated (scale-safe ECDF form) and the two
     #   round-9 first-evers (doc_cdc_chunk_dedup, doc_hybrid_bm25)
-    #   lead, then the 48-query r6-last-green cohort. 51 entries:
-    #   wc_top20 sits LAST so it is the one to spill if the driver
-    #   cuts at 50 (its tokenize/count path is re-gated through
-    #   wc_word_count r8 + wc_bucket_hist here; it then leads r10
-    #   with the 46-query r7 cohort). doc_cdc_chunks and
-    #   doc_hybrid_search were TOUCHED this round but are
-    #   value-identical and keep their r8 rows: the chunker fix
-    #   leaves every committed artifact byte-identical (writer
-    #   skip + freshness test) and the hybrid refactor is pure code
-    #   motion into shared helpers — both re-verified hash-green
-    #   against their oracles locally before commit.
+    #   led, then the 48-query r6-last-green cohort; wc_top20 spilled
+    #   at position 51 (50/50 hash-green recorded);
+    #   r10 window (below) — VERDICT r9 next#1: sketch_stats leads
+    #   (value-CHANGED: the exact-percentile rework retires the last
+    #   rows-only row, so this is its first possible hash row), then
+    #   the round-10 first-ever doc_language_ngram, the four
+    #   judge-verified-but-never-driver-checked r9 late additions
+    #   (doc_chunk_share_pairs, hybrid_rank_overlap,
+    #   doc_chunk_gc_report, semantic_decontam_report), wc_top20
+    #   (the one r6-stale row), and 43 of the 46-query r7-last-green
+    #   cohort. 53 entries: positions 51-53 (orders_by_month,
+    #   pivot_status_by_segment, label_centroid_norms — stable old
+    #   analytics, lowest-risk carry) are the designated spills if
+    #   the driver cuts at 50; they lead r11. doc_cdc_chunk_dedup /
+    #   doc_chunk_gc_report were TOUCHED this round (rk packing
+    #   guard) but are value-identical on non-pathological input —
+    #   both re-verified hash-green against their oracles locally;
+    #   semantic_decontam_report's exact form likewise after the
+    #   mode refactor.
     full: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries,
                 pipeline_queries, pipeline2, pipeline3, pipeline4,
@@ -105,44 +113,47 @@ def all_queries() -> dict[str, QuerySpec]:
         full.update(mod.QUERIES)
 
     gate_first = (
-        # --- changed this round: doc_quality_calibrated (per-source
-        # global rank window -> scale-safe ECDF histogram; max-rank
-        # tie semantics, BIGINT ppm — VERDICT r8 next#2 + ADVICE)
-        "doc_quality_calibrated",
-        # --- r9 first-ever rows: chunk-level incremental dedup
-        # between crawl snapshots (next#4) and hybrid retrieval with
-        # the BM25 lexical leg (next#5)
-        "doc_cdc_chunk_dedup", "doc_hybrid_bm25",
-        # --- the 48-query r6-last-green cohort (VERDICT r8 next#1):
-        # after this round every registry query's last green driver
-        # row is >= r7 (modulo the wc_top20 tail slot, see above).
-        "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
-        "dedup_simhash_pairs", "semantic_dedup_embeddings",
-        "embedding_cluster_stats", "curriculum_epoch_order",
-        "incremental_neardup_report", "doc_chunks",
-        "media_image_features", "media_audio_features",
-        "media_image_dhash_pairs", "media_audio_fp_pairs",
-        "doc_length_deciles", "doc_repetition_stats",
-        "pack_training_sequences", "doc_lm_quality",
-        "doc_compression_ratio", "doc_keywords_tfidf",
-        "top_bigrams", "content_word_counts",
-        "q1_pricing_summary", "q2_min_cost_supplier", "q3_top_orders",
-        "q4_priority_late", "q5_region_revenue", "q6_forecast_revenue",
-        "q7_nation_volume", "q8_market_share",
-        "events_hourly", "events_json_stats", "events_sessions",
-        "events_asof_orders", "events_after_purchase",
-        "events_props_keys",
-        "top_customers", "part_brand_stats", "big_spender_segments",
-        "customers_without_orders", "top_orders_per_customer",
-        "running_revenue", "rollup_revenue", "distinct_stats",
-        "retained_customers", "churned_customers",
-        "bucketed_order_revenue", "wc_bucket_hist",
-        "wc_top20",
-        # --- late round-9 first-evers at positions 52-55 (outside a
-        # 50/51-slot window by construction — the orders_snapshot_diff
-        # precedent): they LEAD the r10 window with the r7 cohort
+        # --- changed this round: sketch_stats — the exact-percentile
+        # rework (VERDICT r9 next#4) gives the former rows-only
+        # residue its first full DuckDB oracle; registry is now
+        # 152/152 oracled
+        "sketch_stats",
+        # --- r10 first-ever row: hashed char-trigram language ID
+        # (VERDICT r9 next#3)
+        "doc_language_ngram",
+        # --- r9 late additions: judge-verified green last round but
+        # never driver-checked — the driver row is the record
+        # (VERDICT r9 next#1)
         "doc_chunk_share_pairs", "hybrid_rank_overlap",
         "doc_chunk_gc_report", "semantic_decontam_report",
+        # --- the one r6-stale row (the r9 window's designated spill)
+        "wc_top20",
+        # --- 43 of the 46-query r7-last-green cohort (VERDICT r9
+        # next#1): after this round every registry query's last green
+        # driver row is >= r8 except the three designated spills
+        # below
+        "q9_type_profit", "q10_returned_customers",
+        "q11_important_parts", "q12_ship_priority",
+        "q13_order_count_dist", "q14_promo_revenue", "q15_top_supplier",
+        "q16_part_supplier_counts", "q17_small_qty_revenue",
+        "q18_large_orders", "q19_disjunctive",
+        "q20_excess_share_suppliers", "q21_late_suppliers",
+        "q22_idle_customers",
+        "doc_bpe_tokens", "exact_substring_dedup", "orders_cdc_merge",
+        "doc_bm25_topk", "doc_bm25_multi", "supplier_part_pagerank",
+        "dsir_selection", "sketch_hll_report", "source_quota_cap",
+        "events_funnel", "orders_scd2_history", "orders_agg_ivm",
+        "join_skew_report", "lineitem_zorder_layout",
+        "events_compaction_plan", "part_name_fuzzy_pairs",
+        "doc_fingerprints", "doc_language_id", "doc_quality",
+        "doc_stats", "part_name_features", "orders_nearby_window",
+        "nation_balance_reconciliation", "above_avg_customers",
+        "acctbal_histogram", "cube_revenue", "segment_price_quantiles",
+        "rollup_with_grouping_flags", "unpivot_part_measures",
+        # --- positions 51-53: the designated spills if the driver
+        # cuts at 50 (stable old analytics; they lead the r11 window)
+        "orders_by_month", "pivot_status_by_segment",
+        "label_centroid_norms",
     )
     out = {n: full[n] for n in gate_first}
     out.update(full)  # remainder keeps its original relative order

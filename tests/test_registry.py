@@ -31,28 +31,42 @@ R6_COHORT = (
     "wc_top20")
 
 
-def test_gate_window_rotation_round9():
+def test_gate_window_rotation_round10():
     names = list(all_queries())
     window = set(names[:50])
-    # VERDICT r8 next#1: the value-changed calibrated query and the
-    # two round-9 first-evers lead, then the 48-query r6-last-green
-    # cohort; wc_top20 holds the 51st slot (the designated spill if
-    # the driver cuts at 50 — it leads r10 with the r7 cohort)
-    assert names[:3] == ["doc_quality_calibrated",
-                         "doc_cdc_chunk_dedup", "doc_hybrid_bm25"]
-    assert names[3:51] == list(R6_COHORT)
-    assert len(names) >= 51 and len(window) == 50
-    # freshly green in r8 → correctly rotated OUT this round
-    for q in ("orders_snapshot_diff", "orders_cdc_e2e",
-              "orders_agg_ivm_minmax", "doc_length_outliers",
-              "bigram_collocations", "lineitem_profile",
-              "events_rate_cusum", "doc_hybrid_search",
-              "doc_cdc_chunks", "heavy_hitters_words",
-              "weighted_sample_docs", "dedup_embedding_pairs_lsh",
-              "decontam_bloom_report", "wc_word_count",
-              "dedup_exact", "training_mixture_plan",
-              # r7 cohort stays queued for r10
-              "q9_type_profit", "doc_bm25_topk", "sketch_stats"):
+    # VERDICT r9 next#1: the value-changed sketch_stats (first
+    # possible hash row after the exact-percentile rework) and the
+    # round-10 first-ever lead, then the four judge-verified r9 late
+    # additions, wc_top20 (the last r6-stale row), and 43 of the
+    # 46-query r7-last-green cohort; positions 51-53 are the
+    # designated spills (they lead r11)
+    assert names[:7] == ["sketch_stats", "doc_language_ngram",
+                         "doc_chunk_share_pairs", "hybrid_rank_overlap",
+                         "doc_chunk_gc_report",
+                         "semantic_decontam_report", "wc_top20"]
+    r7_cohort_head = {
+        "q9_type_profit", "q22_idle_customers", "doc_bpe_tokens",
+        "exact_substring_dedup", "orders_cdc_merge", "doc_bm25_topk",
+        "doc_bm25_multi", "supplier_part_pagerank", "dsir_selection",
+        "sketch_hll_report", "source_quota_cap", "events_funnel",
+        "orders_scd2_history", "orders_agg_ivm", "join_skew_report",
+        "lineitem_zorder_layout", "events_compaction_plan",
+        "part_name_fuzzy_pairs", "doc_language_id", "doc_stats",
+        "nation_balance_reconciliation", "unpivot_part_measures"}
+    assert r7_cohort_head <= window
+    assert names[50:53] == ["orders_by_month",
+                            "pivot_status_by_segment",
+                            "label_centroid_norms"]
+    assert len(window) == 50
+    # freshly green in r9 -> correctly rotated OUT this round
+    for q in ("doc_quality_calibrated", "doc_cdc_chunk_dedup",
+              "doc_hybrid_bm25", "ann_lsh_topk", "doc_chunks",
+              "q1_pricing_summary", "events_asof_orders",
+              "dedup_simhash_pairs", "media_image_features",
+              "wc_bucket_hist", "bucketed_order_revenue",
+              # r8-green families stay out too
+              "orders_snapshot_diff", "orders_cdc_e2e",
+              "doc_hybrid_search", "wc_word_count"):
         assert q not in window, q
 
 
