@@ -134,6 +134,11 @@ HEADLINE = (
     "hybrid_rank_overlap",
     "doc_chunk_gc_report",
     "semantic_decontam_report",
+    # round-10 operators: hashed char-trigram language ID (artifact
+    # model + integer scoring), exact-percentile sketch_stats (the
+    # oracled rework — first bench rows for both).
+    "doc_language_ngram",
+    "sketch_stats",
 )
 
 #: FROZEN round-over-round comparison core (VERDICT r7 next#7): the

@@ -518,7 +518,8 @@ def start_cdc_agg_refresh(changes: DataFrame, *, snapshot_dir: str,
                           view_dir: str, checkpoint_dir: str,
                           keys, group_col: str, value_col: str,
                           version_col: str = "_version",
-                          op_col: str = "_op"):
+                          op_col: str = "_op",
+                          state_format: str = "versioned"):
     """Streaming IVM — the MUTATION leg of the streaming family
     (VERDICT r7 next#6): maintain a materialized aggregate view over
     a CDC change feed via ``foreachBatch``, refreshing through the
@@ -543,8 +544,16 @@ def start_cdc_agg_refresh(changes: DataFrame, *, snapshot_dir: str,
     Per batch the snapshot is read ONLY through the delta path's
     changed-key semi-join plus the merge's anti-join — O(changes +
     groups) compute; the snapshot rewrite here is the simple full
-    copy (the honest cost of plain parquet state; table formats turn
-    it into a metadata commit).
+    copy (the honest cost of plain parquet state).
+
+    ``state_format="manifest"`` is the table-format seam (VERDICT r9
+    next#6, ``streaming/manifest_state``): the snapshot lives as
+    immutable hash-bucketed segments named by a tiny per-version
+    manifest; the commit rewrites ONLY the buckets the batch's keys
+    touch (copy-on-write) and swaps the manifest in atomically —
+    O(changed buckets), not O(|state|). Seed with
+    ``manifest_state.seed_manifest_state(df, snapshot_dir, keys)``;
+    the version/redelivery contract is identical.
 
     Returns the started StreamingQuery (caller stops it).
     """
@@ -552,20 +561,27 @@ def start_cdc_agg_refresh(changes: DataFrame, *, snapshot_dir: str,
         incremental_agg_refresh,
     )
     from mapreducewordcount_spark.operators.merge import merge_upsert
+    from mapreducewordcount_spark.streaming import manifest_state as ms
 
     spark = changes.sparkSession
     klist = list(keys)
-    if latest_state_version(spark, snapshot_dir) is None:
+    manifest = state_format == "manifest"
+    latest0 = (ms.latest_manifest_version(snapshot_dir) if manifest
+               else latest_state_version(spark, snapshot_dir))
+    if latest0 is None:
         raise ValueError(
             f"no committed state under {snapshot_dir}: seed "
-            f"{snapshot_dir}/v0 with the initial snapshot before "
-            "start() (note: state dirs are local-filesystem only — "
+            + (f"it with manifest_state.seed_manifest_state before "
+               if manifest else f"{snapshot_dir}/v0 with the initial "
+               "snapshot before ")
+            + "start() (note: state dirs are local-filesystem only — "
             "version discovery uses os.listdir)")
 
     def refresh(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        latest = latest_state_version(spark, snapshot_dir)
+        latest = (ms.latest_manifest_version(snapshot_dir) if manifest
+                  else latest_state_version(spark, snapshot_dir))
         # normal flow: input version == batch id (seed v0, batch b
         # commits v{b+1}); redelivery re-reads its ORIGINAL input even
         # though its own output version already exists. The start()
@@ -576,9 +592,11 @@ def start_cdc_agg_refresh(changes: DataFrame, *, snapshot_dir: str,
             raise ValueError(
                 f"no committed state under {snapshot_dir}: the state "
                 "dir lost its versions mid-stream — re-seed "
-                f"{snapshot_dir}/v0 before restarting")
+                f"{snapshot_dir} before restarting")
         in_version = min(batch_id, latest)
-        snap = read_state_version(spark, snapshot_dir, in_version)
+        snap = (ms.read_manifest_state(spark, snapshot_dir, in_version)
+                if manifest
+                else read_state_version(spark, snapshot_dir, in_version))
         batch = batch_df.localCheckpoint(eager=True)  # cut stream lineage
 
         view = incremental_agg_refresh(snap, batch, klist, group_col,
@@ -586,10 +604,26 @@ def start_cdc_agg_refresh(changes: DataFrame, *, snapshot_dir: str,
                                        op_col=op_col)
         view.write.mode("overwrite").parquet(
             f"{view_dir}/v{batch_id + 1}")
-        new_snap = merge_upsert(snap, batch, klist,
-                                version_col=version_col, op_col=op_col)
-        new_snap.write.mode("overwrite").parquet(
-            f"{snapshot_dir}/v{batch_id + 1}")
+        if manifest:
+            # copy-on-write: merge and rewrite ONLY the buckets the
+            # batch touches; untouched segments carry forward as
+            # manifest entries (zero data bytes moved)
+            man = ms._load_manifest(snapshot_dir, in_version)
+            changed = ms.changed_buckets_of(batch, man["key_cols"],
+                                            man["n_buckets"])
+            snap_changed = ms.read_manifest_state(
+                spark, snapshot_dir, in_version, buckets=changed)
+            new_changed = merge_upsert(snap_changed, batch, klist,
+                                       version_col=version_col,
+                                       op_col=op_col)
+            ms.commit_cow(new_changed, changed, snapshot_dir,
+                          in_version, batch_id + 1)
+        else:
+            new_snap = merge_upsert(snap, batch, klist,
+                                    version_col=version_col,
+                                    op_col=op_col)
+            new_snap.write.mode("overwrite").parquet(
+                f"{snapshot_dir}/v{batch_id + 1}")
 
     return (changes.writeStream.outputMode("append")
             .option("checkpointLocation", checkpoint_dir)
@@ -600,7 +634,8 @@ def start_chunk_index_maintenance(docs: DataFrame, *, index_dir: str,
                                   report_dir: str, checkpoint_dir: str,
                                   id_col: str = "doc_id",
                                   source_col: str = "source",
-                                  text_col: str = "text"):
+                                  text_col: str = "text",
+                                  state_format: str = "versioned"):
     """Streaming twin of the round-9 chunk family: as document
     micro-batches arrive, chunk them (``operators/cdchunk``), probe
     the chunk hashes against the maintained index, append a per-batch
@@ -620,34 +655,48 @@ def start_chunk_index_maintenance(docs: DataFrame, *, index_dir: str,
     Per batch the index is touched ONLY through the hash anti-join
     (16-byte keys); chunk bodies never shuffle; the report is one
     grouped aggregate over the batch. The full-index rewrite per
-    version is plain-parquet state's honest cost (a table format
-    makes it an append + metadata commit).
+    version is plain-parquet state's honest cost;
+    ``state_format="manifest"`` (``streaming/manifest_state``) is the
+    table-format seam: the index is append-only, so each batch
+    commits ONE new segment holding its genuinely-new hashes plus a
+    tiny manifest naming the live segments — O(new chunks) write
+    cost, not O(|index|). Seed with
+    ``manifest_state.seed_manifest_state(df, index_dir,
+    ["chunk_md5"])``; version/redelivery contract identical.
 
     Returns the started StreamingQuery (caller stops it).
     """
     from mapreducewordcount_spark.operators.cdchunk import (
         cdc_chunk_table,
     )
+    from mapreducewordcount_spark.streaming import manifest_state as ms
 
     spark = docs.sparkSession
-    if latest_state_version(spark, index_dir) is None:
+    manifest = state_format == "manifest"
+    latest0 = (ms.latest_manifest_version(index_dir) if manifest
+               else latest_state_version(spark, index_dir))
+    if latest0 is None:
         raise ValueError(
             f"no committed state under {index_dir}: seed "
-            f"{index_dir}/v0 (an empty chunk_md5/length frame is "
-            "fine) before start(); state dirs are local-filesystem "
-            "only")
+            + ("it with manifest_state.seed_manifest_state "
+               if manifest else f"{index_dir}/v0 ")
+            + "(an empty chunk_md5/length frame is fine) before "
+            "start(); state dirs are local-filesystem only")
 
     def refresh(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        latest = latest_state_version(spark, index_dir)
+        latest = (ms.latest_manifest_version(index_dir) if manifest
+                  else latest_state_version(spark, index_dir))
         if latest is None:  # state dir removed mid-stream (ADVICE r9)
             raise ValueError(
                 f"no committed state under {index_dir}: the state "
                 "dir lost its versions mid-stream — re-seed "
-                f"{index_dir}/v0 before restarting")
+                f"{index_dir} before restarting")
         in_version = min(batch_id, latest)
-        index = read_state_version(spark, index_dir, in_version) \
+        index = (ms.read_manifest_state(spark, index_dir, in_version)
+                 if manifest
+                 else read_state_version(spark, index_dir, in_version)) \
             .select("chunk_md5", "length")
         batch = batch_df.localCheckpoint(eager=True)
 
@@ -676,10 +725,16 @@ def start_chunk_index_maintenance(docs: DataFrame, *, index_dir: str,
         fresh = (probed.filter(F.col("__idx").isNull())
                  .groupBy("chunk_md5")
                  .agg(F.min("length").alias("length")))
-        new_index = index.unionByName(
-            fresh.select("chunk_md5", "length")).distinct()
-        new_index.write.mode("overwrite").parquet(
-            f"{index_dir}/v{batch_id + 1}")
+        if manifest:
+            # append-only commit: one segment with the new hashes,
+            # manifest names it — no index bytes rewritten
+            ms.commit_append(fresh.select("chunk_md5", "length"),
+                             index_dir, in_version, batch_id + 1)
+        else:
+            new_index = index.unionByName(
+                fresh.select("chunk_md5", "length")).distinct()
+            new_index.write.mode("overwrite").parquet(
+                f"{index_dir}/v{batch_id + 1}")
 
     return (docs.writeStream.outputMode("append")
             .option("checkpointLocation", checkpoint_dir)

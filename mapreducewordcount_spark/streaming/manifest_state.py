@@ -1,0 +1,200 @@
+"""Manifest-committed parquet state — the table-format seam for the
+streaming mutation twins (VERDICT r9 next#6).
+
+The plain versioned-parquet state in ``streaming/jobs.py`` pays a
+FULL state rewrite per micro-batch (documented honest cost). Real
+table formats (Iceberg/Delta) turn that into an append plus a
+metadata commit: data files are immutable, and a tiny manifest names
+the files that make up each version. This module is that commit
+protocol reduced to its essentials, behind the same seeded-v0 /
+idempotent-redelivery contract the twins already enforce:
+
+- **Segments** are immutable parquet dirs under
+  ``{state_dir}/seg/v{N}/``, hash-bucketed on the state's key
+  columns (``__bucket = pmod(xxhash64(keys), n_buckets)``).
+- **Manifests** are tiny JSON files ``{state_dir}/manifest-v{N}.json``
+  mapping each bucket to the LIST of live segment paths composing it.
+  The reader unions the listed paths — never a directory scan over
+  data.
+- **Append commit** (insert-only state, e.g. the chunk index): write
+  ONE new segment with the batch's new rows, manifest v{N+1} =
+  v{in} with the new path appended to each touched bucket's list.
+- **Copy-on-write commit** (mutating state, e.g. the CDC snapshot):
+  rewrite ONLY the buckets containing changed keys — each changed
+  bucket's list is REPLACED by its single new segment; untouched
+  buckets keep their old files byte-for-byte. Per-batch write cost
+  is O(changed buckets × bucket size), not O(|state|).
+
+Idempotent redelivery is inherited from version addressing: batch
+``b`` reads manifest ``min(b, latest)``, writes segments under the
+deterministic ``seg/v{b+1}`` dir (mode overwrite) and swaps
+``manifest-v{b+1}.json`` in atomically (tmp + ``os.replace``) — a
+replayed batch rewrites its own output version from its original
+input. Old segments are never deleted (time travel; a production GC
+walks manifests for unreferenced files).
+
+Local-filesystem only, like the twins' state dirs: version discovery
+lists manifest files with ``os.listdir``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 16
+
+
+def _bucket_col(key_cols: list[str], n_buckets: int):
+    return F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets))
+
+
+def latest_manifest_version(state_dir: str) -> int | None:
+    """Highest committed manifest version, or None when unseeded."""
+    if not os.path.isdir(state_dir):
+        return None
+    versions = []
+    for name in os.listdir(state_dir):
+        if name.startswith("manifest-v") and name.endswith(".json"):
+            num = name[len("manifest-v"):-len(".json")]
+            if num.isdigit():
+                versions.append(int(num))
+    return max(versions) if versions else None
+
+
+def _load_manifest(state_dir: str, version: int) -> dict:
+    with open(f"{state_dir}/manifest-v{version}.json") as f:
+        return json.load(f)
+
+
+def _write_manifest(state_dir: str, version: int, manifest: dict) -> None:
+    tmp = f"{state_dir}/.manifest-v{version}.json.tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(tmp, f"{state_dir}/manifest-v{version}.json")
+
+
+def read_manifest_state(spark: SparkSession, state_dir: str,
+                        version: int | None = None,
+                        buckets: list[int] | None = None) -> DataFrame:
+    """Union the live segments of one committed version (default
+    latest); ``buckets`` restricts the read to those buckets' files —
+    the storage-level pruning a COW refresh uses to touch only the
+    state it will rewrite.
+
+    Paths are DEDUPED before the union: an append commit lists its
+    one segment under every bucket it touches, so the same file may
+    appear in several lists. That also makes bucket restriction
+    best-effort PRUNING, not a filter — a multi-bucket append segment
+    is read whole when any of its buckets is wanted (over-read, never
+    under-read; COW segments are per-bucket, so restriction is exact
+    in a pure-COW lineage)."""
+    if version is None:
+        version = latest_manifest_version(state_dir)
+    if version is None:
+        raise ValueError(f"no committed manifest under {state_dir}")
+    man = _load_manifest(state_dir, version)
+    wanted = (man["buckets"].items() if buckets is None
+              else ((str(b), man["buckets"].get(str(b), []))
+                    for b in buckets))
+    paths = list(dict.fromkeys(
+        f"{state_dir}/{p}" for _b, ps in wanted for p in ps))
+    if not paths:
+        # every wanted bucket is empty: schema-only frame off the
+        # always-on-disk schema reference
+        return (spark.read.parquet(f"{state_dir}/{man['schema_ref']}")
+                .limit(0))
+    return spark.read.parquet(*paths)
+
+
+def _write_segment(df: DataFrame, state_dir: str, version: int,
+                   tag: str) -> str:
+    """One immutable segment; returns its manifest-relative path.
+    Deterministically named per (version, tag) so redelivery
+    overwrites its own files."""
+    rel = f"seg/v{version}/{tag}"
+    df.write.mode("overwrite").parquet(f"{state_dir}/{rel}")
+    return rel
+
+
+def seed_manifest_state(df: DataFrame, state_dir: str,
+                        key_cols: list[str],
+                        n_buckets: int = DEFAULT_BUCKETS) -> None:
+    """Commit version 0: the initial state as one segment per
+    non-empty bucket (an empty frame is a legitimate seed — it
+    commits a single schema-bearing empty segment that doubles as
+    the manifest's schema reference)."""
+    os.makedirs(state_dir, exist_ok=True)
+    with_b = df.withColumn("__bucket", _bucket_col(key_cols, n_buckets))
+    present = sorted(r["__bucket"] for r in
+                     with_b.select("__bucket").distinct().collect())
+    buckets: dict[str, list[str]] = {str(b): [] for b in range(n_buckets)}
+    schema_ref = None
+    for b in present:
+        rel = _write_segment(with_b.filter(F.col("__bucket") == b)
+                             .drop("__bucket"), state_dir, 0, f"b{b}")
+        buckets[str(b)] = [rel]
+        schema_ref = schema_ref or rel
+    if schema_ref is None:  # empty seed: schema-only segment
+        schema_ref = _write_segment(df, state_dir, 0, "schema")
+    _write_manifest(state_dir, 0, {
+        "version": 0, "n_buckets": n_buckets, "key_cols": list(key_cols),
+        "schema_ref": schema_ref, "buckets": buckets})
+
+
+def commit_append(new_rows: DataFrame, state_dir: str,
+                  in_version: int, out_version: int) -> None:
+    """Insert-only commit: ONE new segment with the batch's rows;
+    every touched bucket's list grows by that path, untouched buckets
+    (and all previous segments) are untouched bytes. The cheap path
+    for append-only state (chunk index: rows are (hash, length), new
+    hashes only — dedup is the caller's anti-join)."""
+    man = _load_manifest(state_dir, in_version)
+    key_cols, nb = man["key_cols"], man["n_buckets"]
+    with_b = new_rows.withColumn("__bucket", _bucket_col(key_cols, nb))
+    touched = sorted(r["__bucket"] for r in
+                     with_b.select("__bucket").distinct().collect())
+    buckets = {b: list(ps) for b, ps in man["buckets"].items()}
+    if touched:
+        rel = _write_segment(with_b.drop("__bucket"), state_dir,
+                             out_version, "append")
+        for b in touched:
+            buckets[str(b)] = buckets[str(b)] + [rel]
+    _write_manifest(state_dir, out_version, {**man,
+                    "version": out_version, "buckets": buckets})
+
+
+def commit_cow(new_bucket_rows: DataFrame, changed_buckets: list[int],
+               state_dir: str, in_version: int,
+               out_version: int) -> None:
+    """Copy-on-write commit: ``new_bucket_rows`` is the POST-merge
+    content of exactly the ``changed_buckets``; each changed bucket's
+    segment list is replaced by one new segment (empty after deletes
+    → empty list), all other buckets carry their old paths forward.
+    """
+    man = _load_manifest(state_dir, in_version)
+    key_cols, nb = man["key_cols"], man["n_buckets"]
+    with_b = new_bucket_rows.withColumn(
+        "__bucket", _bucket_col(key_cols, nb))
+    buckets = {b: list(ps) for b, ps in man["buckets"].items()}
+    for b in changed_buckets:
+        part = with_b.filter(F.col("__bucket") == b).drop("__bucket")
+        if part.isEmpty():
+            buckets[str(b)] = []
+        else:
+            buckets[str(b)] = [_write_segment(part, state_dir,
+                                              out_version, f"b{b}")]
+    _write_manifest(state_dir, out_version, {**man,
+                    "version": out_version, "buckets": buckets})
+
+
+def changed_buckets_of(batch: DataFrame, key_cols: list[str],
+                       n_buckets: int) -> list[int]:
+    """The buckets a change batch touches — a bounded collect
+    (≤ n_buckets values)."""
+    return sorted(r["__bucket"] for r in
+                  batch.select(_bucket_col(key_cols, n_buckets)
+                               .alias("__bucket")).distinct().collect())

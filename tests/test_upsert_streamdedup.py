@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -160,16 +161,21 @@ def test_stream_simhash_dedup_collapses_signature_twins(spark, tmp_path):
         q.stop()
 
 
-def test_stream_cdc_view_refresh_matches_batch(spark, tmp_path):
+@pytest.mark.parametrize("state_format", ["versioned", "manifest"])
+def test_stream_cdc_view_refresh_matches_batch(spark, tmp_path,
+                                               state_format):
     """Streaming IVM twin (VERDICT r7 next#6): a CDC feed refreshes
     the materialized aggregate across micro-batches through the batch
     delta rules; the final view must equal a from-scratch recompute
     over seed+all-changes, and each intermediate version must equal
     the recompute at that point — cross-batch state lives in the
-    versioned snapshot, not the stream."""
+    versioned snapshot, not the stream. Runs on BOTH state formats:
+    plain versioned parquet and the manifest copy-on-write seam
+    (VERDICT r9 next#6), which must be behaviorally identical."""
     import json
 
     from mapreducewordcount_spark.operators.merge import merge_upsert
+    from mapreducewordcount_spark.streaming import manifest_state as ms
     from mapreducewordcount_spark.streaming.jobs import (
         latest_state_version,
         read_state_version,
@@ -182,7 +188,10 @@ def test_stream_cdc_view_refresh_matches_batch(spark, tmp_path):
         [(1, "a", 100), (2, "a", 200), (3, "b", 300), (4, "b", 400),
          (5, "c", 500)],
         "k long, grp string, v long")
-    seed.write.parquet(f"{snap_dir}/v0")
+    if state_format == "manifest":
+        ms.seed_manifest_state(seed, snap_dir, ["k"], n_buckets=4)
+    else:
+        seed.write.parquet(f"{snap_dir}/v0")
 
     src = tmp_path / "cdc"
     src.mkdir()
@@ -203,7 +212,8 @@ def test_stream_cdc_view_refresh_matches_batch(spark, tmp_path):
     q = start_cdc_agg_refresh(
         stream, snapshot_dir=snap_dir, view_dir=view_dir,
         checkpoint_dir=str(tmp_path / "ckpt"),
-        keys=["k"], group_col="grp", value_col="v")
+        keys=["k"], group_col="grp", value_col="v",
+        state_format=state_format)
     try:
         q.processAllAvailable()
         (src / "b2.json").write_text(
@@ -228,33 +238,54 @@ def test_stream_cdc_view_refresh_matches_batch(spark, tmp_path):
     # unseeded state dir fails FAST at start() with the seed-first
     # message, not as an AnalysisException inside the stream
     # (ADVICE r8)
-    import pytest
-
-    with pytest.raises(ValueError, match="seed .*/v0"):
+    with pytest.raises(ValueError, match="seed "):
         start_cdc_agg_refresh(
             stream, snapshot_dir=str(tmp_path / "never_seeded"),
             view_dir=view_dir, checkpoint_dir=str(tmp_path / "ckpt2"),
-            keys=["k"], group_col="grp", value_col="v")
+            keys=["k"], group_col="grp", value_col="v",
+            state_format=state_format)
     # intermediate version: view after batch 1 only
     assert _view(read_state_version(spark, view_dir, 1)) == _recompute(b1)
     # final: across-batch state carried through the versioned snapshot
     assert _view(read_state_version(spark, view_dir)) == _recompute(b1, b2)
     # group moves/extinction audit: 'c' survives with only the insert
     assert _view(read_state_version(spark, view_dir))["c"] == (1, 900)
+    if state_format == "manifest":
+        # the committed SNAPSHOT itself must equal the from-scratch
+        # merge, read through the manifest (union of live segments)
+        final = {(r.k, r.grp, r.v) for r in
+                 ms.read_manifest_state(spark, snap_dir).collect()}
+        want = {(r.k, r.grp, r.v) for r in
+                merge_upsert(seed, spark.createDataFrame(
+                    [tuple(r.values()) for b in (b1, b2) for r in b],
+                    "k long, grp string, v long, _version int, "
+                    "_op string"), ["k"]).collect()}
+        assert final == want
+        # copy-on-write really happened: v2 rewrote only the buckets
+        # batch 2 touched, so at least one OLDER segment is still
+        # live (carried forward by path, zero bytes moved)
+        man = ms._load_manifest(snap_dir, 2)
+        live = [p for ps in man["buckets"].values() for p in ps]
+        assert any(not p.startswith("seg/v2/") for p in live), live
+        assert any(p.startswith("seg/v2/") for p in live), live
 
 
-def test_stream_chunk_index_maintenance_matches_batch(spark, tmp_path):
+@pytest.mark.parametrize("state_format", ["versioned", "manifest"])
+def test_stream_chunk_index_maintenance_matches_batch(spark, tmp_path,
+                                                      state_format):
     """Streaming chunk-index twin (round 9): micro-batches chunk,
     probe, report, and grow the versioned index; the final index must
     equal the batch chunker's distinct hash set over all documents,
     and a re-crawled duplicate must show up as index dups in ITS
-    batch's report."""
+    batch's report. Runs on BOTH state formats: plain versioned
+    parquet and the manifest append seam (VERDICT r9 next#6)."""
     import json
     import random
 
     from mapreducewordcount_spark.operators.cdchunk import (
         cdc_chunk_table,
     )
+    from mapreducewordcount_spark.streaming import manifest_state as ms
     from mapreducewordcount_spark.streaming.jobs import (
         latest_state_version,
         read_state_version,
@@ -269,8 +300,12 @@ def test_stream_chunk_index_maintenance_matches_batch(spark, tmp_path):
     idx_dir = str(tmp_path / "chunk_index")
     rep_dir = str(tmp_path / "chunk_reports")
     # seed: the empty index
-    spark.createDataFrame([], "chunk_md5 string, length int") \
-        .write.parquet(f"{idx_dir}/v0")
+    empty = spark.createDataFrame([], "chunk_md5 string, length int")
+    if state_format == "manifest":
+        ms.seed_manifest_state(empty, idx_dir, ["chunk_md5"],
+                               n_buckets=4)
+    else:
+        empty.write.parquet(f"{idx_dir}/v0")
 
     src = tmp_path / "docs"
     src.mkdir()
@@ -284,7 +319,8 @@ def test_stream_chunk_index_maintenance_matches_batch(spark, tmp_path):
     stream = spark.readStream.schema(schema).json(str(src))
     q = start_chunk_index_maintenance(
         stream, index_dir=idx_dir, report_dir=rep_dir,
-        checkpoint_dir=str(tmp_path / "ckpt"))
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        state_format=state_format)
     try:
         q.processAllAvailable()
         (src / "b2.json").write_text("\n".join([
@@ -296,15 +332,25 @@ def test_stream_chunk_index_maintenance_matches_batch(spark, tmp_path):
     finally:
         q.stop()
 
-    assert latest_state_version(spark, idx_dir) == 2
+    if state_format == "manifest":
+        assert ms.latest_manifest_version(idx_dir) == 2
+        final_df = ms.read_manifest_state(spark, idx_dir)
+        # append-only commits: the final manifest unions segments
+        # from BOTH batch versions, nothing rewritten
+        man = ms._load_manifest(idx_dir, 2)
+        live = [p for ps in man["buckets"].values() for p in ps]
+        assert any(p.startswith("seg/v1/") for p in live), live
+        assert any(p.startswith("seg/v2/") for p in live), live
+    else:
+        assert latest_state_version(spark, idx_dir) == 2
+        final_df = read_state_version(spark, idx_dir)
     all_docs = spark.createDataFrame(
         [(1, text_a), (2, text_a), (3, text_b)],
         "doc_id long, text string")
     expected = {(r.chunk_md5, r.length) for r in
                 cdc_chunk_table(all_docs)
                 .select("chunk_md5", "length").distinct().collect()}
-    final = {(r.chunk_md5, r.length) for r in
-             read_state_version(spark, idx_dir).collect()}
+    final = {(r.chunk_md5, r.length) for r in final_df.collect()}
     assert final == expected
 
     rep2 = {r.source: r for r in
@@ -314,12 +360,11 @@ def test_stream_chunk_index_maintenance_matches_batch(spark, tmp_path):
     assert rep2["recrawl"].dup_index_chars == len(text_a)
     assert rep2["crawl2"].n_dup_index == 0
     # unseeded index dir fails fast before start()
-    import pytest
-
-    with pytest.raises(ValueError, match="seed .*/v0"):
+    with pytest.raises(ValueError, match="seed "):
         start_chunk_index_maintenance(
             stream, index_dir=str(tmp_path / "nope"),
-            report_dir=rep_dir, checkpoint_dir=str(tmp_path / "c2"))
+            report_dir=rep_dir, checkpoint_dir=str(tmp_path / "c2"),
+            state_format=state_format)
 
 
 def test_stream_state_dir_removed_mid_stream_fails_with_seed_error(
