@@ -136,9 +136,11 @@ HEADLINE = (
     "semantic_decontam_report",
     # round-10 operators: hashed char-trigram language ID (artifact
     # model + integer scoring), exact-percentile sketch_stats (the
-    # oracled rework — first bench rows for both).
+    # oracled rework), and the classify→plan mixture composition —
+    # first bench rows for all three.
     "doc_language_ngram",
     "sketch_stats",
+    "mixture_on_predicted_lang",
 )
 
 #: FROZEN round-over-round comparison core (VERDICT r7 next#7): the

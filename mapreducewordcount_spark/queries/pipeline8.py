@@ -1,4 +1,5 @@
-"""Round-10 operators: hashed char-n-gram language identification.
+"""Round-10 operators: hashed char-n-gram language identification and
+the mixture composition that runs on its PREDICTED labels.
 
 Reference parity: none — extension surface (SURVEY.md §2.5); the
 reference engine (549 LoC, /root/reference/src) has no classifier of
@@ -14,6 +15,11 @@ Oracle notes:
   the DSIR md5-hex4 recipe, scores are integer sums, the argmax is
   the ordered-struct max / ``row_number`` pair with the registry's
   standing tie-break (code-point-largest lang).
+- ``mixture_on_predicted_lang`` — the composition that closes the
+  loop VERDICT r9 next#3 named: the mixture planner's ``lang`` key is
+  now PRODUCED by the engine (the classifier's per-doc argmax)
+  instead of consumed from the test data. The oracle composes the
+  same prediction CTEs with the mixture arithmetic.
 """
 
 from __future__ import annotations
@@ -25,16 +31,14 @@ from mapreducewordcount_spark.queries import QuerySpec
 from mapreducewordcount_spark.sources.tables import load_table, spread
 
 
-def doc_language_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID confusion report (VERDICT r9 next#3): train the
-    hashed char-trigram multinomial NB (``operators/langid``) on the
-    labeled corpus, predict every document, and report
-    ``(lang, pred_lang, n_docs)`` — the per-language diagnostic a
-    curation pipeline reads before trusting ``lang`` downstream
-    (mixture planning, quotas). Featurization runs ONCE (persisted)
-    and is shared by the fit and the scoring pass — the DSIR recipe;
-    the weight table is the committed model artifact both engines
-    join."""
+def _predicted_langs(spark: SparkSession,
+                     sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(docs, per-doc predictions) — the shared front half of both
+    round-10 queries: featurize ONCE (persisted; fit and scoring
+    share it — the DSIR recipe), train on the labeled corpus, commit
+    the weight artifact, predict every document. The artifact family
+    is shared with ``doc_language_ngram``'s oracle, and the session
+    memo (``sig_artifacts``) makes the second caller a plain read."""
     from mapreducewordcount_spark.operators import langid
     from mapreducewordcount_spark.sources import sig_artifacts
 
@@ -45,12 +49,51 @@ def doc_language_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights, "doc_language_ngram", sig_artifacts.corpus_key(docs),
         ["lang", "bucket"])
     pred = langid.langid_scores(docs, wt, feats=feats)
+    return docs, pred
+
+
+def doc_language_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion report (VERDICT r9 next#3): train the
+    hashed char-trigram multinomial NB (``operators/langid``) on the
+    labeled corpus, predict every document, and report
+    ``(lang, pred_lang, n_docs)`` — the per-language diagnostic a
+    curation pipeline reads before trusting ``lang`` downstream
+    (mixture planning, quotas)."""
+    docs, pred = _predicted_langs(spark, sf_dir)
     return (docs.select("doc_id", "lang").join(pred, "doc_id")
             .groupBy("lang", "pred_lang")
             .agg(F.count(F.lit(1)).alias("n_docs")))
 
 
-def _language_ngram_sql() -> str:
+def mixture_on_predicted_lang(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Mixture planning on the classifier's OWN labels: predict every
+    document's language, then run the standard token-inventory /
+    sampling-rate plan (``operators/packing.mixture_plan``) grouped
+    on ``pred_lang`` at the registry's MIX_WEIGHTS/MIX_BUDGET — the
+    end-to-end first-stage shape (classify → plan) a curation
+    pipeline runs when the crawl carries no trusted labels. Plan
+    shape is unchanged from ``training_mixture_plan``: one
+    partial-agg groupBy over the corpus + a broadcast weights join;
+    the prediction adds the classifier's bounded join/argmax in
+    front."""
+    from mapreducewordcount_spark.operators.packing import mixture_plan
+    from mapreducewordcount_spark.queries.pipeline2 import (
+        MIX_BUDGET,
+        MIX_WEIGHTS,
+    )
+
+    docs, pred = _predicted_langs(spark, sf_dir)
+    labeled = docs.select("doc_id", "text").join(pred, "doc_id")
+    return mixture_plan(labeled, MIX_WEIGHTS, MIX_BUDGET,
+                        group_col="pred_lang")
+
+
+def _langid_pred_ctes() -> str:
+    """The prediction pipeline as reusable CTEs ending in
+    ``pred_all(doc_id, pred_lang)`` over every document — shared by
+    the confusion-report and mixture oracles. Starts its own WITH
+    list (caller prepends ``WITH``)."""
     from mapreducewordcount_spark.operators.langid import (
         N_BUCKETS,
         NGRAM,
@@ -62,9 +105,8 @@ def _language_ngram_sql() -> str:
 
     md5_expr = f"md5('{_SALT}' || g)"
     bucket = f"({_hex4_sql(md5_expr)}) % {N_BUCKETS}"
-    return f"""
-WITH {sig_artifacts.frame_cte('wt', 'doc_language_ngram',
-                              sig_artifacts.DOC_KEY_SQL)},
+    return f"""{sig_artifacts.frame_cte('wt', 'doc_language_ngram',
+                                        sig_artifacts.DOC_KEY_SQL)},
 tg AS (
   SELECT doc_id, {bucket} AS bucket, count(*) AS c
   FROM (
@@ -95,17 +137,60 @@ pred AS (
 fb AS (
   SELECT lang AS fb_lang FROM wt WHERE bucket = {PRIOR_BUCKET}
   ORDER BY w_micro DESC, lang DESC LIMIT 1
-)
-SELECT d.lang, coalesce(p.pred_lang, fb.fb_lang) AS pred_lang,
-       CAST(count(*) AS BIGINT) AS n_docs
-FROM documents d
-LEFT JOIN pred p ON d.doc_id = p.doc_id
-CROSS JOIN fb
+),
+pred_all AS (
+  SELECT d.doc_id, coalesce(p.pred_lang, fb.fb_lang) AS pred_lang
+  FROM documents d
+  LEFT JOIN pred p ON d.doc_id = p.doc_id
+  CROSS JOIN fb
+)"""
+
+
+def _language_ngram_sql() -> str:
+    return f"""
+WITH {_langid_pred_ctes()}
+SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN pred_all p ON d.doc_id = p.doc_id
 GROUP BY 1, 2
+"""
+
+
+def _mixture_predicted_sql() -> str:
+    from mapreducewordcount_spark.queries.pipeline2 import (
+        MIX_BUDGET,
+        MIX_WEIGHTS,
+    )
+
+    weights_sql = "(VALUES " + ", ".join(
+        f"('{k}', {v})" for k, v in MIX_WEIGHTS.items()) \
+        + ") AS wt_mix(pred_lang, w)"
+    total = sum(MIX_WEIGHTS.values())
+    return rf"""
+WITH {_langid_pred_ctes()},
+inv AS (
+  SELECT p.pred_lang, count(*) AS n_docs,
+         CAST(sum(CAST(len(regexp_extract_all(d.text,
+              '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)) AS BIGINT)
+           AS tokens_available
+  FROM documents d JOIN pred_all p ON d.doc_id = p.doc_id
+  GROUP BY 1
+)
+SELECT inv.pred_lang, inv.n_docs, inv.tokens_available,
+       round(COALESCE(wt_mix.w, 0.0) / {total!r}, 6) AS weight,
+       CAST(floor(COALESCE(wt_mix.w, 0.0) / {total!r} * {MIX_BUDGET})
+            AS BIGINT) AS tokens_target,
+       CASE WHEN inv.tokens_available > 0
+            THEN round(CAST(floor(COALESCE(wt_mix.w, 0.0) / {total!r}
+                                  * {MIX_BUDGET}) AS BIGINT)
+                       / CAST(inv.tokens_available AS DOUBLE), 6)
+            ELSE 0.0 END AS sample_rate
+FROM inv LEFT JOIN {weights_sql} ON inv.pred_lang = wt_mix.pred_lang
 """
 
 
 QUERIES = {
     "doc_language_ngram": QuerySpec(doc_language_ngram,
                                     _language_ngram_sql()),
+    "mixture_on_predicted_lang": QuerySpec(mixture_on_predicted_lang,
+                                           _mixture_predicted_sql()),
 }

@@ -129,3 +129,45 @@ def test_feature_extraction_trigram_contract(spark):
     b = sorted(map(tuple,
                    char_ngram_counts(docs.repartition(7)).collect()))
     assert a == b
+
+
+def test_mixture_on_predicted_labels_planted(spark, tmp_path):
+    """The classify→plan composition on a planted corpus written as
+    parquet tables: the mixture inventory must group on the
+    classifier's PREDICTED labels (which here equal the planted
+    ones — the classifier separates the three languages), and rates
+    must replay the plan arithmetic."""
+    from mapreducewordcount_spark.queries.pipeline2 import (
+        MIX_BUDGET,
+        MIX_WEIGHTS,
+    )
+    from mapreducewordcount_spark.queries.pipeline8 import (
+        mixture_on_predicted_lang,
+    )
+
+    import shutil
+
+    from mapreducewordcount_spark.sources import sig_artifacts
+
+    docs = _corpus(spark).withColumn("source", F.lit("src0")) \
+        .withColumn("n_chars", F.length("text").cast("long"))
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    n, s = sig_artifacts.corpus_key(docs)
+    try:
+        got = {r.pred_lang: r for r in
+               mixture_on_predicted_lang(spark, str(tmp_path)).collect()}
+    finally:
+        # the planted corpus materializes its own weight artifact —
+        # scrub it so committed artifact dirs stay clean
+        # (the test_roundtrip pattern)
+        shutil.rmtree(sig_artifacts.ARTIFACT_ROOT / "doc_language_ngram"
+                      / f"k={n}_{s}", ignore_errors=True)
+    assert set(got) == {"en", "es", "de"}  # predicted groups only
+    total_w = sum(MIX_WEIGHTS.values())
+    for lang, r in got.items():
+        assert r.n_docs == 3
+        assert r.weight == round(MIX_WEIGHTS[lang] / total_w, 6)
+        want_target = int(MIX_WEIGHTS[lang] / total_w * MIX_BUDGET)
+        assert r.tokens_target == want_target
+        assert r.sample_rate == round(
+            want_target / r.tokens_available, 6)

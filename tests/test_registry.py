@@ -40,7 +40,8 @@ def test_gate_window_rotation_round10():
     # additions, wc_top20 (the last r6-stale row), and 43 of the
     # 46-query r7-last-green cohort; positions 51-53 are the
     # designated spills (they lead r11)
-    assert names[:7] == ["sketch_stats", "doc_language_ngram",
+    assert names[:8] == ["sketch_stats", "doc_language_ngram",
+                         "mixture_on_predicted_lang",
                          "doc_chunk_share_pairs", "hybrid_rank_overlap",
                          "doc_chunk_gc_report",
                          "semantic_decontam_report", "wc_top20"]
@@ -52,9 +53,9 @@ def test_gate_window_rotation_round10():
         "orders_scd2_history", "orders_agg_ivm", "join_skew_report",
         "lineitem_zorder_layout", "events_compaction_plan",
         "part_name_fuzzy_pairs", "doc_language_id", "doc_stats",
-        "nation_balance_reconciliation", "unpivot_part_measures"}
+        "nation_balance_reconciliation"}
     assert r7_cohort_head <= window
-    assert names[50:53] == ["orders_by_month",
+    assert names[50:54] == ["unpivot_part_measures", "orders_by_month",
                             "pivot_status_by_segment",
                             "label_centroid_norms"]
     assert len(window) == 50
