@@ -141,6 +141,7 @@ HEADLINE = (
     "doc_language_ngram",
     "sketch_stats",
     "mixture_on_predicted_lang",
+    "sketch_cms_words",
 )
 
 #: FROZEN round-over-round comparison core (VERDICT r7 next#7): the

@@ -188,9 +188,80 @@ FROM inv LEFT JOIN {weights_sql} ON inv.pred_lang = wt_mix.pred_lang
 """
 
 
+CMS_TOP = 50
+
+
+def sketch_cms_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch validation report (``operators/cms``): build
+    the DEPTH×WIDTH sketch over the corpus token stream, probe it for
+    the top-50 exact word counts, and report exact vs estimate vs
+    overcount — the calibration relation a pipeline checks at small
+    scale before trusting the sketch where the exact vocabulary stops
+    fitting (the ``sketch_hll_report`` shape, for point frequencies).
+    FULLY oracled with no artifact: every cell is an integer sum
+    addressed by the cross-engine md5 hash, so DuckDB rebuilds sketch
+    and estimates from raw text (unlike GK percentiles — see
+    ``sketch_stats``)."""
+    from mapreducewordcount_spark.functions.tokenize import tokenize_expr
+    from mapreducewordcount_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(F.explode(tokenize_expr("text")).alias("word"))
+    exact = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_exact"))
+    top = (exact.orderBy(F.col("n_exact").desc(), "word")
+           .limit(CMS_TOP))
+    est = cms_estimate(top.select("word"), cms_build(words))
+    return (top.join(est, "word")
+            .select("word", "n_exact", "cms_count",
+                    (F.col("cms_count") - F.col("n_exact"))
+                    .cast("long").alias("overcount")))
+
+
+def _cms_sql() -> str:
+    from mapreducewordcount_spark.operators.cms import (
+        DEPTH,
+        WIDTH,
+        _SALT,
+    )
+    from mapreducewordcount_spark.queries.dedup_queries import _WORDS_CTE
+    from mapreducewordcount_spark.queries.pipeline2 import _hex4_sql
+
+    md5 = f"md5('{_SALT}' || t.d || ':' || word)"
+    cell = f"({_hex4_sql(md5)}) % {WIDTH}"
+    return f"""
+WITH {_WORDS_CTE},
+tok AS (SELECT unnest(words) AS word FROM w),
+exact AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n_exact
+  FROM tok GROUP BY 1
+),
+top AS (SELECT * FROM exact ORDER BY n_exact DESC, word LIMIT {CMS_TOP}),
+sk AS (
+  SELECT t.d, {cell} AS cell, CAST(count(*) AS BIGINT) AS c
+  FROM tok, range(0, {DEPTH}) t(d)
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT p.word, min(s.c) AS cms_count
+  FROM (SELECT word, t.d, {cell} AS cell
+        FROM top, range(0, {DEPTH}) t(d)) p
+  JOIN sk s ON s.d = p.d AND s.cell = p.cell
+  GROUP BY 1
+)
+SELECT top.word, top.n_exact, est.cms_count,
+       CAST(est.cms_count - top.n_exact AS BIGINT) AS overcount
+FROM top JOIN est USING (word)
+"""
+
+
 QUERIES = {
     "doc_language_ngram": QuerySpec(doc_language_ngram,
                                     _language_ngram_sql()),
     "mixture_on_predicted_lang": QuerySpec(mixture_on_predicted_lang,
                                            _mixture_predicted_sql()),
+    "sketch_cms_words": QuerySpec(sketch_cms_words, _cms_sql()),
 }

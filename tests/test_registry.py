@@ -40,8 +40,8 @@ def test_gate_window_rotation_round10():
     # additions, wc_top20 (the last r6-stale row), and 43 of the
     # 46-query r7-last-green cohort; positions 51-53 are the
     # designated spills (they lead r11)
-    assert names[:8] == ["sketch_stats", "doc_language_ngram",
-                         "mixture_on_predicted_lang",
+    assert names[:9] == ["sketch_stats", "doc_language_ngram",
+                         "mixture_on_predicted_lang", "sketch_cms_words",
                          "doc_chunk_share_pairs", "hybrid_rank_overlap",
                          "doc_chunk_gc_report",
                          "semantic_decontam_report", "wc_top20"]
@@ -55,7 +55,8 @@ def test_gate_window_rotation_round10():
         "part_name_fuzzy_pairs", "doc_language_id", "doc_stats",
         "nation_balance_reconciliation"}
     assert r7_cohort_head <= window
-    assert names[50:54] == ["unpivot_part_measures", "orders_by_month",
+    assert names[50:55] == ["rollup_with_grouping_flags",
+                            "unpivot_part_measures", "orders_by_month",
                             "pivot_status_by_segment",
                             "label_centroid_norms"]
     assert len(window) == 50
