@@ -142,6 +142,13 @@ HEADLINE = (
     "sketch_stats",
     "mixture_on_predicted_lang",
     "sketch_cms_words",
+    # round-10 late additions: basket-pair mining (one basket shuffle,
+    # array-expansion pairs), the MinHash decontamination leg (banded
+    # cross-probe + exact verify), first-order event transitions
+    # (one lead window + tiny agg) — first bench rows.
+    "part_pair_affinity",
+    "decontam_minhash_report",
+    "events_type_transitions",
 )
 
 #: FROZEN round-over-round comparison core (VERDICT r7 next#7): the

@@ -47,6 +47,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline6,
         pipeline7,
         pipeline8,
+        pipeline9,
         text_queries,
         tpch,
         wordcount_queries,
@@ -103,11 +104,16 @@ def all_queries() -> dict[str, QuerySpec]:
     #   guard) but are value-identical on non-pathological input —
     #   both re-verified hash-green against their oracles locally;
     #   semantic_decontam_report's exact form likewise after the
-    #   mode refactor.
+    #   mode refactor. The four queries added late in round 10
+    #   (part_pair_affinity, decontam_minhash_report,
+    #   events_type_transitions, ann_ivfpq_topk) are NOT in this
+    #   window — they are locally oracle-verified (hostile gate-sim
+    #   included) and lead the r11 rotation (the r9 late-addition
+    #   precedent).
     full: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries,
                 pipeline_queries, pipeline2, pipeline3, pipeline4,
-                pipeline5, pipeline6, pipeline7, pipeline8,
+                pipeline5, pipeline6, pipeline7, pipeline8, pipeline9,
                 tpch, bucketed_join, analytics, text_queries,
                 analytics2, analytics3, tpch2, tpch3):
         full.update(mod.QUERIES)

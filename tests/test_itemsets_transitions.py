@@ -1,0 +1,148 @@
+"""Planted ground truth for the round-10 late additions: basket-pair
+affinity mining, the MinHash decontamination leg, and event-type
+transition mining."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducewordcount_spark.operators.itemsets import (
+    basket_pairs,
+    basket_sets,
+    pair_affinity,
+)
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+# --- basket pairs -------------------------------------------------------------
+
+def test_basket_pairs_planted(spark):
+    # baskets: {1,2,3}, {1,2}, {2,3}, {4} — pair counts by hand
+    items = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 3),
+         (20, 1), (20, 2),
+         (30, 2), (30, 3),
+         (40, 4)], ["b", "i"])
+    got = _rows(basket_pairs(basket_sets(items, "b", "i")))
+    assert got == {(1, 2, 2), (1, 3, 1), (2, 3, 2)}
+
+
+def test_basket_pairs_dedupes_repeated_item_rows(spark):
+    # the same (basket, item) arriving twice (two lineitems of one
+    # part in one order) must count once
+    items = spark.createDataFrame(
+        [(10, 1), (10, 1), (10, 2)], ["b", "i"])
+    got = _rows(basket_pairs(basket_sets(items, "b", "i")))
+    assert got == {(1, 2, 1)}
+
+
+def test_basket_cap_drops_mega_basket(spark):
+    big = [(99, i) for i in range(10)]
+    items = spark.createDataFrame(big + [(1, 1), (1, 2)], ["b", "i"])
+    got = _rows(basket_pairs(basket_sets(items, "b", "i", max_basket=8)))
+    # the 10-item basket is dropped whole; only the small basket pairs
+    assert got == {(1, 2, 1)}
+
+
+def test_pair_affinity_lift_by_hand(spark):
+    # 4 baskets; pair (1,2) in 2 of them, n_1 = 3, n_2 = 2
+    # conf(1→2) = 2/3 = 0.6667, conf(2→1) = 2/2 = 1.0,
+    # lift = 2*4 / (3*2) = 1.3333
+    items = spark.createDataFrame(
+        [(10, 1), (10, 2),
+         (20, 1), (20, 2),
+         (30, 1), (30, 3),
+         (40, 4)], ["b", "i"])
+    got = _rows(pair_affinity(items, "b", "i", min_support=2))
+    assert got == {(1, 2, 2, 3, 2, 0.6667, 1.0, 1.3333)}
+
+
+def test_pair_affinity_min_support_filters(spark):
+    items = spark.createDataFrame(
+        [(10, 1), (10, 2), (20, 2), (20, 3)], ["b", "i"])
+    assert pair_affinity(items, "b", "i", min_support=2).count() == 0
+    assert pair_affinity(items, "b", "i", min_support=1).count() == 2
+
+
+# --- minhash decontamination ---------------------------------------------------
+
+def test_decontam_minhash_planted_recall(spark):
+    """A training doc that is a light edit of an eval doc is flagged;
+    an unrelated doc is not. doc_id % 25 == 0 plays eval."""
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "seventeen astronauts compile spark plans under moonlight "
+            "and every shuffle partition hums a different tune " * 3)
+    docs = spark.createDataFrame(
+        [(25, base),                                  # eval
+         (1, base + " extra closing words appended here"),  # near-dup
+         (2, "completely different content about database join "
+             "strategies and columnar storage layouts with nothing "
+             "shared beyond grammar " * 4)],           # clean
+        ["doc_id", "text"]).withColumn(
+            "lang", F.lit("en")).withColumn(
+            "source", F.lit("t")).withColumn(
+            "n_chars", F.length("text"))
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        from mapreducewordcount_spark.queries.pipeline9 import (
+            decontam_minhash_report,
+        )
+        got = {r["doc_id"]: (r["n_eval_hits"], r["max_jaccard"])
+               for r in decontam_minhash_report(spark, d).collect()}
+    assert set(got) == {1}
+    hits, jac = got[1]
+    assert hits == 1 and jac >= 0.7
+
+
+# --- event transitions ---------------------------------------------------------
+
+def test_event_transitions_planted(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a -> b -> a
+        (1, t0, 1, "a"), (2, t0 + dt.timedelta(minutes=1), 1, "b"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "a"),
+        # user 2: a -> b
+        (4, t0, 2, "a"), (5, t0 + dt.timedelta(minutes=1), 2, "b"),
+    ]
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"])
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        (e.withColumn("value", F.lit(1.0))
+          .withColumn("props", F.lit("{}"))
+          .write.parquet(f"{d}/events.parquet"))
+        from mapreducewordcount_spark.queries.pipeline9 import (
+            events_type_transitions,
+        )
+        got = _rows(events_type_transitions(spark, d))
+    # transitions: a->b twice (p=1.0), b->a once (p=0.5... no:
+    # from b there are 2 outgoing? user1 b->a, user2 b has no next.
+    # outgoing from a: 2 (both a->b); from b: 1 (b->a) -> p=1.0
+    assert got == {("a", "b", 2, 1.0), ("b", "a", 1, 1.0)}
+
+
+def test_event_transitions_ties_break_on_event_id(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(2, t0, 1, "b"), (1, t0, 1, "a")]  # same ts: order by id
+    e = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"])
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        (e.withColumn("value", F.lit(1.0))
+          .withColumn("props", F.lit("{}"))
+          .write.parquet(f"{d}/events.parquet"))
+        from mapreducewordcount_spark.queries.pipeline9 import (
+            events_type_transitions,
+        )
+        got = _rows(events_type_transitions(spark, d))
+    assert got == {("a", "b", 1, 1.0)}
