@@ -104,6 +104,86 @@ def stream_user_running_totals(events: DataFrame) -> DataFrame:
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def stream_event_transitions(events: DataFrame) -> DataFrame:
+    """Per-user first-order transition counts maintained incrementally
+    across micro-batches — the streaming twin of the batch
+    ``events_type_transitions`` query (queries/pipeline9.py).
+
+    The lead-window shape is inherently stateful in a stream: the
+    transition at a micro-batch boundary pairs the LAST event of the
+    previous batch with the FIRST of the next, which no stateless
+    per-batch window can see. State per user = the last event seen
+    (epoch-µs, id, type) + the user's cumulative (from, to) count map
+    (bounded at |types|² entries, stored as parallel arrays). Each
+    batch sorts the user's slice by (ts, event_id), folds transitions
+    through the stored boundary, and emits the TOUCHED pairs with
+    cumulative counts (update mode — the state-store discipline of
+    stream_user_running_totals).
+
+    In-order contract (fail-fast, the CDC-twin discipline): a batch
+    whose earliest event precedes the stored last event would have
+    produced different transitions in the batch ordering — the twin
+    raises instead of silently diverging. The production swap for
+    genuinely late data is a watermark + reorder buffer in front
+    (documented in SCALE.md), which trades latency for order.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            last_us, last_id, last_type, froms, tos, counts = state.get
+            cnt = {(f, t): c for f, t, c in zip(froms, tos, counts)}
+        else:
+            last_us, last_id, last_type, cnt = -1, -1, None, {}
+        batch = pd.concat(list(pdfs))
+        if batch.empty:
+            return
+        batch = batch.sort_values(["ts", "event_id"])
+        first_us = int(batch["ts"].iloc[0].value // 1000)
+        first_id = int(batch["event_id"].iloc[0])
+        if (first_us, first_id) <= (last_us, last_id):
+            raise ValueError(
+                f"out-of-order micro-batch for user {key[0]}: event "
+                f"({first_us}, {first_id}) precedes stored last "
+                f"({last_us}, {last_id}); front a reorder buffer for "
+                "late sources")
+        touched: set = set()
+        prev = last_type
+        for t in batch["event_type"]:
+            if prev is not None:
+                k = (prev, t)
+                cnt[k] = cnt.get(k, 0) + 1
+                touched.add(k)
+            prev = t
+        tail = batch.iloc[-1]
+        keys = sorted(cnt)
+        state.update((int(tail["ts"].value // 1000),
+                      int(tail["event_id"]), str(tail["event_type"]),
+                      [k[0] for k in keys], [k[1] for k in keys],
+                      [int(cnt[k]) for k in keys]))
+        if touched:
+            tk = sorted(touched)
+            yield pd.DataFrame({
+                "user_id": [int(key[0])] * len(tk),
+                "from_type": [k[0] for k in tk],
+                "to_type": [k[1] for k in tk],
+                "n_transitions": [int(cnt[k]) for k in tk]})
+
+    return (events
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=("user_id long, from_type string, "
+                                  "to_type string, n_transitions long"),
+                stateStructType=("last_us long, last_id long, "
+                                 "last_type string, froms array<string>, "
+                                 "tos array<string>, counts array<long>"),
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def stream_deduped_docs(docs: DataFrame, watermark: str = "1 hour",
                         id_col: str = "fp") -> DataFrame:
     """Streaming exact dedup: first-seen wins within the watermark.

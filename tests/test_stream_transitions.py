@@ -1,0 +1,109 @@
+"""Streaming event-transition twin: cross-batch boundary transitions,
+batch-query parity, and the in-order fail-fast contract."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mapreducewordcount_spark.streaming import stream_event_transitions
+
+SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType())])
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _write_batch(spark, src, name, rows):
+    (spark.createDataFrame(rows, SCHEMA)
+     .coalesce(1).write.parquet(f"{src}/{name}"))
+
+
+def _latest_counts(spark, table):
+    """Memory sink appends updates; keep the max count per key."""
+    latest: dict = {}
+    for r in spark.sql(f"SELECT * FROM {table}").collect():
+        k = (r.user_id, r.from_type, r.to_type)
+        latest[k] = max(latest.get(k, 0), r.n_transitions)
+    return latest
+
+
+def _start(spark, src, name):
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(f"{src}/*"))
+    return (stream_event_transitions(stream)
+            .writeStream.outputMode("update").format("memory")
+            .queryName(name).start())
+
+
+def test_transitions_cross_batch_boundary_and_parity(spark, tmp_path):
+    src = tmp_path / "ev"
+    src.mkdir()
+    b1 = [(1, T0, 1, "a"),
+          (2, T0 + dt.timedelta(minutes=1), 1, "b")]
+    _write_batch(spark, src, "b1", b1)
+    q = _start(spark, src, "transitions")
+    try:
+        q.processAllAvailable()
+        assert _latest_counts(spark, "transitions") == {
+            (1, "a", "b"): 1}
+
+        # batch 2: user 1 continues (the b->a transition SPANS the
+        # batch boundary — the stateless-window miss this twin
+        # exists for), user 2 appears fresh
+        b2 = [(3, T0 + dt.timedelta(minutes=2), 1, "a"),
+              (4, T0 + dt.timedelta(minutes=3), 1, "c"),
+              (5, T0 + dt.timedelta(minutes=2), 2, "a"),
+              (6, T0 + dt.timedelta(minutes=3), 2, "b")]
+        _write_batch(spark, src, "b2", b2)
+        q.processAllAvailable()
+        got = _latest_counts(spark, "transitions")
+        assert got == {(1, "a", "b"): 1, (1, "b", "a"): 1,
+                       (1, "a", "c"): 1, (2, "a", "b"): 1}
+
+        # parity: global sums equal the BATCH query over all rows
+        from mapreducewordcount_spark.queries.pipeline9 import (
+            events_type_transitions,
+        )
+        alldf = spark.createDataFrame(b1 + b2, SCHEMA)
+        bdir = tmp_path / "batch"
+        (alldf.withColumn("value", F.lit(1.0))
+         .withColumn("props", F.lit("{}"))
+         .write.parquet(f"{bdir}/events.parquet"))
+        want = {(r.from_type, r.to_type): r.n_transitions
+                for r in events_type_transitions(
+                    spark, str(bdir)).collect()}
+        summed: dict = {}
+        for (_, f, t), n in got.items():
+            summed[(f, t)] = summed.get((f, t), 0) + n
+        assert summed == want
+    finally:
+        q.stop()
+
+
+def test_transitions_out_of_order_batch_raises(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    _write_batch(spark, src, "b1",
+                 [(10, T0 + dt.timedelta(hours=1), 1, "a")])
+    q = _start(spark, src, "transitions_ooo")
+    try:
+        q.processAllAvailable()
+        # a later batch carrying an EARLIER event violates the
+        # in-order contract; the twin fails fast instead of silently
+        # counting a transition batch semantics never saw
+        _write_batch(spark, src, "b2", [(11, T0, 1, "b")])
+        with pytest.raises(StreamingQueryException,
+                           match="out-of-order micro-batch"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
