@@ -193,16 +193,45 @@ def pq_shortlist(corpus: DataFrame, queries: DataFrame,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  query_id_col: str = "query_id", m: int = 8,
                  n_cent: int = 16, refine: int = 32,
-                 adc_mode: str = "auto") -> DataFrame:
+                 adc_mode: str = "auto",
+                 candidates: DataFrame | None = None) -> DataFrame:
     """(query_id, neighbor_id) ADC shortlist — the ``refine``
     lowest-ADC candidates per query (ties on neighbor_id). The model
     half of PQ ANN: everything here rides the trained codebooks and
     the float ADC sums, which SQL can't replicate bit-for-bit; the
     gate materializes this table and the oracle recomputes the exact
-    rerank downstream of it."""
+    rerank downstream of it.
+
+    ``candidates`` (optional (query_id, neighbor_id) frame) restricts
+    the ADC scan to those pairs — the IVF+PQ composition seam: a
+    coarse quantizer prunes the corpus per query BEFORE any ADC work,
+    turning the inherent O(N×Q) scan into O(routed×Q). Scoring then
+    rides two equi-joins (codes on neighbor_id, broadcast ADC tables
+    on query_id) with the same codegen lookup fold as join mode."""
     if adc_mode not in ("auto", "closure", "join"):
         raise ValueError(f"adc_mode={adc_mode!r} not in auto/closure/join")
     codes, books = pq_build(corpus, id_col, vec_col, m=m, k=n_cent)
+    if candidates is not None:
+        qtab = _adc_tables_df(queries, books, query_id_col, vec_col)
+        scored = (candidates.select("query_id", "neighbor_id")
+                  .join(codes, "neighbor_id")
+                  .join(F.broadcast(qtab), "query_id")
+                  .withColumn("adc", F.aggregate(
+                      F.zip_with(
+                          "codes",
+                          F.sequence(F.lit(0), F.lit(m - 1)),
+                          lambda c, j: F.element_at(
+                              F.col("adc_tab"),
+                              (j * n_cent + c + 1).cast("int"))),
+                      F.lit(0.0), lambda acc, x: acc + x))
+                  .select("query_id", "neighbor_id", "adc"))
+        wa = (Window.partitionBy("query_id")
+              .orderBy(F.col("adc"), F.col("neighbor_id")))
+        return (scored
+                .filter(F.col("query_id") != F.col("neighbor_id"))
+                .withColumn("__r", F.row_number().over(wa))
+                .filter(F.col("__r") <= refine)
+                .select("query_id", "neighbor_id"))
     if adc_mode == "auto":
         # probe with take(threshold+1), not count(): queries can be
         # an arbitrary upstream plan, and count() would execute it in

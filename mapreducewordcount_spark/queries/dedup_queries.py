@@ -440,6 +440,56 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_rerank(sl, emb, queries, k=5)
 
 
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed ANN — the realistic 100 TB serving shape
+    (FAISS IndexIVFPQ): the coarse quantizer routes each query to
+    ``n_probe`` inverted lists (pruning the corpus scan ~n_lists/
+    n_probe-fold), PQ-ADC scores ONLY the routed candidates from
+    8-byte codes (32× memory), and exact cosine re-ranks the ADC
+    shortlist. The shortlist — downstream of both float model stages
+    SQL can't replicate — is the committed artifact; DuckDB
+    recomputes the exact rerank + ranking from it (the ann_pq_topk
+    recipe). Recall vs brute force is pytest-pinned alongside the
+    single-stage variants."""
+    from mapreducewordcount_spark.operators.pq import (
+        pq_rerank,
+        pq_shortlist,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    assigned, cent = sim.ivf_build(emb, n_lists=16, kmeans_iters=2)
+    routed = sim.ivf_route(queries, cent, n_probe=4)
+    cand = (routed
+            .join(assigned.select(F.col("neighbor_id"), "list_id"),
+                  "list_id")
+            .select("query_id", "neighbor_id"))
+    sl = _sig_artifacts.materialize_frame(
+        pq_shortlist(emb, queries, refine=32, candidates=cand),
+        "ann_ivfpq_topk_shortlist",
+        _sig_artifacts.embeddings_corpus_key(emb),
+        ["query_id", "neighbor_id"])
+    return pq_rerank(sl, emb, queries, k=5)
+
+
+ANN_IVFPQ_SQL = f"""
+WITH {_sig_artifacts.frame_cte('sl', 'ann_ivfpq_topk_shortlist')},
+scored AS (
+  SELECT sl.query_id, sl.neighbor_id, {_GUARDED_COS_6} AS cos
+  FROM sl
+  JOIN embeddings eq ON eq.vec_id = sl.query_id
+  JOIN embeddings en ON en.vec_id = sl.neighbor_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+       cos
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
 ANN_PQ_SQL = f"""
 WITH {_sig_artifacts.frame_cte('sl', 'ann_pq_topk_shortlist')},
 scored AS (
@@ -463,6 +513,7 @@ QUERIES = {
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_SQL),
     "ann_pq_topk": QuerySpec(ann_pq_topk, ANN_PQ_SQL),
+    "ann_ivfpq_topk": QuerySpec(ann_ivfpq_topk, ANN_IVFPQ_SQL),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_COSINE_SQL),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_pairs": QuerySpec(dedup_ngram_pairs, DEDUP_PAIRS_SQL),

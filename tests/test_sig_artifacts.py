@@ -99,6 +99,7 @@ ARTIFACT_QUERIES = {
     "ann_lsh_topk": ("ann_lsh_topk",),
     "ann_ivf_topk": ("ann_ivf_topk_assign", "ann_ivf_topk_routed"),
     "ann_pq_topk": ("ann_pq_topk_shortlist",),
+    "ann_ivfpq_topk": ("ann_ivfpq_topk_shortlist",),
     "semantic_dedup_embeddings": ("semantic_dedup_embeddings",),
     "embedding_cluster_stats": ("embedding_cluster_stats_assign",
                                 "embedding_cluster_stats_cent"),

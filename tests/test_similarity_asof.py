@@ -191,3 +191,32 @@ def test_pq_codes_are_compact_and_deterministic(spark, emb):
     assert books == books2
     assert {r.neighbor_id: list(r.codes)
             for r in codes2.collect()} == rows
+
+
+def test_ivfpq_recall_and_containment(spark, emb):
+    """The composed IVF+PQ path: recall must beat the random baseline
+    (it scans n_probe/n_lists of the corpus AND compresses to codes —
+    the doubly-approximate case), and its shortlist must be contained
+    in the IVF routing (PQ only reorders the routed candidates)."""
+    from mapreducewordcount_spark.operators import similarity as sim
+    from mapreducewordcount_spark.operators.pq import pq_shortlist
+
+    q = _queries(emb)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, q, k=5).collect()}
+    assigned, cent = sim.ivf_build(emb, n_lists=16, kmeans_iters=2)
+    routed = sim.ivf_route(q, cent, n_probe=4)
+    cand = (routed.join(assigned.select("neighbor_id", "list_id"),
+                        "list_id")
+            .select("query_id", "neighbor_id"))
+    sl = pq_shortlist(emb, q, refine=32, candidates=cand)
+    sl_rows = {(r.query_id, r.neighbor_id) for r in sl.collect()}
+    cand_rows = {(r.query_id, r.neighbor_id) for r in cand.collect()}
+    assert sl_rows <= cand_rows          # containment: IVF prunes first
+    from mapreducewordcount_spark.operators.pq import pq_rerank
+    approx = {(r.query_id, r.neighbor_id)
+              for r in pq_rerank(sl, emb, q, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    # doubly approximate: must still decisively beat the random
+    # 32/N-scan baseline on near-random 64-d vectors
+    assert recall >= 0.3, f"IVF+PQ recall collapsed: {recall}"
