@@ -149,6 +149,7 @@ HEADLINE = (
     "part_pair_affinity",
     "decontam_minhash_report",
     "events_type_transitions",
+    "ann_ivfpq_topk",
 )
 
 #: FROZEN round-over-round comparison core (VERDICT r7 next#7): the
