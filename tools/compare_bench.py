@@ -27,7 +27,37 @@ import sys
 def load(path: str) -> dict:
     with open(path) as f:
         d = json.load(f)
-    return d.get("parsed", d)  # driver wrapper or raw report
+    rep = d.get("parsed", d)  # driver wrapper or raw report
+    if rep is None:
+        # driver wrappers truncate the report line into ``tail`` when
+        # it overflows (parsed == null); salvage what regex can reach —
+        # per-query seconds, core totals, and the fingerprint scores
+        rep = _salvage(d.get("tail") or "")
+        print(f"note: {path} carries no parsed report; "
+              f"salvaged {len(rep.get('queries', {}))} query rows "
+              "from its truncated tail")
+    return rep
+
+
+def _salvage(tail: str) -> dict:
+    import re
+
+    queries = {m.group(1): float(m.group(2)) for m in re.finditer(
+        r'"([a-z0-9_]+)":\s*([0-9]+\.[0-9]+)', tail)
+        # keys that are report fields, not query names
+        if m.group(1) not in ("value", "core_total", "sf",
+                              "cpu_score_ms", "cpu_util_pct",
+                              "steal_pct")}
+    rep: dict = {"queries": queries}
+    m = re.search(r'"core_totals":\s*\[([0-9.,\s]+)\]', tail)
+    if m:
+        totals = [float(x) for x in m.group(1).split(",")]
+        rep["core_total"] = statistics.median(totals)
+    scores = [float(m.group(1)) for m in
+              re.finditer(r'"cpu_score_ms":\s*([0-9.]+)', tail)]
+    if scores:
+        rep["env"] = [{"start": {"cpu_score_ms": s}} for s in scores]
+    return rep
 
 
 def score_of(rep: dict) -> float | None:
