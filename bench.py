@@ -150,6 +150,7 @@ HEADLINE = (
     "decontam_minhash_report",
     "events_type_transitions",
     "ann_ivfpq_topk",
+    "doc_nfc_stats",
 )
 
 #: FROZEN round-over-round comparison core (VERDICT r7 next#7): the

@@ -1,6 +1,7 @@
 """Round-10 late additions: frequent-itemset pair mining, the
-MinHash leg of the decontamination matrix, and event-type transition
-mining (first-order Markov counts).
+MinHash leg of the decontamination matrix, event-type transition
+mining (first-order Markov counts), and the Unicode-NFC
+normalization report.
 
 Reference parity: none — extension surface (SURVEY.md §2.5); the
 reference engine (/root/reference/src, 549 LoC) has no relational or
@@ -24,6 +25,11 @@ Oracle notes:
   total per-user order (ts, event_id); the row probability is one
   rounded divide. The oracle casts the window sum to DOUBLE at the
   source (DuckDB sum(BIGINT) → HUGEINT is gate-unsafe).
+- ``doc_nfc_stats`` — CPython ``unicodedata`` vs DuckDB utf8proc,
+  both implementing Unicode canonical composition; the planted
+  decomposed/composed arms (explicit escapes on both sides) make the
+  report doc-varying on the ASCII-safe corpus. Integer counts and
+  code-point lengths only.
 """
 
 from __future__ import annotations
@@ -157,6 +163,76 @@ GROUP BY 1
 """
 
 
+# --- unicode normalization ----------------------------------------------------
+
+#: deterministic non-NFC text planted into the (ASCII-safe) synthetic
+#: corpus so the normalization pass exercises both the changed and
+#: unchanged paths with doc-varying counts — the PII-planting recipe.
+#: U+0301 combining acute / U+030A combining ring decompose-compose;
+#: the %7 arm appends an ALREADY-composed é (must not change).
+def _nfc_planted(doc_id, text):
+    # explicit escapes, never source-literal accented chars: an editor
+    # or tool normalizing this file would silently flip the planted
+    # forms (the %2/%3 arms MUST be decomposed e+U+0301 / A+U+030A;
+    # the %7 arm MUST be the composed U+00E9)
+    return F.concat(
+        text,
+        F.when(doc_id % 2 == 0, F.lit(" e\u0301")).otherwise(F.lit("")),
+        F.when(doc_id % 3 == 0, F.lit(" A\u030a")).otherwise(F.lit("")),
+        F.when(doc_id % 7 == 0, F.lit(" \u00e9")).otherwise(F.lit("")))
+
+
+_NFC_PLANTED_SQL = """
+  text || CASE WHEN doc_id % 2 = 0 THEN ' e' || chr(769) ELSE '' END
+       || CASE WHEN doc_id % 3 = 0 THEN ' A' || chr(778) ELSE '' END
+       || CASE WHEN doc_id % 7 = 0 THEN ' ' || chr(233) ELSE '' END
+"""
+
+
+def doc_nfc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Unicode-normalization report: documents whose text
+    changes under NFC and the code points saved — the hygiene pass
+    that must run BEFORE any byte-hashing stage (exact dedup,
+    fingerprints, shingles), since composed and decomposed spellings
+    of identical text hash apart.
+
+    The normalization itself is the documented pandas-UDF exception
+    (functions/normalize.py — Spark has no Unicode-composition
+    builtin); everything around it is row-local expressions + one
+    partial-agg groupBy. Cross-engine: CPython unicodedata vs DuckDB
+    utf8proc, both implementing the same canonical composition — the
+    hash gate certifies their agreement on every run."""
+    from mapreducewordcount_spark.functions.normalize import (
+        nfc_normalize,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    planted = _nfc_planted(F.col("doc_id"), F.col("text"))
+    norm = nfc_normalize(planted)
+    return (docs
+            .select("source",
+                    (planted != norm).cast("int").alias("chg"),
+                    (F.length(planted) - F.length(norm)).alias("delta"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("chg").alias("n_changed"),
+                 F.sum("delta").alias("chars_delta")))
+
+
+DOC_NFC_SQL = f"""
+WITH planted AS (
+  SELECT source, {_NFC_PLANTED_SQL} AS p FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN p <> nfc_normalize(p) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_changed,
+       CAST(sum(length(p) - length(nfc_normalize(p))) AS BIGINT)
+           AS chars_delta
+FROM planted
+GROUP BY source
+"""
+
+
 # --- event-type transition mining --------------------------------------------
 
 def events_type_transitions(spark: SparkSession,
@@ -209,4 +285,5 @@ QUERIES = {
                                          DECONTAM_MINHASH_SQL),
     "events_type_transitions": QuerySpec(events_type_transitions,
                                          EVENTS_TRANSITIONS_SQL),
+    "doc_nfc_stats": QuerySpec(doc_nfc_stats, DOC_NFC_SQL),
 }

@@ -146,3 +146,31 @@ def test_event_transitions_ties_break_on_event_id(spark):
         )
         got = _rows(events_type_transitions(spark, d))
     assert got == {("a", "b", 1, 1.0)}
+
+
+# --- unicode normalization -----------------------------------------------------
+
+def test_nfc_stats_planted(spark):
+    """Decomposed text counts as changed with the right char delta;
+    composed text and ASCII do not change."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "plain ascii"),                 # odd, not %3/%7: unchanged
+         (2, "x"),                           # %2: gets e+U+0301 -> -1
+         (6, "y"),                           # %2 and %3: two marks -> -2
+         (7, "z"),                           # %7: composed only -> 0
+         ], ["doc_id", "text"]).withColumn(
+            "lang", F.lit("en")).withColumn(
+            "source", F.lit("s")).withColumn(
+            "n_chars", F.length("text"))
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        from mapreducewordcount_spark.queries.pipeline9 import (
+            doc_nfc_stats,
+        )
+        rows = doc_nfc_stats(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_docs"], r["n_changed"], r["chars_delta"]) == (4, 2, 3)
