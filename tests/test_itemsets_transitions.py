@@ -174,3 +174,56 @@ def test_nfc_stats_planted(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r["n_docs"], r["n_changed"], r["chars_delta"]) == (4, 2, 3)
+
+
+# --- property: Spark pair mining == brute-force Python spec --------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _round4(x: float) -> float:
+    """Spark's round(): HALF_UP on the shortest decimal repr — NOT
+    Python's banker's round (0.28125 → 0.2813, not 0.2812)."""
+    import decimal
+
+    return float(decimal.Decimal(repr(x)).quantize(
+        decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP))
+
+
+def _brute_affinity(rows, min_support, max_basket):
+    """Independent Python spec of pair_affinity (itertools, no Spark)."""
+    import itertools
+
+    baskets: dict = {}
+    for b, i in rows:
+        baskets.setdefault(b, set()).add(i)
+    baskets = {b: s for b, s in baskets.items() if len(s) <= max_basket}
+    n = len(baskets)
+    marg: dict = {}
+    for s in baskets.values():
+        for i in s:
+            marg[i] = marg.get(i, 0) + 1
+    pairs: dict = {}
+    for s in baskets.values():
+        for a, b in itertools.combinations(sorted(s), 2):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    out = set()
+    for (a, b), c in pairs.items():
+        if c >= min_support:
+            out.add((a, b, c, marg[a], marg[b],
+                     _round4(c / marg[a]), _round4(c / marg[b]),
+                     _round4(c * n / (marg[a] * marg[b]))))
+    return out
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(st.tuples(st.integers(0, 8), st.integers(0, 6)),
+                     min_size=1, max_size=60),
+       min_support=st.integers(1, 3))
+def test_pair_affinity_matches_brute_force(spark, rows, min_support):
+    df = spark.createDataFrame(rows, ["b", "i"])
+    got = _rows(pair_affinity(df, "b", "i", min_support=min_support,
+                              max_basket=4))
+    assert got == _brute_affinity(rows, min_support, max_basket=4)
