@@ -84,7 +84,12 @@ def test_query_matches_duckdb_oracle(spark, duck, name):
         assert not bad, f"{name}.{col}: first mismatches {bad[:5]}"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
+@pytest.mark.parametrize(
+    "name", ROWS_ONLY or [pytest.param(
+        "__registry_fully_oracled__",
+        marks=pytest.mark.skip(
+            reason="no rows-only queries left — every registry entry "
+                   "has a DuckDB/artifact oracle (round 10)"))])
 def test_rows_only_queries_run(spark, name):
     df = SPECS[name].spark_fn(spark, SF_ORACLE)
     assert df.count() >= 0 and len(df.schema) > 0
