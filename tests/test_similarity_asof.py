@@ -220,3 +220,23 @@ def test_ivfpq_recall_and_containment(spark, emb):
     # doubly approximate: must still decisively beat the random
     # 32/N-scan baseline on near-random 64-d vectors
     assert recall >= 0.3, f"IVF+PQ recall collapsed: {recall}"
+
+
+def test_pq_candidates_seam_edge_cases(spark, emb):
+    """The IVF+PQ composition seam: an empty candidate frame yields
+    an empty shortlist (no crash, no fallback to the full scan), and
+    self-pairs are excluded exactly as in the unrestricted path."""
+    from pyspark.sql import functions as F
+
+    from mapreducewordcount_spark.operators.pq import pq_shortlist
+
+    q = _queries(emb)
+    empty = (emb.select(F.col("vec_id").alias("query_id"),
+                        F.col("vec_id").alias("neighbor_id"))
+             .filter(F.lit(False)))
+    assert pq_shortlist(emb, q, refine=8, candidates=empty).count() == 0
+
+    # self-pairs only -> all excluded
+    selfp = q.select("query_id",
+                     F.col("query_id").alias("neighbor_id"))
+    assert pq_shortlist(emb, q, refine=8, candidates=selfp).count() == 0
