@@ -173,8 +173,44 @@ FROM d
 """
 
 
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form ROLLUP/CUBE can't
+    express: revenue by (segment), by (status, priority), and the
+    grand total, with ``grouping()`` flags disambiguating subtotal
+    rows from real NULL keys. One Expand + one aggregate in the plan
+    (each input row fans out once per set — 3× here, constant), so
+    the shape scales like any partial-agg groupBy; column pruning
+    still reaches the scan. Spark 4's native ``DataFrame.
+    groupingSets`` (round-10 addition to the relational family)."""
+    return (_joined_orders(spark, sf_dir)
+            .groupingSets([["c_mktsegment"],
+                           ["o_orderstatus", "o_orderpriority"], []],
+                          "c_mktsegment", "o_orderstatus",
+                          "o_orderpriority")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_orders"),
+                 F.grouping("c_mktsegment").cast("int").alias("g_seg"),
+                 F.grouping("o_orderstatus").cast("int").alias("g_status"),
+                 F.grouping("o_orderpriority").cast("int")
+                 .alias("g_prio")))
+
+
+GROUPING_SETS_SQL = """
+SELECT c_mktsegment, o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders,
+       CAST(grouping(c_mktsegment) AS INT) AS g_seg,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_prio
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment),
+                        (o_orderstatus, o_orderpriority), ())
+"""
+
+
 QUERIES = {
     "pivot_status_by_segment": QuerySpec(pivot_status_by_segment, PIVOT_SQL),
+    "grouping_sets_revenue": QuerySpec(grouping_sets_revenue,
+                                       GROUPING_SETS_SQL),
     "unpivot_part_measures": QuerySpec(unpivot_part_measures, UNPIVOT_SQL),
     "cube_revenue": QuerySpec(cube_revenue, CUBE_SQL),
     "segment_price_quantiles": QuerySpec(segment_price_quantiles, QUANTILES_SQL),
