@@ -104,12 +104,13 @@ def all_queries() -> dict[str, QuerySpec]:
     #   guard) but are value-identical on non-pathological input —
     #   both re-verified hash-green against their oracles locally;
     #   semantic_decontam_report's exact form likewise after the
-    #   mode refactor. The five queries added late in round 10
+    #   mode refactor. The six queries added late in round 10
     #   (part_pair_affinity, decontam_minhash_report,
-    #   events_type_transitions, ann_ivfpq_topk, doc_nfc_stats) are
-    #   NOT in this window — they are locally oracle-verified at BOTH
-    #   sf0.001 and sf0.01 (hostile gate-sim included) and lead the
-    #   r11 rotation (the r9 late-addition precedent).
+    #   events_type_transitions, ann_ivfpq_topk, doc_nfc_stats,
+    #   grouping_sets_revenue) are NOT in this window — they are
+    #   locally oracle-verified (hostile gate-sim included; the first
+    #   five at BOTH sf0.001 and sf0.01) and lead the r11 rotation
+    #   (the r9 late-addition precedent).
     full: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries,
                 pipeline_queries, pipeline2, pipeline3, pipeline4,
