@@ -137,9 +137,10 @@ def stream_event_transitions(events: DataFrame) -> DataFrame:
             cnt = {(f, t): c for f, t, c in zip(froms, tos, counts)}
         else:
             last_us, last_id, last_type, cnt = -1, -1, None, {}
-        batch = pd.concat(list(pdfs))
-        if batch.empty:
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:  # pd.concat raises on an empty list
             return
+        batch = pd.concat(frames)
         batch = batch.sort_values(["ts", "event_id"])
         first_us = int(batch["ts"].iloc[0].value // 1000)
         first_id = int(batch["event_id"].iloc[0])
