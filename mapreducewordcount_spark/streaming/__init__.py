@@ -5,6 +5,7 @@ from mapreducewordcount_spark.streaming.jobs import (  # noqa: F401
     stream_simhash_dedup,
     stream_source_token_budget,
     stream_source_token_budget_tws,
+    stream_cms_cells,
     stream_event_transitions,
     stream_user_running_totals,
     stream_word_counts,

@@ -38,6 +38,33 @@ def stream_word_counts(lines: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("cnt")))
 
 
+def stream_cms_cells(lines: DataFrame) -> DataFrame:
+    """streaming lines(value) → running count-min sketch cells —
+    the BOUNDED-STATE streaming frequency summary.
+
+    `stream_word_counts` keeps one state row per distinct word
+    (state grows with the vocabulary — unbounded on an open stream);
+    this twin keeps ≤ DEPTH × WIDTH (4 × 2048) rows NO MATTER how
+    long the stream runs, trading exactness for the CMS
+    never-underestimate / ≤ e/WIDTH·N overcount contract
+    (operators/cms.py, property-tested). Because cell sums are
+    merge-order and partition invariant (the same invariance the
+    batch oracle rides), the streaming aggregation's final state
+    (update or complete mode) equals the batch `cms_build` over the
+    union of all micro-batches — pinned across a batch boundary in
+    tests/test_stream_transitions.py.
+    Probes run against the sink exactly as against the batch sketch.
+    """
+    from mapreducewordcount_spark.operators.cms import DEPTH, _cell
+
+    cells = F.array(*[_cell(F.col("word"), d) for d in range(DEPTH)])
+    return (lines
+            .select(F.explode(tokenize_expr("value")).alias("word"))
+            .select(F.posexplode(cells).alias("d", "cell"))
+            .groupBy("d", "cell")
+            .agg(F.count(F.lit(1)).alias("c")))
+
+
 def stream_hourly_events(events: DataFrame,
                          watermark: str = "2 hours") -> DataFrame:
     """streaming events(ts, event_type, value) → 1h tumbling counts.

@@ -107,3 +107,39 @@ def test_transitions_out_of_order_batch_raises(spark, tmp_path):
             q.processAllAvailable()
     finally:
         q.stop()
+
+
+# --- streaming count-min sketch ------------------------------------------------
+
+def test_stream_cms_cells_matches_batch_sketch(spark, tmp_path):
+    """The streaming sketch's final state must equal cms_build over
+    the union of all micro-batches — the merge-order invariance the
+    batch oracle rides, here across the batch boundary."""
+    from mapreducewordcount_spark.operators.cms import cms_build
+    from mapreducewordcount_spark.functions.tokenize import tokenize_expr
+    from mapreducewordcount_spark.streaming import stream_cms_cells
+
+    src = tmp_path / "lines"
+    src.mkdir()
+    b1 = ["the quick brown fox", "the lazy dog naps"]
+    b2 = ["the fox naps too", "dog and fox agree"]
+    (src / "b1.txt").write_text("\n".join(b1) + "\n")
+    stream = (spark.readStream.format("text")
+              .option("maxFilesPerTrigger", "1").load(str(src)))
+    q = (stream_cms_cells(stream)
+         .writeStream.outputMode("complete").format("memory")
+         .queryName("cms_cells").start())
+    try:
+        q.processAllAvailable()
+        (src / "b2.txt").write_text("\n".join(b2) + "\n")
+        q.processAllAvailable()
+        got = {(r.d, r.cell): r.c
+               for r in spark.sql("SELECT * FROM cms_cells").collect()}
+    finally:
+        q.stop()
+    alldf = spark.createDataFrame([(ln,) for ln in b1 + b2],
+                                  "value string")
+    words = alldf.select(
+        F.explode(tokenize_expr("value")).alias("word"))
+    want = {(r.d, r.cell): r.c for r in cms_build(words).collect()}
+    assert got == want and len(got) > 0
