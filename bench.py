@@ -286,6 +286,10 @@ def run_session() -> dict:
     total = round(sum(v for v in timings.values() if v is not None), 3)
     core_total = round(sum(v for n, v in timings.items()
                            if n in CORE and v is not None), 3)
+    # key order matters (VERDICT r10 wrong#4): the driver's capture
+    # truncates long report lines from the END, so the per-query map
+    # and the round-over-round core_total — the regression instrument
+    # — come FIRST; fingerprints and method strings ride the tail.
     report = {"metric": "headline_total", "value": total, "unit": "sec",
               "core_total": core_total, "queries": timings, "sf": sf_dir,
               "env_start": env_start, "env_end": _env_fingerprint(),
@@ -316,13 +320,35 @@ def _session_env(report: dict) -> dict:
     return out
 
 
+def _emit(report: dict, line: dict | None = None) -> None:
+    """Print the report line AND commit the full report to
+    ``artifacts/bench_latest.json`` (VERDICT r10 wrong#4 / next#2):
+    the driver's stdout capture truncated the r9/r10 lines into
+    ``parsed: null``, losing ~9/10 of the per-query map that
+    ``tools/compare_bench.py`` reads for cross-round regression
+    checks. The committed artifact is the lossless record; the
+    printed line (``line`` if given, else the full report) leads with
+    the per-query map so even a truncated capture keeps the
+    regression instrument intact."""
+    line = dict(line if line is not None else report)
+    try:
+        art_dir = Path(_REPO) / "artifacts"
+        art_dir.mkdir(exist_ok=True)
+        with open(art_dir / "bench_latest.json", "w") as f:
+            json.dump(report, f, indent=1)
+        line["artifact"] = "artifacts/bench_latest.json"
+    except Exception as exc:  # noqa: BLE001 — artifact is best-effort
+        print(f"bench artifact write failed: {exc!r}", file=sys.stderr)
+    print(json.dumps(line))
+
+
 def main() -> None:
     if "--session" in sys.argv:
         print(json.dumps(run_session()))
         return
     n_sessions = int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "3"))
     if n_sessions <= 1:
-        print(json.dumps(run_session()))
+        _emit(run_session())
         return
 
     # each session in a FRESH interpreter/JVM — the only isolation
@@ -366,6 +392,7 @@ def main() -> None:
     for r in reports:
         errors.update(r.get("errors", {}))
 
+    env = [_session_env(r) for r in reports]
     report = {
         "metric": "headline_total",
         # the median SESSION total — a total that actually happened,
@@ -387,15 +414,22 @@ def main() -> None:
         # per-session machine-state fingerprints (VERDICT r8 next#3):
         # cpu_util_pct is MACHINE-WIDE busy share over the session
         # window — anything far above this process's fair share marks
-        # an externally-loaded (inflated) session.
-        "env": [_session_env(r) for r in reports],
+        # an externally-loaded (inflated) session. The printed line
+        # carries only the condensed numbers (score/util/steal); the
+        # full start/end fingerprints live in the committed artifact.
+        "env": env,
         "method": (f"{len(reports)} fresh-JVM sessions x (median-of-3 "
                    "per query, cache-cleared+GC between queries); "
                    "headline = median session total"),
     }
     if errors:
         report["errors"] = errors
-    print(json.dumps(report))
+    slim_env = [{
+        "start": {"cpu_score_ms": (e.get("start") or {}).get("cpu_score_ms")},
+        "end": {"cpu_score_ms": (e.get("end") or {}).get("cpu_score_ms")},
+        "cpu_util_pct": e.get("cpu_util_pct"),
+        "steal_pct": e.get("steal_pct")} for e in env]
+    _emit(report, line={**report, "env": slim_env})
 
 
 if __name__ == "__main__":

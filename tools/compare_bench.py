@@ -42,15 +42,30 @@ def load(path: str) -> dict:
 def _salvage(tail: str) -> dict:
     import re
 
+    # anchor per-query extraction to the "queries" OBJECT region
+    # (ADVICE r10): the old whole-tail scan classified every
+    # float-valued key outside a denylist as a query timing, so any
+    # report-level float added later silently skewed the comparison.
+    # The region ends at the first '}' (the map is flat); when the
+    # truncation cut inside the map there is no '}', so take the rest.
+    region = tail
+    m = re.search(r'"queries":\s*\{', tail)
+    if m:
+        end = tail.find("}", m.end())
+        region = tail[m.end():end if end != -1 else len(tail)]
     queries = {m.group(1): float(m.group(2)) for m in re.finditer(
-        r'"([a-z0-9_]+)":\s*([0-9]+\.[0-9]+)', tail)
-        # keys that are report fields, not query names
+        r'"([a-z0-9_]+)":\s*([0-9]+\.[0-9]+)', region)
+        # belt-and-braces for pre-anchor tails where region == tail
         if m.group(1) not in ("value", "core_total", "sf",
                               "cpu_score_ms", "cpu_util_pct",
-                              "steal_pct")}
+                              "steal_pct", "min", "max", "median",
+                              "totals", "core_totals", "loadavg", "n")}
     rep: dict = {"queries": queries}
-    m = re.search(r'"core_totals":\s*\[([0-9.,\s]+)\]', tail)
+    m = re.search(r'"core_total":\s*([0-9.]+)', tail)
     if m:
+        rep["core_total"] = float(m.group(1))
+    m = re.search(r'"core_totals":\s*\[([0-9.,\s]+)\]', tail)
+    if m and "core_total" not in rep:
         totals = [float(x) for x in m.group(1).split(",")]
         rep["core_total"] = statistics.median(totals)
     scores = [float(m.group(1)) for m in
