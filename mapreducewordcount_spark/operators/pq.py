@@ -202,20 +202,34 @@ def pq_shortlist(corpus: DataFrame, queries: DataFrame,
     gate materializes this table and the oracle recomputes the exact
     rerank downstream of it.
 
-    ``candidates`` (optional (query_id, neighbor_id) frame) restricts
+    ``candidates`` (optional frame naming the query under
+    ``query_id_col`` (or canonical ``query_id``) and the corpus
+    vector under ``id_col`` (or canonical ``neighbor_id``)) restricts
     the ADC scan to those pairs — the IVF+PQ composition seam: a
     coarse quantizer prunes the corpus per query BEFORE any ADC work,
     turning the inherent O(N×Q) scan into O(routed×Q). Scoring then
-    rides two equi-joins (codes on neighbor_id, broadcast ADC tables
-    on query_id) with the same codegen lookup fold as join mode."""
+    rides two equi-joins (codes on neighbor_id, ADC tables on
+    query_id) with the same codegen lookup fold as join mode. The
+    tables join carries no forced broadcast hint (ADVICE r10): AQE
+    broadcasts it while the query batch fits and degrades to a
+    shuffle join — not a job abort — at the ~1 GB/1M-query scale."""
     if adc_mode not in ("auto", "closure", "join"):
         raise ValueError(f"adc_mode={adc_mode!r} not in auto/closure/join")
     codes, books = pq_build(corpus, id_col, vec_col, m=m, k=n_cent)
     if candidates is not None:
         qtab = _adc_tables_df(queries, books, query_id_col, vec_col)
-        scored = (candidates.select("query_id", "neighbor_id")
+        cand = candidates
+        for want, param in (("query_id", query_id_col),
+                            ("neighbor_id", id_col)):
+            if want not in cand.columns:
+                if param not in cand.columns:
+                    raise ValueError(
+                        f"candidates needs a {want!r} or {param!r} "
+                        f"column; has {cand.columns}")
+                cand = cand.withColumnRenamed(param, want)
+        scored = (cand.select("query_id", "neighbor_id")
                   .join(codes, "neighbor_id")
-                  .join(F.broadcast(qtab), "query_id")
+                  .join(qtab, "query_id")
                   .withColumn("adc", F.aggregate(
                       F.zip_with(
                           "codes",

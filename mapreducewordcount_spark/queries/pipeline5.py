@@ -472,12 +472,19 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducewordcount_spark.operators import dsir
     from mapreducewordcount_spark.sources import sig_artifacts
 
+    from mapreducewordcount_spark.cache import (
+        persist_tracked,
+        release_query_cache,
+    )
+
     docs = spread(load_table(spark, sf_dir, "documents"))
     # featurize ONCE: the pool vector, the target vector and the
     # scoring pass all reuse this persisted frame (3x fewer
     # tokenize+explode passes over the corpus; measured 5.2s -> see
-    # SCALE.md). Bench's clearCache between queries reclaims it.
-    feats = dsir.doc_bucket_counts(docs).persist()
+    # SCALE.md). Tracked-released (VERDICT r10 wrong#1): repeated
+    # same-session invocations hold at most one cached feature block.
+    release_query_cache()
+    feats = persist_tracked(dsir.doc_bucket_counts(docs))
     target = docs.filter(F.col("lang") == "en")
     weights = dsir.dsir_weights(docs, target, feats=feats,
                                 target_ids=target.select("doc_id"))

@@ -209,10 +209,16 @@ def doc_nfc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     planted = _nfc_planted(F.col("doc_id"), F.col("text"))
     norm = nfc_normalize(planted)
+    # coalesce both per-row terms (ADVICE r10): NULL text yields a
+    # NULL comparison in Spark but the oracle's CASE WHEN yields 0,
+    # so an all-NULL source would report n_changed NULL vs 0. Pinning
+    # NULL text to (0, 0) on BOTH sides keeps the engines aligned.
     return (docs
             .select("source",
-                    (planted != norm).cast("int").alias("chg"),
-                    (F.length(planted) - F.length(norm)).alias("delta"))
+                    F.coalesce((planted != norm).cast("int"), F.lit(0))
+                    .alias("chg"),
+                    F.coalesce(F.length(planted) - F.length(norm),
+                               F.lit(0)).alias("delta"))
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("chg").alias("n_changed"),
@@ -226,8 +232,8 @@ WITH planted AS (
 SELECT source, count(*) AS n_docs,
        CAST(sum(CASE WHEN p <> nfc_normalize(p) THEN 1 ELSE 0 END)
             AS BIGINT) AS n_changed,
-       CAST(sum(length(p) - length(nfc_normalize(p))) AS BIGINT)
-           AS chars_delta
+       CAST(sum(coalesce(length(p) - length(nfc_normalize(p)), 0))
+            AS BIGINT) AS chars_delta
 FROM planted
 GROUP BY source
 """
