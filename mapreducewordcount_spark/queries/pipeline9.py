@@ -100,6 +100,38 @@ JOIN ic ib ON ib.item = pr.part_b
 """
 
 
+def basket_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Companion audit for ``part_pair_affinity`` (VERDICT r10
+    wrong#3): how many baskets the ``max_basket`` fanout cap drops,
+    the (basket, item) rows discarded with them, and the largest
+    basket observed — the no-silent-caps rule made a query. On TPC-H
+    lineitem the cap never binds (≤7 lines/order), so the dropped
+    counts are zero; the row proves it instead of assuming it."""
+    from mapreducewordcount_spark.operators.itemsets import (
+        basket_cap_stats,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return basket_cap_stats(li, "l_orderkey", "l_partkey",
+                            max_basket=AFFINITY_MAX_BASKET)
+
+
+BASKET_CAP_SQL = f"""
+WITH bi AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+            FROM lineitem),
+sz AS (SELECT basket, count(*) AS n_items FROM bi GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_baskets_total,
+       CAST(sum(CASE WHEN n_items <= {AFFINITY_MAX_BASKET}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_baskets_kept,
+       CAST(sum(CASE WHEN n_items > {AFFINITY_MAX_BASKET}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_baskets_dropped,
+       CAST(sum(CASE WHEN n_items > {AFFINITY_MAX_BASKET}
+                THEN n_items ELSE 0 END) AS BIGINT) AS n_items_dropped,
+       CAST(max(n_items) AS BIGINT) AS max_basket_size
+FROM sz
+"""
+
+
 # --- MinHash decontamination -------------------------------------------------
 
 #: every 25th document plays the eval corpus (distinct from the
@@ -287,6 +319,7 @@ GROUP BY 1, 2
 QUERIES = {
     "part_pair_affinity": QuerySpec(part_pair_affinity,
                                     PART_PAIR_AFFINITY_SQL),
+    "basket_cap_report": QuerySpec(basket_cap_report, BASKET_CAP_SQL),
     "decontam_minhash_report": QuerySpec(decontam_minhash_report,
                                          DECONTAM_MINHASH_SQL),
     "events_type_transitions": QuerySpec(events_type_transitions,
