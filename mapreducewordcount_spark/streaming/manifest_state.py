@@ -30,8 +30,12 @@ Idempotent redelivery is inherited from version addressing: batch
 deterministic ``seg/v{b+1}`` dir (mode overwrite) and swaps
 ``manifest-v{b+1}.json`` in atomically (tmp + ``os.replace``) — a
 replayed batch rewrites its own output version from its original
-input. Old segments are never deleted (time travel; a production GC
-walks manifests for unreferenced files).
+input. Commits never delete segments (time travel across retained
+versions); ``gc_manifest_state`` is the explicit retention walker
+(VERDICT r10 next#3): keep the newest ``keep_last`` manifests, drop
+every older manifest file, and delete exactly the segment dirs no
+retained manifest references — bounding storage for a long-running
+stream at O(live state × keep_last) instead of O(stream length).
 
 Local-filesystem only, like the twins' state dirs: version discovery
 lists manifest files with ``os.listdir``.
@@ -189,6 +193,79 @@ def commit_cow(new_bucket_rows: DataFrame, changed_buckets: list[int],
                                               out_version, f"b{b}")]
     _write_manifest(state_dir, out_version, {**man,
                     "version": out_version, "buckets": buckets})
+
+
+def gc_manifest_state(state_dir: str, keep_last: int = 1) -> dict:
+    """Garbage-collect superseded state: retain the newest
+    ``keep_last`` committed manifests, delete older manifest files,
+    and remove every segment dir under ``seg/`` that no RETAINED
+    manifest references (via any bucket list or as ``schema_ref``).
+
+    Deliberately conservative in exactly the ways a production GC
+    must be:
+
+    - Liveness is computed from the retained manifests' path lists,
+      never from directory naming conventions — a segment written by
+      a crashed/zombie writer for a NEVER-committed future version
+      (seg/v{N+1} with no manifest-v{N+1}) is unreachable by any
+      reader and is collected as an orphan.
+    - Deletion order is manifests-first for DROPPED versions (so a
+      concurrent reader can no longer open a version whose segments
+      are about to vanish), segments last; the retained manifests are
+      untouched bytes.
+    - Time travel contract after GC: versions ≥ (latest − keep_last
+      + 1) stay fully readable; older version reads raise (their
+      manifest is gone), they do not silently return partial state.
+
+    Returns ``{"kept_versions", "removed_manifests",
+    "removed_segments"}`` for audit logging. Idempotent: a second
+    call is a no-op.
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last={keep_last} must be >= 1")
+    latest = latest_manifest_version(state_dir)
+    if latest is None:
+        return {"kept_versions": [], "removed_manifests": [],
+                "removed_segments": []}
+    versions = sorted(
+        int(name[len("manifest-v"):-len(".json")])
+        for name in os.listdir(state_dir)
+        if name.startswith("manifest-v") and name.endswith(".json")
+        and name[len("manifest-v"):-len(".json")].isdigit())
+    kept = versions[-keep_last:]
+    dropped = [v for v in versions if v not in kept]
+
+    live: set[str] = set()
+    for v in kept:
+        man = _load_manifest(state_dir, v)
+        live.add(man["schema_ref"])
+        for paths in man["buckets"].values():
+            live.update(paths)
+
+    removed_manifests = []
+    for v in dropped:  # manifests first: unpublish before deleting data
+        os.remove(f"{state_dir}/manifest-v{v}.json")
+        removed_manifests.append(f"manifest-v{v}.json")
+
+    removed_segments = []
+    seg_root = os.path.join(state_dir, "seg")
+    if os.path.isdir(seg_root):
+        for vdir in sorted(os.listdir(seg_root)):
+            vpath = os.path.join(seg_root, vdir)
+            if not os.path.isdir(vpath):
+                continue
+            for tag in sorted(os.listdir(vpath)):
+                rel = f"seg/{vdir}/{tag}"
+                if rel not in live:
+                    shutil.rmtree(os.path.join(vpath, tag))
+                    removed_segments.append(rel)
+            if not os.listdir(vpath):  # version dir fully collected
+                os.rmdir(vpath)
+    return {"kept_versions": kept,
+            "removed_manifests": removed_manifests,
+            "removed_segments": removed_segments}
 
 
 def changed_buckets_of(batch: DataFrame, key_cols: list[str],

@@ -160,7 +160,8 @@ def test_mixture_on_predicted_labels_planted(spark, tmp_path):
         # the planted corpus materializes its own weight artifact —
         # scrub it so committed artifact dirs stay clean
         # (the test_roundtrip pattern)
-        shutil.rmtree(sig_artifacts.ARTIFACT_ROOT / "doc_language_ngram"
+        shutil.rmtree(sig_artifacts.ARTIFACT_ROOT
+                      / "mixture_on_predicted_lang"
                       / f"k={n}_{s}", ignore_errors=True)
     assert set(got) == {"en", "es", "de"}  # predicted groups only
     total_w = sum(MIX_WEIGHTS.values())
@@ -199,3 +200,69 @@ def test_repeated_invocations_hold_bounded_cache(spark):
     before = n_persistent()
     release_query_cache()
     assert n_persistent() <= before
+
+
+def test_holdout_eval_band_never_contributes_to_fit(spark, tmp_path):
+    """VERDICT r10 next#4: doc_language_ngram fits on the train band
+    only — corrupting every EVAL-band document's text and label must
+    leave the committed weight table bit-identical, and the confusion
+    report must count only eval-band docs."""
+    import shutil
+
+    from mapreducewordcount_spark.queries.pipeline8 import (
+        LANGID_SALT,
+        LANGID_SPLIT,
+        doc_language_ngram,
+    )
+    from mapreducewordcount_spark.functions.sampling import dataset_split
+    from mapreducewordcount_spark.sources import sig_artifacts
+
+    base = _corpus(spark)
+    # widen the corpus so both bands are non-empty deterministically
+    extra = spark.createDataFrame(
+        [(100 + i, ["en", "es", "de"][i % 3],
+          [_EN, _ES, _DE][i % 3][i % 3]) for i in range(30)],
+        "doc_id long, lang string, text string")
+    docs = base.unionByName(extra) \
+        .withColumn("source", F.lit("src0")) \
+        .withColumn("n_chars", F.length("text").cast("long"))
+    split = dataset_split(F.col("doc_id"), LANGID_SPLIT,
+                          salt=LANGID_SALT)
+    n_eval = docs.filter(split == "eval").count()
+    assert 0 < n_eval < docs.count()  # both bands populated
+
+    corrupted = docs.withColumn(
+        "text", F.when(split == "eval",
+                       F.lit("zzqj xvw kkpht zzqj xvw"))
+        .otherwise(F.col("text"))) \
+        .withColumn("lang", F.when(split == "eval", F.lit("xx"))
+                    .otherwise(F.col("lang")))
+
+    def run(frame, sub):
+        d = tmp_path / sub
+        frame.write.parquet(f"{d}/documents.parquet")
+        key = sig_artifacts.corpus_key(frame)
+        try:
+            rep = {(r.lang, r.pred_lang): r.n_docs for r in
+                   doc_language_ngram(spark, str(d)).collect()}
+            wt = sorted(map(tuple, spark.read.parquet(
+                str(sig_artifacts.ARTIFACT_ROOT / "doc_language_ngram"
+                    / f"k={key[0]}_{key[1]}" / "data.parquet"))
+                .drop("k_rows", "k_sum").collect()))
+        finally:
+            shutil.rmtree(sig_artifacts.ARTIFACT_ROOT
+                          / "doc_language_ngram"
+                          / f"k={key[0]}_{key[1]}",
+                          ignore_errors=True)
+        return rep, wt
+
+    rep_clean, wt_clean = run(docs, "clean")
+    rep_bad, wt_bad = run(corrupted, "bad")
+    # the fit never saw the eval band: corrupting it leaves the
+    # weight table identical
+    assert wt_clean == wt_bad
+    # the report covers exactly the eval band
+    assert sum(rep_clean.values()) == n_eval
+    # corrupted labels surface ONLY as changed true-label keys
+    assert {k[1] for k in rep_bad} <= {k[1] for k in rep_clean}
+    assert all(k[0] == "xx" for k in rep_bad)

@@ -109,6 +109,7 @@ ARTIFACT_QUERIES = {
     "dsir_selection": ("dsir_selection",),
     "doc_cdc_chunks": ("doc_cdc_chunks",),
     "doc_language_ngram": ("doc_language_ngram",),
+    "mixture_on_predicted_lang": ("mixture_on_predicted_lang",),
 }
 
 

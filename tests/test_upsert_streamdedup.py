@@ -410,3 +410,61 @@ def test_stream_state_dir_removed_mid_stream_fails_with_seed_error(
             raise AssertionError("stream survived state loss")
     finally:
         q.stop()
+
+
+def test_manifest_gc_removes_exactly_unreferenced(spark, tmp_path):
+    """VERDICT r10 next#3: the GC walker retains the last K
+    manifests, deletes dropped manifest files first, and removes
+    exactly the segment dirs no retained manifest references —
+    superseded copy-on-write segments and never-committed zombie
+    segments — while carried-forward segments survive."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreducewordcount_spark.streaming import manifest_state as ms
+
+    d = str(tmp_path / "state")
+    seed = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "k long, val string")
+    ms.seed_manifest_state(seed, d, ["k"], n_buckets=4)
+    man0 = ms._load_manifest(d, 0)
+
+    # COW commit: replace bucket 0's content (k=1000 upserted there)
+    new_rows = spark.createDataFrame([(1000, "new")],
+                                     "k long, val string")
+    target = ms.changed_buckets_of(new_rows, ["k"], 4)
+    old_b = ms.read_manifest_state(spark, d, buckets=target) \
+        .withColumn("__b", F.pmod(F.xxhash64("k"), F.lit(4))) \
+        .filter(F.col("__b").isin([int(b) for b in target])).drop("__b")
+    ms.commit_cow(old_b.unionByName(new_rows), target, d, 0, 1)
+    superseded = {f"seg/v0/b{b}" for b in target
+                  if man0["buckets"][str(b)]}
+    carried = {p for b, ps in man0["buckets"].items()
+               for p in ps if int(b) not in target}
+
+    # zombie: segment written for a never-committed version
+    os.makedirs(f"{d}/seg/v9/zombie")
+    open(f"{d}/seg/v9/zombie/part-junk.parquet", "w").write("x")
+
+    before = {tuple(sorted(r.asDict().items()))
+              for r in ms.read_manifest_state(spark, d).collect()}
+    report = ms.gc_manifest_state(d, keep_last=1)
+    assert report["kept_versions"] == [1]
+    assert report["removed_manifests"] == ["manifest-v0.json"]
+    assert set(report["removed_segments"]) == superseded | {
+        "seg/v9/zombie"}
+    # carried-forward v0 segments survive and the state reads intact
+    for rel in carried:
+        assert os.path.isdir(f"{d}/{rel}")
+    after = {tuple(sorted(r.asDict().items()))
+             for r in ms.read_manifest_state(spark, d).collect()}
+    assert after == before
+    # dropped versions fail loudly, never return partial state
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        ms.read_manifest_state(spark, d, version=0)
+    # idempotent
+    again = ms.gc_manifest_state(d, keep_last=1)
+    assert again["removed_manifests"] == []
+    assert again["removed_segments"] == []
