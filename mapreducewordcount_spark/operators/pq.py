@@ -122,14 +122,17 @@ PQ_CLOSURE_MAX_QUERIES = 1024
 
 
 def _adc_tables_df(queries: DataFrame, books: list,
-                   query_id_col: str, vec_col: str) -> DataFrame:
+                   query_id_col: str, vec_col: str,
+                   passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Distributed ADC-table build: (query_id, flattened m·k table).
 
     Only the CODEBOOKS ride the closure (m×k×(dim/m) doubles — a few
     KB regardless of batch size); each query row computes its own
     subspace-distance table map-side, so the build scales to any
     query-batch size with zero shuffle and no driver collect.
-    """
+    ``passthrough`` names extra LONG columns carried verbatim onto
+    the output (the residual IVF+PQ path keys its per-(query, list)
+    tables on ``list_id``)."""
     def build(batches):
         import numpy as np
         import pandas as pd
@@ -141,13 +144,19 @@ def _adc_tables_df(queries: DataFrame, books: list,
             tabs = [((vecs[:, j * d:(j + 1) * d][:, None, :]
                       - cent[None, :, :]) ** 2).sum(axis=2)
                     for j, cent in enumerate(cents)]  # each rows×k
-            yield pd.DataFrame({"query_id": pdf["__id"],
-                                "adc_tab": list(np.concatenate(tabs, axis=1))})
+            out = {"query_id": pdf["__id"],
+                   "adc_tab": list(np.concatenate(tabs, axis=1))}
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
+    schema = ("query_id long, adc_tab array<double>"
+              + "".join(f", {c} long" for c in passthrough))
     return (queries
             .select(F.col(query_id_col).alias("__id"),
-                    F.col(vec_col).alias("__vec"))
-            .mapInPandas(build, schema="query_id long, adc_tab array<double>"))
+                    F.col(vec_col).alias("__vec"),
+                    *[F.col(c) for c in passthrough])
+            .mapInPandas(build, schema=schema))
 
 
 def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -307,6 +316,85 @@ def pq_shortlist(corpus: DataFrame, queries: DataFrame,
         scored = codes.mapInPandas(
             adc, schema="query_id long, neighbor_id long, adc double")
 
+    wa = (Window.partitionBy("query_id")
+          .orderBy(F.col("adc"), F.col("neighbor_id")))
+    return (scored
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("__r", F.row_number().over(wa))
+            .filter(F.col("__r") <= refine)
+            .select("query_id", "neighbor_id"))
+
+
+def _adc_fold(m: int, n_cent: int):
+    """The codegen ADC lookup fold: sum over subspaces of
+    ``adc_tab[j·n_cent + codes[j]]``."""
+    return F.aggregate(
+        F.zip_with("codes", F.sequence(F.lit(0), F.lit(m - 1)),
+                   lambda c, j: F.element_at(
+                       F.col("adc_tab"),
+                       (j * n_cent + c + 1).cast("int"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def ivfpq_shortlist(assigned: DataFrame, centroids: DataFrame,
+                    queries: DataFrame, routed: DataFrame,
+                    vec_col: str = "embedding",
+                    query_id_col: str = "query_id", m: int = 8,
+                    n_cent: int = 16, refine: int = 32) -> DataFrame:
+    """RESIDUAL-encoded IVF+PQ shortlist — the full FAISS IndexIVFPQ
+    recipe (VERDICT r10 next#7): PQ codes quantize the residual
+    ``vector − centroid[list]`` rather than the raw vector. Residuals
+    concentrate near the origin once the coarse quantizer has
+    absorbed the between-list variance, so the same 8-byte budget
+    spends its centroids on a much tighter distribution — the
+    accuracy the IVF+PQ shape is known for (Jégou et al. 2011 §IV.B).
+
+    Inputs are the IVF build/route outputs (``operators/similarity``):
+    ``assigned`` (neighbor_id, c_vec, list_id), ``centroids``
+    (list_id, cent_vec), ``routed`` (query_id, list_id). Plan shape:
+
+    - corpus residuals: one broadcast join on list_id + a codegen
+      ``zip_with`` subtract (map-side, zero shuffle), then the
+      standard bounded-sample train + Arrow-batch encode;
+    - query residuals are PER (query, probe-list) — ``q − c_L`` for
+      each routed list — so the ADC tables frame carries
+      (query_id, list_id, m·k table), Q × n_probe rows;
+    - scoring joins codes on neighbor_id and tables on
+      (query_id, list_id): each candidate is ADC-scored against the
+      residual table OF ITS OWN LIST (a vector belongs to exactly one
+      list, so the pair appears once). No forced broadcast — AQE
+      picks it while the routed batch fits.
+
+    Output contract matches ``pq_shortlist``: the ``refine``
+    lowest-ADC (query_id, neighbor_id) rows per query, self-pairs
+    excluded — feed to ``pq_rerank`` for the exact tail.
+    """
+    res_corpus = (assigned
+                  .join(F.broadcast(centroids), "list_id")
+                  .select("neighbor_id",
+                          F.zip_with("c_vec", "cent_vec",
+                                     lambda a, b: a - b).alias("res"),
+                          "list_id"))
+    codes, books = pq_build(res_corpus, id_col="neighbor_id",
+                            vec_col="res", m=m, k=n_cent)
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    qres = (routed
+            .join(F.broadcast(q), "query_id")
+            .join(F.broadcast(centroids), "list_id")
+            .select("query_id", "list_id",
+                    F.zip_with("q_vec", "cent_vec",
+                               lambda a, b: a - b).alias("qres")))
+    qtab = _adc_tables_df(qres, books, "query_id", "qres",
+                          passthrough=("list_id",))
+    cand = (routed
+            .join(assigned.select("neighbor_id", "list_id"), "list_id")
+            .select("query_id", "list_id", "neighbor_id"))
+    scored = (cand
+              .join(codes, "neighbor_id")
+              .join(qtab, ["query_id", "list_id"])
+              .withColumn("adc", _adc_fold(m, n_cent))
+              .select("query_id", "neighbor_id", "adc"))
     wa = (Window.partitionBy("query_id")
           .orderBy(F.col("adc"), F.col("neighbor_id")))
     return (scored

@@ -445,15 +445,17 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (FAISS IndexIVFPQ): the coarse quantizer routes each query to
     ``n_probe`` inverted lists (pruning the corpus scan ~n_lists/
     n_probe-fold), PQ-ADC scores ONLY the routed candidates from
-    8-byte codes (32× memory), and exact cosine re-ranks the ADC
-    shortlist. The shortlist — downstream of both float model stages
-    SQL can't replicate — is the committed artifact; DuckDB
-    recomputes the exact rerank + ranking from it (the ann_pq_topk
-    recipe). Recall vs brute force is pytest-pinned alongside the
-    single-stage variants."""
+    8-byte codes (32× memory) encoding the RESIDUAL
+    ``vector − centroid[list]`` (VERDICT r10 next#7 — the full
+    IndexIVFPQ recipe; ``operators/pq.ivfpq_shortlist``), and exact
+    cosine re-ranks the ADC shortlist. The shortlist — downstream of
+    all three float model stages SQL can't replicate — is the
+    committed artifact; DuckDB recomputes the exact rerank + ranking
+    from it (the ann_pq_topk recipe). Residual recall ≥ raw-encoding
+    recall is pytest-pinned alongside the single-stage variants."""
     from mapreducewordcount_spark.operators.pq import (
+        ivfpq_shortlist,
         pq_rerank,
-        pq_shortlist,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -461,12 +463,8 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     assigned, cent = sim.ivf_build(emb, n_lists=16, kmeans_iters=2)
     routed = sim.ivf_route(queries, cent, n_probe=4)
-    cand = (routed
-            .join(assigned.select(F.col("neighbor_id"), "list_id"),
-                  "list_id")
-            .select("query_id", "neighbor_id"))
     sl = _sig_artifacts.materialize_frame(
-        pq_shortlist(emb, queries, refine=32, candidates=cand),
+        ivfpq_shortlist(assigned, cent, queries, routed, refine=32),
         "ann_ivfpq_topk_shortlist",
         _sig_artifacts.embeddings_corpus_key(emb),
         ["query_id", "neighbor_id"])
