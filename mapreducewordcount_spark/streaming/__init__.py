@@ -1,4 +1,5 @@
 from mapreducewordcount_spark.streaming.jobs import (  # noqa: F401
+    start_cms_heavy_hitters,
     stream_hourly_events,
     stream_quality_filter,
     stream_session_windows,

@@ -65,6 +65,94 @@ def stream_cms_cells(lines: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("c")))
 
 
+def start_cms_heavy_hitters(lines: DataFrame, *, state_dir: str,
+                            out_dir: str, checkpoint_dir: str,
+                            k: int = 20, pool: int | None = None):
+    """Bounded-state streaming TOP-K — the classic CMS + candidate
+    heap composition (VERDICT r10 next#8): ``stream_cms_cells`` keeps
+    the running frequency sketch, and a ``pool``-bounded candidate
+    set tracks the words that might be heavy. Pairs the streaming
+    family with the batch ``heavy_hitters_words`` the way
+    ``stream_cms_cells`` pairs with ``sketch_cms_words``.
+
+    Per micro-batch ``b`` (foreachBatch; versioned-parquet state like
+    :func:`start_cdc_agg_refresh`, but NO caller seed — the sketch
+    legitimately starts from nothing, so an absent state dir IS the
+    empty state):
+
+    - merge the batch's CMS cells into ``{state_dir}/cells/v{b+1}``
+      (integer cell sums — merge-order invariant, so the running
+      sketch equals ``cms_build`` over the union of all batches);
+    - re-estimate the previous candidates ∪ the batch's distinct
+      words against the MERGED sketch, keep the ``pool`` highest
+      (est desc, word) as ``{state_dir}/cand/v{b+1}``;
+    - emit the top ``k`` of that pool to ``{out_dir}/v{b+1}`` as
+      (word, cms_count).
+
+    State is ≤ DEPTH×WIDTH + pool rows FOREVER (vs
+    ``stream_word_counts``' vocabulary-sized state); per-batch work
+    is O(batch + sketch + pool). Version-addressed overwrites make
+    redelivery idempotent (the CDC-job contract). The self-correcting
+    property worth naming: because the sketch is GLOBAL, a word
+    re-entering the candidate set gets its full cumulative estimate,
+    not a from-now count — an evicted heavy hitter is recovered the
+    next time it occurs at all. The honest miss case is a word whose
+    occurrences ALL precede its eviction and which never recurs;
+    SpaceSaving-style pool sizing (pool ≫ k, default 4k) bounds how
+    heavy such a word can be (it must sit below the pool's floor
+    estimate at eviction time). Batch parity across a planted batch
+    boundary is pytest-pinned (tests/test_stream_transitions.py).
+
+    Returns the started StreamingQuery (caller stops it).
+    """
+    from mapreducewordcount_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+    )
+
+    spark = lines.sparkSession
+    pool = pool if pool is not None else 4 * k
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.localCheckpoint(eager=True)  # cut stream lineage
+        words = batch.select(
+            F.explode(tokenize_expr("value")).alias("word"))
+        bcells = cms_build(words)
+        latest = latest_state_version(spark, f"{state_dir}/cells")
+        if latest is None:
+            merged = bcells
+            prev_cand = words.select("word").limit(0)
+        else:
+            in_version = min(batch_id, latest)
+            prev = read_state_version(spark, f"{state_dir}/cells",
+                                      in_version)
+            merged = (prev.unionByName(bcells)
+                      .groupBy("d", "cell").agg(F.sum("c").alias("c")))
+            prev_cand = read_state_version(
+                spark, f"{state_dir}/cand", in_version).select("word")
+        merged.write.mode("overwrite").parquet(
+            f"{state_dir}/cells/v{batch_id + 1}")
+        sketch = spark.read.parquet(
+            f"{state_dir}/cells/v{batch_id + 1}")
+        cand_words = (prev_cand
+                      .unionByName(words.select("word"))
+                      .distinct())
+        est = cms_estimate(cand_words, sketch)
+        top_pool = (est.orderBy(F.col("cms_count").desc(), "word")
+                    .limit(pool))
+        top_pool.write.mode("overwrite").parquet(
+            f"{state_dir}/cand/v{batch_id + 1}")
+        (spark.read.parquet(f"{state_dir}/cand/v{batch_id + 1}")
+         .orderBy(F.col("cms_count").desc(), "word").limit(k)
+         .write.mode("overwrite").parquet(f"{out_dir}/v{batch_id + 1}"))
+
+    return (lines.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(refresh).start())
+
+
 def stream_hourly_events(events: DataFrame,
                          watermark: str = "2 hours") -> DataFrame:
     """streaming events(ts, event_type, value) → 1h tumbling counts.

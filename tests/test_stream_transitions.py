@@ -143,3 +143,63 @@ def test_stream_cms_cells_matches_batch_sketch(spark, tmp_path):
         F.explode(tokenize_expr("value")).alias("word"))
     want = {(r.d, r.cell): r.c for r in cms_build(words).collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_cms_heavy_hitters_batch_parity(spark, tmp_path):
+    """VERDICT r10 next#8: the CMS+pool streaming top-k's final
+    emission must equal the batch form — top-k words by CMS estimate
+    over the union of all micro-batches — across a planted batch
+    boundary, including eviction-and-recovery of a word that re-
+    enters the candidate set with its GLOBAL estimate."""
+    from mapreducewordcount_spark.functions.tokenize import tokenize_expr
+    from mapreducewordcount_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+    )
+    from mapreducewordcount_spark.streaming import (
+        start_cms_heavy_hitters,
+    )
+
+    src = tmp_path / "lines"
+    src.mkdir()
+    # batch 1: alpha heavy, beta present-but-light; batch 2: beta
+    # surges (global estimate must count batch-1 occurrences too)
+    b1 = ["alpha alpha alpha beta gamma delta",
+          "alpha alpha epsilon zeta eta theta"]
+    b2 = ["beta beta beta beta alpha iota",
+          "beta beta kappa lam mu nu"]
+    (src / "b1.txt").write_text("\n".join(b1) + "\n")
+    stream = (spark.readStream.format("text")
+              .option("maxFilesPerTrigger", "1").load(str(src)))
+    q = start_cms_heavy_hitters(
+        stream, state_dir=str(tmp_path / "state"),
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"), k=3, pool=6)
+    try:
+        q.processAllAvailable()
+        (src / "b2.txt").write_text("\n".join(b2) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import os
+
+    versions = sorted(int(n[1:]) for n in
+                      os.listdir(tmp_path / "out"))
+    got = [(r.word, r.cms_count) for r in
+           spark.read.parquet(f"{tmp_path}/out/v{versions[-1]}")
+           .orderBy(F.col("cms_count").desc(), "word").collect()]
+
+    alldf = spark.createDataFrame([(ln,) for ln in b1 + b2],
+                                  "value string")
+    words = alldf.select(F.explode(tokenize_expr("value")).alias("word"))
+    est = cms_estimate(words.distinct(), cms_build(words))
+    want = [(r.word, r.cms_count) for r in
+            est.orderBy(F.col("cms_count").desc(), "word")
+            .limit(3).collect()]
+    assert got == want and len(got) == 3
+    # beta's batch-1 occurrence counts in its final estimate
+    assert dict(got)["beta"] == 7
+    # bounded state: the candidate pool never exceeds its cap
+    cand = spark.read.parquet(
+        f"{tmp_path}/state/cand/v{versions[-1]}")
+    assert cand.count() <= 6
