@@ -48,6 +48,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline7,
         pipeline8,
         pipeline9,
+        pipeline10,
         text_queries,
         tpch,
         wordcount_queries,
@@ -115,8 +116,8 @@ def all_queries() -> dict[str, QuerySpec]:
     for mod in (wordcount_queries, curation, dedup_queries,
                 pipeline_queries, pipeline2, pipeline3, pipeline4,
                 pipeline5, pipeline6, pipeline7, pipeline8, pipeline9,
-                tpch, bucketed_join, analytics, text_queries,
-                analytics2, analytics3, tpch2, tpch3):
+                pipeline10, tpch, bucketed_join, analytics,
+                text_queries, analytics2, analytics3, tpch2, tpch3):
         full.update(mod.QUERIES)
 
     gate_first = (

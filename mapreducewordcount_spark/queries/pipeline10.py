@@ -1,0 +1,207 @@
+"""Round-11 additions: cross-source vocabulary overlap at sketch
+cost (explicit-register HLL — union via register-wise max), and the
+IPF-calibrated two-marginal training mixture.
+
+Reference parity: none — extension surface (SURVEY.md §2.5); the
+reference engine (/root/reference/src, 549 LoC) has no sketch or
+planning layer.
+
+Oracle notes:
+
+- ``vocab_overlap_hll`` — FULLY oracled with no artifact (the
+  count-min precedent): registers are integer max-aggregates over
+  md5-addressed ranks, and the raw-estimate float arithmetic is
+  exact-dyadic (operators/hll.py docstring) — DuckDB rebuilds sketch,
+  union, and estimates from raw text. The per-pair EXACT overlap
+  columns ride a word-level self-join that exists for calibration
+  only; at 100 TB only the sketch columns survive (the
+  sketch_hll_report contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducewordcount_spark.queries import QuerySpec
+from mapreducewordcount_spark.sources.tables import load_table, spread
+
+
+# --- cross-source vocabulary overlap (explicit-register HLL) -----------------
+
+def vocab_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary overlap report: for every source
+    pair, exact distinct-word counts and intersections (calibration
+    columns) next to the explicit-register HLL estimates — per-source,
+    union (register-wise max: the merge no exact structure has), and
+    the inclusion–exclusion overlap ``est_a + est_b − est_union``.
+
+    The curation question this answers at 100 TB: which crawl sources
+    share vocabulary (near-duplicate feeds, mirrored sites) BEFORE
+    paying for document-level cross-source dedup — |sources|² pair
+    estimates from |sources| × 256 register rows, no cross-source
+    data join. Plan: one distinct + one partial-agg register build;
+    everything pairwise reads the persisted ≤ |sources|×256 register
+    table. Estimates are raw HLL (biased low at small n — visible in
+    the calibration columns; the contract is the ranking/merge
+    algebra, not small-n accuracy).
+    """
+    from mapreducewordcount_spark.cache import (
+        persist_tracked,
+        release_query_cache,
+    )
+    from mapreducewordcount_spark.functions.tokenize import tokenize_expr
+    from mapreducewordcount_spark.operators.hll import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    release_query_cache()
+    # distinct (source, word) feeds BOTH the exact calibration side
+    # and the register build; registers feed three consumers
+    ex = persist_tracked(
+        docs.select("source",
+                    F.explode(tokenize_expr("text")).alias("word"))
+        .distinct())
+    regs = persist_tracked(hll_registers(ex, "word", ["source"]))
+
+    srcs = ex.select("source").distinct()
+    pairs = (srcs.select(F.col("source").alias("src_a"))
+             .join(srcs.select(F.col("source").alias("src_b")),
+                   F.col("src_a") < F.col("src_b")))
+
+    est = hll_estimate(regs, ["source"])
+    est_a = est.select(F.col("source").alias("src_a"),
+                       F.col("hll_est").alias("est_a"))
+    est_b = est.select(F.col("source").alias("src_b"),
+                       F.col("hll_est").alias("est_b"))
+
+    ra = pairs.join(regs.select(F.col("source").alias("src_a"),
+                                "reg", F.col("rho").alias("rho_a")),
+                    "src_a")
+    rb = pairs.join(regs.select(F.col("source").alias("src_b"),
+                                "reg", F.col("rho").alias("rho_b")),
+                    "src_b")
+    from mapreducewordcount_spark.operators.hll import (
+        ALPHA_M2,
+        M_REGISTERS,
+    )
+    eff = F.greatest(F.coalesce("rho_a", F.lit(0)),
+                     F.coalesce("rho_b", F.lit(0)))
+    udenom = ((F.lit(M_REGISTERS) - F.count(F.lit(1))).cast("double")
+              + F.sum(F.pow(F.lit(2.0), -eff)))
+    uni = (ra.join(rb, ["src_a", "src_b", "reg"], "full")
+           .groupBy("src_a", "src_b")
+           .agg(F.round(F.lit(ALPHA_M2) / udenom, 4)
+                .alias("est_union")))
+
+    n_src = ex.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_words"))
+    n_a = n_src.select(F.col("source").alias("src_a"),
+                       F.col("n_words").alias("n_words_a"))
+    n_b = n_src.select(F.col("source").alias("src_b"),
+                       F.col("n_words").alias("n_words_b"))
+    both = (ex.select(F.col("source").alias("src_a"), "word")
+            .join(ex.select(F.col("source").alias("src_b"), "word"),
+                  "word")
+            .filter(F.col("src_a") < F.col("src_b"))
+            .groupBy("src_a", "src_b")
+            .agg(F.count(F.lit(1)).alias("n_words_both")))
+
+    return (pairs
+            .join(n_a, "src_a").join(n_b, "src_b")
+            .join(both, ["src_a", "src_b"], "left")
+            .join(est_a, "src_a").join(est_b, "src_b")
+            .join(uni, ["src_a", "src_b"])
+            .select("src_a", "src_b", "n_words_a", "n_words_b",
+                    F.coalesce("n_words_both", F.lit(0)).cast("long")
+                    .alias("n_words_both"),
+                    "est_a", "est_b", "est_union",
+                    F.round(F.col("est_a") + F.col("est_b")
+                            - F.col("est_union"), 4)
+                    .alias("est_overlap")))
+
+
+def _hexat_sql(expr: str, start: int) -> str:
+    """DuckDB: 4 hex digits of ``expr`` starting at 1-based ``start``
+    as an integer (the pipeline2 recipe, position-parametrized)."""
+    hx = "'0123456789abcdef'"
+    terms = " + ".join(
+        f"(instr({hx}, substr({expr}, {start + i}, 1)) - 1)"
+        f" * {16 ** (3 - i)}" for i in range(4))
+    return f"({terms})"
+
+
+def _vocab_overlap_sql() -> str:
+    from mapreducewordcount_spark.operators.hll import (
+        ALPHA_M2,
+        M_REGISTERS,
+        _SALT,
+        hll_denom_sql,
+        rho_case_sql,
+    )
+
+    rho = rho_case_sql(_hexat_sql("hx", 5))
+    reg = f"({_hexat_sql('hx', 1)}) % {M_REGISTERS}"
+    return rf"""
+WITH sw AS (
+  SELECT source,
+         list_filter(
+           list_transform(regexp_split_to_array(lower(text), '\s+'),
+                          x -> regexp_replace(x,
+                            '^[!-/:-@\[-`{{-~]+|[!-/:-@\[-`{{-~]+$',
+                            '', 'g')),
+           x -> x <> '') AS words
+  FROM documents
+),
+tok AS (SELECT DISTINCT source, word
+        FROM (SELECT source, unnest(words) AS word FROM sw)),
+h AS (SELECT source, md5('{_SALT}' || word) AS hx FROM tok),
+regs AS (SELECT source, {reg} AS reg, max({rho}) AS rho
+         FROM h GROUP BY 1, 2),
+est AS (SELECT source,
+               round({ALPHA_M2!r} / {hll_denom_sql()}, 4) AS e
+        FROM regs GROUP BY source),
+srcs AS (SELECT DISTINCT source FROM tok),
+pairs AS (SELECT a.source AS src_a, b.source AS src_b
+          FROM srcs a JOIN srcs b ON a.source < b.source),
+ra AS (SELECT p.src_a, p.src_b, r.reg, r.rho AS rho_a
+       FROM pairs p JOIN regs r ON r.source = p.src_a),
+rb AS (SELECT p.src_a, p.src_b, r.reg, r.rho AS rho_b
+       FROM pairs p JOIN regs r ON r.source = p.src_b),
+uni AS (
+  SELECT src_a, src_b,
+         round({ALPHA_M2!r} / (({M_REGISTERS} - count(*)) * 1.0
+               + sum(power(2.0, -greatest(coalesce(rho_a, 0),
+                                          coalesce(rho_b, 0))))), 4)
+           AS est_union
+  FROM ra FULL JOIN rb USING (src_a, src_b, reg)
+  GROUP BY 1, 2
+),
+n_src AS (SELECT source, count(*) AS n_words FROM tok GROUP BY 1),
+ovl AS (SELECT a.source AS src_a, b.source AS src_b,
+                count(*) AS n_both
+         FROM tok a JOIN tok b
+           ON a.word = b.word AND a.source < b.source
+         GROUP BY 1, 2)
+SELECT p.src_a, p.src_b,
+       CAST(na.n_words AS BIGINT) AS n_words_a,
+       CAST(nb.n_words AS BIGINT) AS n_words_b,
+       CAST(coalesce(bo.n_both, 0) AS BIGINT) AS n_words_both,
+       ea.e AS est_a, eb.e AS est_b, u.est_union,
+       round(ea.e + eb.e - u.est_union, 4) AS est_overlap
+FROM pairs p
+JOIN n_src na ON na.source = p.src_a
+JOIN n_src nb ON nb.source = p.src_b
+LEFT JOIN ovl bo ON bo.src_a = p.src_a AND bo.src_b = p.src_b
+JOIN est ea ON ea.source = p.src_a
+JOIN est eb ON eb.source = p.src_b
+JOIN uni u ON u.src_a = p.src_a AND u.src_b = p.src_b
+"""
+
+
+QUERIES = {
+    "vocab_overlap_hll": QuerySpec(vocab_overlap_hll,
+                                   _vocab_overlap_sql()),
+}

@@ -1,0 +1,77 @@
+"""Explicit-register HLL: partition invariance, the register-wise-max
+merge property (union sketch == sketch of union), Python replay of
+the exact-dyadic estimate arithmetic, and accuracy on a planted
+corpus."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from mapreducewordcount_spark.operators.hll import (
+    ALPHA_M2,
+    M_REGISTERS,
+    _SALT,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def _df(spark, words, src="s0"):
+    return spark.createDataFrame([(src, w) for w in words],
+                                 "source string, word string")
+
+
+def _py_registers(words):
+    regs: dict[int, int] = {}
+    for w in set(words):
+        hx = hashlib.md5((_SALT + w).encode()).hexdigest()
+        reg = int(hx[:4], 16) % M_REGISTERS
+        v = int(hx[4:8], 16)
+        rho = 17 if v == 0 else (17 - v.bit_length())
+        regs[reg] = max(regs.get(reg, 0), rho)
+    return regs
+
+
+def _py_estimate(regs):
+    denom = (M_REGISTERS - len(regs)) * 1.0 + sum(
+        2.0 ** -r for r in regs.values())
+    return round(ALPHA_M2 / denom, 4)
+
+
+def test_registers_match_python_replay_and_partitioning(spark):
+    words = [f"w{i}" for i in range(500)] + ["w1", "w2"]  # dups absorbed
+    df = _df(spark, words)
+    got = {r.reg: r.rho for r in
+           hll_registers(df, "word", ["source"]).collect()}
+    assert got == _py_registers(words)
+    got7 = {r.reg: r.rho for r in
+            hll_registers(df.repartition(7), "word",
+                          ["source"]).collect()}
+    assert got7 == got
+
+
+def test_union_of_sketches_is_sketch_of_union(spark):
+    """THE HLL property: register-wise max of two groups' registers
+    equals the registers of the concatenated corpus — what makes
+    cross-shard distinct counting a metadata merge at 100 TB."""
+    a = [f"a{i}" for i in range(300)]
+    b = [f"b{i}" for i in range(200)] + a[:100]  # overlap
+    regs = hll_registers(
+        _df(spark, a, "sa").unionByName(_df(spark, b, "sb")),
+        "word", ["source"])
+    merged = (regs.groupBy("reg").agg(F.max("rho").alias("rho")))
+    got = {r.reg: r.rho for r in merged.collect()}
+    assert got == _py_registers(a + b)
+
+
+def test_estimate_matches_replay_and_is_accurate(spark):
+    words = [f"tok{i}" for i in range(2000)]
+    df = _df(spark, words)
+    est = hll_estimate(hll_registers(df, "word", ["source"]),
+                       ["source"]).collect()[0].hll_est
+    assert est == _py_estimate(_py_registers(words))
+    # raw-estimate accuracy at n/m ≈ 8: within 20% of the truth
+    # (1.04/sqrt(256) ≈ 6.5% rsd; 3σ margin)
+    assert abs(est - 2000) / 2000 < 0.20, est
