@@ -16,6 +16,11 @@ Oracle notes:
   columns ride a word-level self-join that exists for calibration
   only; at 100 TB only the sketch columns survive (the
   sketch_hll_report contract).
+- ``mixture_ipf_grid`` — the IPF iteration is a driver-side float
+  fit over the BOUNDED (source × lang) grid, so its output is the
+  committed artifact in integer micro-tokens (the langid micro-nat
+  discipline); DuckDB recomputes the inventory from raw text and the
+  rate arithmetic downstream of the artifact.
 """
 
 from __future__ import annotations
@@ -201,7 +206,112 @@ JOIN uni u ON u.src_a = p.src_a AND u.src_b = p.src_b
 """
 
 
+# --- IPF two-marginal mixture calibration ------------------------------------
+
+#: fixed alternating row/col scaling passes; residuals are asserted
+#: below (and pytest-pinned), not hoped for
+IPF_ITERS = 25
+#: max relative marginal error accepted from the fit
+IPF_TOL = 1e-4
+
+
+def mixture_ipf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-marginal training-mixture calibration (``operators/ipf``):
+    fit per-(source, lang) token targets whose ROW sums give every
+    source an equal share of MIX_BUDGET and whose COLUMN sums hit the
+    MIX_WEIGHTS language mix — the brief ``mixture_plan`` can't
+    satisfy with any single-key weight table. Output per observed
+    cell: inventory (n_docs, tokens_available), the fitted
+    ``target_micro`` (integer micro-tokens — the committed artifact),
+    and the sampling rate a pipeline applies.
+
+    Plan shape: ONE partial-agg groupBy builds the grid; the IPF
+    alternation runs driver-side on the corpus-size-independent
+    |sources| × |langs| table (the bounded-model-collect contract —
+    langid weights, BPE merges, k-means); the fitted table broadcasts
+    back. Languages outside MIX_WEIGHTS get explicit zero column
+    targets (drained, still reported); marginal residuals above
+    IPF_TOL raise rather than ship a bad plan."""
+    from mapreducewordcount_spark.functions.text_metrics import (
+        token_count,
+    )
+    from mapreducewordcount_spark.operators.ipf import (
+        MICRO,
+        ipf_fit,
+        ipf_residuals,
+    )
+    from mapreducewordcount_spark.queries.pipeline2 import (
+        MIX_BUDGET,
+        MIX_WEIGHTS,
+    )
+    from mapreducewordcount_spark.sources import sig_artifacts
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    inv = (docs
+           .select("source", "lang",
+                   token_count("text").cast("long").alias("n_tok"))
+           .groupBy("source", "lang")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tok").alias("tokens_available")))
+    cells = {(r["source"], r["lang"]): float(r["tokens_available"])
+             for r in inv.collect()}
+    srcs = sorted({s for s, _l in cells})
+    langs = sorted({l for _s, l in cells})
+    total_w = sum(MIX_WEIGHTS.values())
+    row_t = {s: MIX_BUDGET / len(srcs) for s in srcs}
+    col_t = {l: MIX_WEIGHTS.get(l, 0.0) / total_w * MIX_BUDGET
+             for l in langs}
+    fit = ipf_fit(cells, row_t, col_t, n_iters=IPF_ITERS)
+    res = ipf_residuals(fit, row_t, col_t)
+    if max(res) > IPF_TOL:
+        raise ValueError(
+            f"IPF marginal residuals {res} exceed {IPF_TOL} after "
+            f"{IPF_ITERS} iterations — grid too sparse for the brief")
+    art = spark.createDataFrame(
+        sorted((s, l, round(v * MICRO)) for (s, l), v in fit.items()),
+        "source string, lang string, target_micro long")
+    wt = sig_artifacts.materialize_frame(
+        art, "mixture_ipf_grid", sig_artifacts.corpus_key(docs),
+        ["source", "lang"])
+    target_tok = F.col("target_micro") / F.lit(float(MICRO))
+    return (inv.join(wt, ["source", "lang"])
+            .select("source", "lang", "n_docs", "tokens_available",
+                    "target_micro",
+                    F.when(F.col("tokens_available") > 0,
+                           F.round(target_tok
+                                   / F.col("tokens_available")
+                                   .cast("double"), 6))
+                    .otherwise(F.lit(0.0)).alias("sample_rate")))
+
+
+def _mixture_ipf_sql() -> str:
+    from mapreducewordcount_spark.operators.ipf import MICRO
+    from mapreducewordcount_spark.sources import sig_artifacts
+
+    return rf"""
+WITH {sig_artifacts.frame_cte('wt', 'mixture_ipf_grid',
+                              sig_artifacts.DOC_KEY_SQL)},
+inv AS (
+  SELECT source, lang, count(*) AS n_docs,
+         CAST(sum(CAST(len(regexp_extract_all(text,
+              '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)) AS BIGINT)
+           AS tokens_available
+  FROM documents
+  GROUP BY 1, 2
+)
+SELECT inv.source, inv.lang, CAST(inv.n_docs AS BIGINT) AS n_docs,
+       inv.tokens_available, wt.target_micro,
+       CASE WHEN inv.tokens_available > 0
+            THEN round(wt.target_micro / {float(MICRO)!r}
+                       / CAST(inv.tokens_available AS DOUBLE), 6)
+            ELSE 0.0 END AS sample_rate
+FROM inv JOIN wt ON inv.source = wt.source AND inv.lang = wt.lang
+"""
+
+
 QUERIES = {
     "vocab_overlap_hll": QuerySpec(vocab_overlap_hll,
                                    _vocab_overlap_sql()),
+    "mixture_ipf_grid": QuerySpec(mixture_ipf_grid,
+                                  _mixture_ipf_sql()),
 }

@@ -110,6 +110,7 @@ ARTIFACT_QUERIES = {
     "doc_cdc_chunks": ("doc_cdc_chunks",),
     "doc_language_ngram": ("doc_language_ngram",),
     "mixture_on_predicted_lang": ("mixture_on_predicted_lang",),
+    "mixture_ipf_grid": ("mixture_ipf_grid",),
 }
 
 
