@@ -151,6 +151,16 @@ HEADLINE = (
     "events_type_transitions",
     "ann_ivfpq_topk",
     "doc_nfc_stats",
+    # round-11 operators: explicit-register HLL overlap (distinct +
+    # register partial-agg + pairwise register algebra), IPF grid
+    # calibration (one groupBy + bounded driver fit), the basket-cap
+    # audit (one basket shuffle + 1-row agg) — first bench rows.
+    # ann_ivfpq_topk (residual rework) and doc_language_ngram
+    # (holdout rework) changed plans this round: compare them
+    # per-query, never inside a frozen subset.
+    "vocab_overlap_hll",
+    "mixture_ipf_grid",
+    "basket_cap_report",
 )
 
 #: FROZEN round-over-round comparison core (VERDICT r7 next#7): the

@@ -6,69 +6,47 @@ from __future__ import annotations
 
 from mapreducewordcount_spark.queries import all_queries
 
-R6_COHORT = (
-    "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
-    "dedup_simhash_pairs", "semantic_dedup_embeddings",
-    "embedding_cluster_stats", "curriculum_epoch_order",
-    "incremental_neardup_report", "doc_chunks",
-    "media_image_features", "media_audio_features",
-    "media_image_dhash_pairs", "media_audio_fp_pairs",
-    "doc_length_deciles", "doc_repetition_stats",
-    "pack_training_sequences", "doc_lm_quality",
-    "doc_compression_ratio", "doc_keywords_tfidf",
-    "top_bigrams", "content_word_counts",
-    "q1_pricing_summary", "q2_min_cost_supplier", "q3_top_orders",
-    "q4_priority_late", "q5_region_revenue", "q6_forecast_revenue",
-    "q7_nation_volume", "q8_market_share",
-    "events_hourly", "events_json_stats", "events_sessions",
-    "events_asof_orders", "events_after_purchase",
-    "events_props_keys",
-    "top_customers", "part_brand_stats", "big_spender_segments",
-    "customers_without_orders", "top_orders_per_customer",
-    "running_revenue", "rollup_revenue", "distinct_stats",
-    "retained_customers", "churned_customers",
-    "bucketed_order_revenue", "wc_bucket_hist",
-    "wc_top20")
-
-
-def test_gate_window_rotation_round10():
+def test_gate_window_rotation_round11():
     names = list(all_queries())
     window = set(names[:50])
-    # VERDICT r9 next#1: the value-changed sketch_stats (first
-    # possible hash row after the exact-percentile rework) and the
-    # round-10 first-ever lead, then the four judge-verified r9 late
-    # additions, wc_top20 (the last r6-stale row), and 43 of the
-    # 46-query r7-last-green cohort; positions 51-53 are the
-    # designated spills (they lead r11)
-    assert names[:9] == ["sketch_stats", "doc_language_ngram",
-                         "mixture_on_predicted_lang", "sketch_cms_words",
-                         "doc_chunk_share_pairs", "hybrid_rank_overlap",
-                         "doc_chunk_gc_report",
-                         "semantic_decontam_report", "wc_top20"]
-    r7_cohort_head = {
-        "q9_type_profit", "q22_idle_customers", "doc_bpe_tokens",
-        "exact_substring_dedup", "orders_cdc_merge", "doc_bm25_topk",
-        "doc_bm25_multi", "supplier_part_pagerank", "dsir_selection",
-        "sketch_hll_report", "source_quota_cap", "events_funnel",
-        "orders_scd2_history", "orders_agg_ivm", "join_skew_report",
-        "lineitem_zorder_layout", "events_compaction_plan",
-        "part_name_fuzzy_pairs", "doc_language_id", "doc_stats",
-        "nation_balance_reconciliation"}
-    assert r7_cohort_head <= window
-    assert names[50:55] == ["rollup_with_grouping_flags",
-                            "unpivot_part_measures", "orders_by_month",
-                            "pivot_status_by_segment",
-                            "label_centroid_norms"]
+    # VERDICT r10 next#1: value-changed queries and r11 first-evers
+    # lead, then the six never-driver-checked r10 late additions,
+    # the artifact-renamed mixture, and the five r7-stale rows
+    assert names[:16] == [
+        "doc_language_ngram", "ann_ivfpq_topk",
+        "vocab_overlap_hll", "mixture_ipf_grid", "basket_cap_report",
+        "part_pair_affinity", "decontam_minhash_report",
+        "events_type_transitions", "doc_nfc_stats",
+        "grouping_sets_revenue", "mixture_on_predicted_lang",
+        "rollup_with_grouping_flags", "unpivot_part_measures",
+        "orders_by_month", "pivot_status_by_segment",
+        "label_centroid_norms"]
+    # the 34 oldest r8-last-green rows fill the window
+    r8_cohort_head = {
+        "wc_word_count", "curate_corpus", "ann_cosine_topk",
+        "dedup_exact", "dedup_minhash_pairs", "dedup_groups",
+        "decontam_report", "decontam_bloom_report", "pii_scrub_stats",
+        "boilerplate_lines", "training_mixture_plan",
+        "pack_curated_corpus", "bpe_pair_stats", "c4_line_dedup",
+        "doc_quality_features", "media_video_frames",
+        "curate_corpus_best", "incremental_dedup_report"}
+    assert r8_cohort_head <= window
+    # positions 51-55: designated spills (next five r8 rows)
+    assert names[50:55] == ["knn_label_accuracy", "dedup_survivors",
+                            "seq_length_histogram", "events_gapfill",
+                            "source_overlap_matrix"]
     assert len(window) == 50
-    # freshly green in r9 -> correctly rotated OUT this round
-    for q in ("doc_quality_calibrated", "doc_cdc_chunk_dedup",
-              "doc_hybrid_bm25", "ann_lsh_topk", "doc_chunks",
-              "q1_pricing_summary", "events_asof_orders",
-              "dedup_simhash_pairs", "media_image_features",
-              "wc_bucket_hist", "bucketed_order_revenue",
-              # r8-green families stay out too
-              "orders_snapshot_diff", "orders_cdc_e2e",
-              "doc_hybrid_search", "wc_word_count"):
+    # freshly green in r9/r10 -> correctly rotated OUT this round
+    for q in ("sketch_stats", "sketch_cms_words",
+              "doc_chunk_share_pairs", "hybrid_rank_overlap",
+              "semantic_decontam_report", "wc_top20",
+              "q9_type_profit", "doc_bpe_tokens", "orders_cdc_merge",
+              "doc_quality_calibrated", "doc_cdc_chunk_dedup",
+              "ann_lsh_topk", "q1_pricing_summary",
+              "dedup_simhash_pairs", "wc_bucket_hist",
+              # the r8 tail that leads r12 stays out too
+              "heavy_hitters_words", "orders_snapshot_diff",
+              "orders_cdc_e2e", "doc_hybrid_search", "doc_cdc_chunks"):
         assert q not in window, q
 
 
