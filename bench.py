@@ -161,6 +161,7 @@ HEADLINE = (
     "vocab_overlap_hll",
     "mixture_ipf_grid",
     "basket_cap_report",
+    "source_drift_tv",
 )
 
 #: FROZEN round-over-round comparison core (VERDICT r7 next#7): the

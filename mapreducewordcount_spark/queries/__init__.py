@@ -128,8 +128,10 @@ def all_queries() -> dict[str, QuerySpec]:
         # SFs and locally oracle-exact
         "doc_language_ngram", "ann_ivfpq_topk",
         # --- r11 first-ever rows: explicit-register HLL overlap,
-        # IPF mixture calibration, the basket-cap audit (next#6)
+        # IPF mixture calibration, the basket-cap audit (next#6),
+        # the integer-exact source-drift monitor
         "vocab_overlap_hll", "mixture_ipf_grid", "basket_cap_report",
+        "source_drift_tv",
         # --- r10 late additions: judge-verified exact last round but
         # never driver-checked — the driver row is the durable record
         # (VERDICT r10 next#1). doc_nfc_stats was also touched this
@@ -161,15 +163,15 @@ def all_queries() -> dict[str, QuerySpec]:
         "c4_line_dedup", "doc_quality_features", "doc_char_entropy",
         "pack_mixture_corpus", "media_video_frames",
         "dataset_split_stats", "doc_ngram_novelty",
-        "curate_corpus_best", "incremental_dedup_report",
-        # --- positions 51-55: the designated spills if the driver
-        # cuts at 50 (next five of the r8 cohort; they lead r12 with
+        "curate_corpus_best",
+        # --- positions 51-56: the designated spills if the driver
+        # cuts at 50 (next six of the r8 cohort; they lead r12 with
         # the remaining ten: heavy_hitters_words, orders_snapshot_diff,
         # orders_agg_ivm_minmax, orders_cdc_e2e, doc_length_outliers,
         # bigram_collocations, lineitem_profile, events_rate_cusum,
         # doc_hybrid_search, doc_cdc_chunks)
-        "knn_label_accuracy", "dedup_survivors",
-        "seq_length_histogram", "events_gapfill",
+        "incremental_dedup_report", "knn_label_accuracy",
+        "dedup_survivors", "seq_length_histogram", "events_gapfill",
         "source_overlap_matrix",
     )
     out = {n: full[n] for n in gate_first}

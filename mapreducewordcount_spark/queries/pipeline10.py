@@ -309,9 +309,89 @@ FROM inv JOIN wt ON inv.source = wt.source AND inv.lang = wt.lang
 """
 
 
+# --- corpus drift -------------------------------------------------------------
+
+def source_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution-shift report (``operators/drift``):
+    total-variation distance of each source's hashed-token
+    distribution from the REST of the corpus, with the most-drifted
+    bucket — the monitor that flags a feed gone off-distribution
+    (template change, language flip, spam burst) before model-based
+    quality signals react. The statistic's numerator is an exact
+    integer (cross-multiplied counts, merge-order invariant); one
+    final divide produces the reported distance — which is why TV,
+    not KL/JSD (per-bucket logs), is the gate form."""
+    from mapreducewordcount_spark.operators.drift import (
+        token_bucket_counts,
+        tv_drift_vs_rest,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return tv_drift_vs_rest(token_bucket_counts(docs))
+
+
+def _source_drift_sql() -> str:
+    from mapreducewordcount_spark.operators.drift import (
+        N_BUCKETS,
+        _SALT,
+    )
+
+    bucket = f"({_hexat_sql('hx', 1)}) % {N_BUCKETS}"
+    return rf"""
+WITH sw AS (
+  SELECT source,
+         list_filter(
+           list_transform(regexp_split_to_array(lower(text), '\s+'),
+                          x -> regexp_replace(x,
+                            '^[!-/:-@\[-`{{-~]+|[!-/:-@\[-`{{-~]+$',
+                            '', 'g')),
+           x -> x <> '') AS words
+  FROM documents
+),
+tok AS (SELECT source AS grp, md5('{_SALT}' || word) AS hx
+        FROM (SELECT source, unnest(words) AS word FROM sw)),
+cnt AS (SELECT grp, {bucket} AS bucket, count(*) AS c
+        FROM tok GROUP BY 1, 2),
+tot_b AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS c_all
+          FROM cnt GROUP BY 1),
+tot_g AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n_g
+          FROM cnt GROUP BY 1),
+na AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM cnt),
+cells AS (
+  SELECT g.grp, b.bucket, g.n_g, na.n_all,
+         abs(coalesce(cnt.c, 0) * (na.n_all - g.n_g)
+             - (b.c_all - coalesce(cnt.c, 0)) * g.n_g) AS diff
+  FROM tot_g g
+  CROSS JOIN tot_b b
+  LEFT JOIN cnt ON cnt.grp = g.grp AND cnt.bucket = b.bucket
+  CROSS JOIN na
+),
+top AS (
+  SELECT grp, bucket AS top_bucket, diff AS top_diff
+  FROM (SELECT grp, bucket, diff,
+               row_number() OVER (PARTITION BY grp
+                                  ORDER BY diff DESC, bucket) AS rn
+        FROM cells)
+  WHERE rn = 1
+),
+agg AS (SELECT grp, n_g, n_all, sum(diff) AS num
+        FROM cells GROUP BY 1, 2, 3)
+SELECT agg.grp AS source, agg.n_g AS n_tokens,
+       CASE WHEN agg.n_g > 0 AND (agg.n_all - agg.n_g) > 0
+            THEN round(num / (2.0 * agg.n_g * (agg.n_all - agg.n_g)),
+                       6)
+            ELSE 0.0 END AS tv_vs_rest,
+       CAST(top.top_bucket AS BIGINT) AS top_bucket,
+       CAST(top.top_diff AS BIGINT) AS top_diff
+FROM agg JOIN top USING (grp)
+"""
+
+
 QUERIES = {
     "vocab_overlap_hll": QuerySpec(vocab_overlap_hll,
                                    _vocab_overlap_sql()),
     "mixture_ipf_grid": QuerySpec(mixture_ipf_grid,
                                   _mixture_ipf_sql()),
+    "source_drift_tv": QuerySpec(source_drift_tv,
+                                 _source_drift_sql()),
 }
