@@ -1,5 +1,6 @@
 from mapreducewordcount_spark.streaming.jobs import (  # noqa: F401
     start_cms_heavy_hitters,
+    start_source_drift_monitor,
     stream_hourly_events,
     stream_quality_filter,
     stream_session_windows,

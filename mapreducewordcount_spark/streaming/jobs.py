@@ -153,6 +153,58 @@ def start_cms_heavy_hitters(lines: DataFrame, *, state_dir: str,
             .foreachBatch(refresh).start())
 
 
+def start_source_drift_monitor(docs: DataFrame, *, state_dir: str,
+                               out_dir: str, checkpoint_dir: str,
+                               source_col: str = "source",
+                               text_col: str = "text"):
+    """Streaming twin of ``source_drift_tv`` (queries/pipeline10):
+    maintain per-(source, bucket) hashed-token counts as bounded
+    versioned state (≤ |sources| × 1024 rows — cell sums are
+    mergeable exactly like the CMS twin's) and emit the cumulative
+    per-source TV-vs-rest report each micro-batch — the live
+    off-distribution alarm for a crawl feed.
+
+    State/versioning contract matches :func:`start_cms_heavy_hitters`
+    (foreachBatch, version-addressed overwrites, no caller seed —
+    absent state IS the empty sketch). Because bucket counts are
+    merge-order invariant integer sums, the final emission equals the
+    batch operator over the union of all micro-batches — pinned
+    across a planted batch boundary in
+    tests/test_stream_transitions.py.
+
+    Returns the started StreamingQuery (caller stops it).
+    """
+    from mapreducewordcount_spark.operators.drift import (
+        token_bucket_counts,
+        tv_drift_vs_rest,
+    )
+
+    spark = docs.sparkSession
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.localCheckpoint(eager=True)  # cut stream lineage
+        bcnt = token_bucket_counts(batch, group_col=source_col,
+                                   text_col=text_col)
+        latest = latest_state_version(spark, f"{state_dir}/cnt")
+        if latest is not None:
+            prev = read_state_version(spark, f"{state_dir}/cnt",
+                                      min(batch_id, latest))
+            bcnt = (prev.unionByName(bcnt)
+                    .groupBy("grp", "bucket")
+                    .agg(F.sum("c").alias("c")))
+        bcnt.write.mode("overwrite").parquet(
+            f"{state_dir}/cnt/v{batch_id + 1}")
+        merged = spark.read.parquet(f"{state_dir}/cnt/v{batch_id + 1}")
+        tv_drift_vs_rest(merged).write.mode("overwrite").parquet(
+            f"{out_dir}/v{batch_id + 1}")
+
+    return (docs.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(refresh).start())
+
+
 def stream_hourly_events(events: DataFrame,
                          watermark: str = "2 hours") -> DataFrame:
     """streaming events(ts, event_type, value) → 1h tumbling counts.

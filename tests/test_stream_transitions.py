@@ -203,3 +203,55 @@ def test_stream_cms_heavy_hitters_batch_parity(spark, tmp_path):
     cand = spark.read.parquet(
         f"{tmp_path}/state/cand/v{versions[-1]}")
     assert cand.count() <= 6
+
+
+def test_stream_source_drift_matches_batch(spark, tmp_path):
+    """The drift monitor's final emission must equal the batch
+    source_drift_tv over the union of all micro-batches — bucket
+    sums are merge-order invariant, pinned across a planted batch
+    boundary (the stream_cms_cells recipe)."""
+    import json
+    import os
+
+    from mapreducewordcount_spark.operators.drift import (
+        token_bucket_counts,
+        tv_drift_vs_rest,
+    )
+    from mapreducewordcount_spark.streaming import (
+        start_source_drift_monitor,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    b1 = [{"source": "sa", "text": "alpha beta beta gamma"},
+          {"source": "sb", "text": "zeta zeta eta alpha"}]
+    b2 = [{"source": "sa", "text": "alpha delta delta"},
+          {"source": "sb", "text": "zeta theta theta iota"}]
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps(r) for r in b1) + "\n")
+    stream = (spark.readStream.schema("source string, text string")
+              .option("maxFilesPerTrigger", "1").json(str(src)))
+    q = start_source_drift_monitor(
+        stream, state_dir=str(tmp_path / "state"),
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        (src / "b2.json").write_text(
+            "\n".join(json.dumps(r) for r in b2) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    last = max(int(n[1:]) for n in os.listdir(tmp_path / "out"))
+    got = {tuple(sorted(r.asDict().items())) for r in
+           spark.read.parquet(f"{tmp_path}/out/v{last}").collect()}
+
+    alldf = spark.createDataFrame(
+        [(r["source"], r["text"]) for r in b1 + b2],
+        "source string, text string")
+    want = {tuple(sorted(r.asDict().items())) for r in
+            tv_drift_vs_rest(token_bucket_counts(alldf)).collect()}
+    assert got == want and len(got) == 2
+    # bounded state: at most |sources| x N_BUCKETS rows
+    cnt = spark.read.parquet(f"{tmp_path}/state/cnt/v{last}")
+    assert cnt.count() <= 2 * 1024
