@@ -65,6 +65,34 @@ def stream_cms_cells(lines: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("c")))
 
 
+def stream_hll_registers(docs: DataFrame,
+                         group_col: str = "source",
+                         text_col: str = "text") -> DataFrame:
+    """streaming docs → running explicit-HLL registers per group —
+    the BOUNDED-STATE streaming distinct-count (operators/hll.py).
+
+    Completes the streaming sketch family: ``stream_word_counts``
+    keeps vocabulary-sized exact state, ``stream_cms_cells`` bounds
+    FREQUENCY state at DEPTH×WIDTH sum-merged cells, and this twin
+    bounds DISTINCT-count state at |groups| × 256 max-merged
+    registers. Because register max is commutative/idempotent, the
+    aggregation's final state equals ``hll_registers`` over the union
+    of all micro-batches (pinned across a planted boundary in
+    tests/test_stream_transitions.py) and estimates read off the sink
+    exactly as off the batch sketch — per-source distinct-vocabulary
+    tracking on an open stream in kilobytes of state.
+    """
+    from mapreducewordcount_spark.functions.tokenize import tokenize_expr
+    from mapreducewordcount_spark.operators.hll import hll_registers
+
+    words = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokenize_expr(text_col)).alias("word"))
+    # the batch operator's expressions ARE streaming-compatible
+    # (select + one max-aggregate), so the twin shares them verbatim
+    return hll_registers(words, "word", ["grp"])
+
+
 def start_cms_heavy_hitters(lines: DataFrame, *, state_dir: str,
                             out_dir: str, checkpoint_dir: str,
                             k: int = 20, pool: int | None = None):

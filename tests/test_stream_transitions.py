@@ -255,3 +255,56 @@ def test_stream_source_drift_matches_batch(spark, tmp_path):
     # bounded state: at most |sources| x N_BUCKETS rows
     cnt = spark.read.parquet(f"{tmp_path}/state/cnt/v{last}")
     assert cnt.count() <= 2 * 1024
+
+
+def test_stream_hll_registers_matches_batch(spark, tmp_path):
+    """Bounded-state streaming distinct sketch: max-merge makes the
+    final register state equal hll_registers over the union of all
+    micro-batches, across a planted boundary; estimates read off the
+    sink match the batch estimate exactly."""
+    import json
+
+    from mapreducewordcount_spark.functions.tokenize import tokenize_expr
+    from mapreducewordcount_spark.operators.hll import (
+        hll_estimate,
+        hll_registers,
+    )
+    from mapreducewordcount_spark.streaming import stream_hll_registers
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    b1 = [{"source": "sa", "text": "alpha beta gamma delta"},
+          {"source": "sb", "text": "one two three"}]
+    b2 = [{"source": "sa", "text": "alpha epsilon zeta"},
+          {"source": "sb", "text": "three four five six"}]
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps(r) for r in b1) + "\n")
+    stream = (spark.readStream.schema("source string, text string")
+              .option("maxFilesPerTrigger", "1").json(str(src)))
+    q = (stream_hll_registers(stream)
+         .writeStream.outputMode("complete").format("memory")
+         .queryName("hll_regs").start())
+    try:
+        q.processAllAvailable()
+        (src / "b2.json").write_text(
+            "\n".join(json.dumps(r) for r in b2) + "\n")
+        q.processAllAvailable()
+        got = {(r.grp, r.reg): r.rho
+               for r in spark.sql("SELECT * FROM hll_regs").collect()}
+    finally:
+        q.stop()
+    alldf = spark.createDataFrame(
+        [(r["source"], r["text"]) for r in b1 + b2],
+        "source string, text string")
+    words = alldf.select(F.col("source").alias("grp"),
+                         F.explode(tokenize_expr("text")).alias("word"))
+    want_regs = hll_registers(words, "word", ["grp"])
+    want = {(r.grp, r.reg): r.rho for r in want_regs.collect()}
+    assert got == want and len(got) > 0
+    # estimates off the streamed state == batch estimates
+    sink = spark.sql("SELECT * FROM hll_regs")
+    got_est = {r.grp: r.hll_est
+               for r in hll_estimate(sink, ["grp"]).collect()}
+    want_est = {r.grp: r.hll_est
+                for r in hll_estimate(want_regs, ["grp"]).collect()}
+    assert got_est == want_est
