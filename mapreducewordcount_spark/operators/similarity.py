@@ -341,9 +341,26 @@ def ivf_build(corpus: DataFrame, id_col: str = "vec_id",
             # empty lists keep their previous centroid
             cent_rows = [(cid, new.get(cid, vec)) for cid, vec in cent_rows]
     assigned = _assign_to_rows(c, cent_rows, "c_vec", 1)
-    cent = corpus.sparkSession.createDataFrame(
-        [(cid, [float(x) for x in vec]) for cid, vec in cent_rows],
-        "list_id long, cent_vec array<float>")
+    # literal-plan the routing table (explode of a literal struct
+    # array = LocalRelation), NOT createDataFrame (whose parallelize
+    # yields a LogicalRDD with a fresh id per call): downstream plans
+    # that join the centroids — the residual IVF+PQ shortlist — must
+    # have a STABLE semanticHash or the artifact session memo
+    # (sources/sig_artifacts) misses on every invocation and re-runs
+    # the full model pipeline each time (measured 20 s vs 2 s at
+    # sf0.001).
+    if cent_rows:
+        lit_rows = F.array(*[
+            F.struct(F.lit(int(cid)).cast("long").alias("list_id"),
+                     F.array(*[F.lit(float(x)) for x in vec])
+                     .cast("array<float>").alias("cent_vec"))
+            for cid, vec in cent_rows])
+        cent = (corpus.sparkSession.range(1)
+                .select(F.explode(lit_rows).alias("s"))
+                .select("s.list_id", "s.cent_vec"))
+    else:  # degenerate empty corpus: schema-only frame
+        cent = corpus.sparkSession.createDataFrame(
+            [], "list_id long, cent_vec array<float>")
     return assigned, cent
 
 
