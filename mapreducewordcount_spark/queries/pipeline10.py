@@ -272,7 +272,7 @@ def mixture_ipf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source string, lang string, target_micro long")
     wt = sig_artifacts.materialize_frame(
         art, "mixture_ipf_grid", sig_artifacts.corpus_key(docs),
-        ["source", "lang"])
+        ["source", "lang"], memo_token="ipf-grid-equal-src-mix-lang")
     target_tok = F.col("target_micro") / F.lit(float(MICRO))
     return (inv.join(wt, ["source", "lang"])
             .select("source", "lang", "n_docs", "tokens_available",

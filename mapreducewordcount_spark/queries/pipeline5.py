@@ -490,7 +490,7 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 target_ids=target.select("doc_id"))
     wt = sig_artifacts.materialize_frame(
         weights, "dsir_selection", sig_artifacts.corpus_key(docs),
-        ["bucket"])
+        ["bucket"], memo_token="dsir-weights-en-target")
     scores = dsir.dsir_scores(docs, wt, feats=feats)
     topk = (scores.orderBy(F.col("dsir_score_micro").desc(),
                            F.col("doc_id"))

@@ -76,7 +76,8 @@ def _predicted_langs(spark: SparkSession,
     weights = langid.langid_weights(docs, feats=feats)
     wt = sig_artifacts.materialize_frame(
         weights, "mixture_on_predicted_lang",
-        sig_artifacts.corpus_key(docs), ["lang", "bucket"])
+        sig_artifacts.corpus_key(docs), ["lang", "bucket"],
+        memo_token="langid-weights-fullfit")
     pred = langid.langid_scores(docs, wt, feats=feats)
     return docs, pred
 
@@ -102,7 +103,7 @@ def doc_language_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = langid.langid_weights(train)
     wt = sig_artifacts.materialize_frame(
         weights, "doc_language_ngram", sig_artifacts.corpus_key(docs),
-        ["lang", "bucket"])
+        ["lang", "bucket"], memo_token="langid-weights-holdout")
     pred = langid.langid_scores(ev, wt)
     return (ev.select("doc_id", "lang").join(pred, "doc_id")
             .groupBy("lang", "pred_lang")
