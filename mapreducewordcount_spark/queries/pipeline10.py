@@ -321,13 +321,22 @@ def source_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer (cross-multiplied counts, merge-order invariant); one
     final divide produces the reported distance — which is why TV,
     not KL/JSD (per-bucket logs), is the gate form."""
+    from mapreducewordcount_spark.cache import (
+        persist_tracked,
+        release_query_cache,
+    )
     from mapreducewordcount_spark.operators.drift import (
         token_bucket_counts,
         tv_drift_vs_rest,
     )
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    return tv_drift_vs_rest(token_bucket_counts(docs))
+    # the bucket-count grid feeds four consumers (totals, grid join,
+    # top-bucket, numerator); persisted, the corpus explode+groupBy
+    # lineage runs ONCE (plan-pinned: docs scanned at most twice)
+    release_query_cache()
+    counts = persist_tracked(token_bucket_counts(docs))
+    return tv_drift_vs_rest(counts)
 
 
 def _source_drift_sql() -> str:
