@@ -162,6 +162,7 @@ HEADLINE = (
     "mixture_ipf_grid",
     "basket_cap_report",
     "source_drift_tv",
+    "bpe_fertility_by_lang",
 )
 
 #: FROZEN round-over-round comparison core (VERDICT r7 next#7): the

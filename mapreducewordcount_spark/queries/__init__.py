@@ -110,8 +110,18 @@ def all_queries() -> dict[str, QuerySpec]:
     #   events_type_transitions, ann_ivfpq_topk, doc_nfc_stats,
     #   grouping_sets_revenue) are NOT in this window — they are
     #   locally oracle-verified (hostile gate-sim included; the first
-    #   five at BOTH sf0.001 and sf0.01) and lead the r11 rotation
-    #   (the r9 late-addition precedent).
+    #   five at BOTH sf0.001 and sf0.01) and led the r11 rotation
+    #   (the r9 late-addition precedent);
+    #   r11 window (below) — VERDICT r10 next#1: the two
+    #   value-changed queries (holdout langid, residual IVF-PQ) and
+    #   the five r11 first-evers lead, then the six r10 late
+    #   additions, the artifact-renamed mixture, the five r7-stale
+    #   rows, and the oldest 33 of the 49-query r8-last-green cohort;
+    #   positions 51-57 are the designated spills (next seven r8
+    #   rows; they plus the remaining nine lead r12). Every window
+    #   member and the whole registry verified locally this round:
+    #   full-suite green, 5-axis hostile gate-sim all-exact,
+    #   whole-registry plan scan zero CartesianProduct.
     full: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries,
                 pipeline_queries, pipeline2, pipeline3, pipeline4,
@@ -131,7 +141,7 @@ def all_queries() -> dict[str, QuerySpec]:
         # IPF mixture calibration, the basket-cap audit (next#6),
         # the integer-exact source-drift monitor
         "vocab_overlap_hll", "mixture_ipf_grid", "basket_cap_report",
-        "source_drift_tv",
+        "source_drift_tv", "bpe_fertility_by_lang",
         # --- r10 late additions: judge-verified exact last round but
         # never driver-checked — the driver row is the durable record
         # (VERDICT r10 next#1). doc_nfc_stats was also touched this
@@ -147,9 +157,9 @@ def all_queries() -> dict[str, QuerySpec]:
         "rollup_with_grouping_flags", "unpivot_part_measures",
         "orders_by_month", "pivot_status_by_segment",
         "label_centroid_norms",
-        # --- 34 oldest of the 49-query r8-last-green cohort; after
+        # --- 33 oldest of the 49-query r8-last-green cohort; after
         # this round every registry query's last green driver row is
-        # >= r9 except the 15-query r8 tail that leads r12
+        # >= r9 except the 16-query r8 tail that leads r12
         "wc_word_count", "wc_word_count_salted", "curate_corpus",
         "ann_cosine_topk", "dedup_exact", "dedup_ngram_pairs",
         "dedup_prefix_pairs", "dedup_minhash_pairs", "dedup_groups",
@@ -163,15 +173,15 @@ def all_queries() -> dict[str, QuerySpec]:
         "c4_line_dedup", "doc_quality_features", "doc_char_entropy",
         "pack_mixture_corpus", "media_video_frames",
         "dataset_split_stats", "doc_ngram_novelty",
-        "curate_corpus_best",
-        # --- positions 51-56: the designated spills if the driver
+        # --- positions 51-57: the designated spills if the driver
         # cuts at 50 (next six of the r8 cohort; they lead r12 with
         # the remaining ten: heavy_hitters_words, orders_snapshot_diff,
         # orders_agg_ivm_minmax, orders_cdc_e2e, doc_length_outliers,
         # bigram_collocations, lineitem_profile, events_rate_cusum,
         # doc_hybrid_search, doc_cdc_chunks)
-        "incremental_dedup_report", "knn_label_accuracy",
-        "dedup_survivors", "seq_length_histogram", "events_gapfill",
+        "curate_corpus_best", "incremental_dedup_report",
+        "knn_label_accuracy", "dedup_survivors",
+        "seq_length_histogram", "events_gapfill",
         "source_overlap_matrix",
     )
     out = {n: full[n] for n in gate_first}

@@ -396,6 +396,106 @@ FROM agg JOIN top USING (grp)
 """
 
 
+
+
+# --- per-language tokenizer fertility -----------------------------------------
+
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report: per language, words / BPE tokens /
+    characters and the two ratios a multilingual mixture designer
+    actually reads — ``chars_per_token`` (compression: how much text a
+    token buys, the metric that exposes languages a shared vocabulary
+    serves badly) and ``tokens_per_word`` (fertility proper). Budgets
+    are TOKEN-denominated (mixture_plan, pack_training_sequences), so
+    a low-chars-per-token language silently gets less TEXT per token
+    budgeted — this report is where that shows up before training.
+
+    Composes the committed BPE serving table (the ``doc_bpe_tokens``
+    word→token-count artifact — same family, same builder expression)
+    with a per-LANG rollup instead of per-doc: one tokenize explode +
+    the vocabulary join + a |langs|-row aggregate. Oracle recomputes
+    everything downstream of the artifact."""
+    from mapreducewordcount_spark.functions.text_metrics import words
+    from mapreducewordcount_spark.operators.bpe import (
+        bpe_train,
+        bpe_vocab_token_counts,
+    )
+    from mapreducewordcount_spark.sources import sig_artifacts
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    merges = bpe_train(docs, n_merges=32, v_max_words=4096)
+    vt = sig_artifacts.materialize_frame(
+        bpe_vocab_token_counts(docs, merges), "doc_bpe_tokens",
+        sig_artifacts.corpus_key(docs), ["word"])
+    tok = docs.select("lang", F.explode(words("text")).alias("word"))
+    # no broadcast hint on vt (the doc_bpe_tokens policy): it holds
+    # every distinct corpus word and grows with vocabulary
+    agg = (tok.join(vt, "word")
+           .groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n_words"),
+                F.sum("n_tokens").alias("n_bpe_tokens"),
+                F.sum(F.length("word")).alias("n_chars")))
+    nd = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (nd.join(agg, "lang", "left")
+            .select("lang", "n_docs",
+                    F.coalesce("n_words", F.lit(0)).alias("n_words"),
+                    F.coalesce("n_bpe_tokens", F.lit(0))
+                    .alias("n_bpe_tokens"),
+                    F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+                    F.when(F.col("n_bpe_tokens") > 0,
+                           F.round(F.col("n_chars")
+                                   / F.col("n_bpe_tokens")
+                                   .cast("double"), 4))
+                    .otherwise(F.lit(0.0)).alias("chars_per_token"),
+                    F.when(F.col("n_words") > 0,
+                           F.round(F.col("n_bpe_tokens")
+                                   / F.col("n_words").cast("double"),
+                                   4))
+                    .otherwise(F.lit(0.0)).alias("tokens_per_word")))
+
+
+def _bpe_fertility_sql() -> str:
+    from mapreducewordcount_spark.sources import sig_artifacts
+
+    return rf"""
+WITH lw AS (
+  SELECT lang,
+         list_filter(
+           list_transform(regexp_split_to_array(lower(text), '\s+'),
+                          x -> regexp_replace(x,
+                            '^[!-/:-@\[-`{{-~]+|[!-/:-@\[-`{{-~]+$',
+                            '', 'g')),
+           x -> x <> '') AS words
+  FROM documents
+),
+{sig_artifacts.frame_cte('vt', 'doc_bpe_tokens',
+                         sig_artifacts.DOC_KEY_SQL)},
+tok AS (SELECT lang, unnest(words) AS word FROM lw),
+agg AS (
+  SELECT t.lang, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(vt.n_tokens) AS BIGINT) AS n_bpe_tokens,
+         CAST(sum(length(t.word)) AS BIGINT) AS n_chars
+  FROM tok t JOIN vt USING (word)
+  GROUP BY 1
+),
+nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+       FROM documents GROUP BY 1)
+SELECT nd.lang, nd.n_docs,
+       coalesce(agg.n_words, 0) AS n_words,
+       coalesce(agg.n_bpe_tokens, 0) AS n_bpe_tokens,
+       coalesce(agg.n_chars, 0) AS n_chars,
+       CASE WHEN coalesce(agg.n_bpe_tokens, 0) > 0
+            THEN round(coalesce(agg.n_chars, 0)
+                       / CAST(agg.n_bpe_tokens AS DOUBLE), 4)
+            ELSE 0.0 END AS chars_per_token,
+       CASE WHEN coalesce(agg.n_words, 0) > 0
+            THEN round(coalesce(agg.n_bpe_tokens, 0)
+                       / CAST(agg.n_words AS DOUBLE), 4)
+            ELSE 0.0 END AS tokens_per_word
+FROM nd LEFT JOIN agg ON nd.lang = agg.lang
+"""
+
+
 QUERIES = {
     "vocab_overlap_hll": QuerySpec(vocab_overlap_hll,
                                    _vocab_overlap_sql()),
@@ -403,4 +503,6 @@ QUERIES = {
                                   _mixture_ipf_sql()),
     "source_drift_tv": QuerySpec(source_drift_tv,
                                  _source_drift_sql()),
+    "bpe_fertility_by_lang": QuerySpec(bpe_fertility_by_lang,
+                                       _bpe_fertility_sql()),
 }

@@ -12,10 +12,10 @@ def test_gate_window_rotation_round11():
     # VERDICT r10 next#1: value-changed queries and r11 first-evers
     # lead, then the six never-driver-checked r10 late additions,
     # the artifact-renamed mixture, and the five r7-stale rows
-    assert names[:17] == [
+    assert names[:18] == [
         "doc_language_ngram", "ann_ivfpq_topk",
         "vocab_overlap_hll", "mixture_ipf_grid", "basket_cap_report",
-        "source_drift_tv",
+        "source_drift_tv", "bpe_fertility_by_lang",
         "part_pair_affinity", "decontam_minhash_report",
         "events_type_transitions", "doc_nfc_stats",
         "grouping_sets_revenue", "mixture_on_predicted_lang",
@@ -29,11 +29,11 @@ def test_gate_window_rotation_round11():
         "decontam_report", "decontam_bloom_report", "pii_scrub_stats",
         "boilerplate_lines", "training_mixture_plan",
         "pack_curated_corpus", "bpe_pair_stats", "c4_line_dedup",
-        "doc_quality_features", "media_video_frames",
-        "curate_corpus_best"}
+        "doc_quality_features", "media_video_frames"}
     assert r8_cohort_head <= window
     # positions 51-55: designated spills (next five r8 rows)
-    assert names[50:56] == ["incremental_dedup_report",
+    assert names[50:57] == ["curate_corpus_best",
+                            "incremental_dedup_report",
                             "knn_label_accuracy", "dedup_survivors",
                             "seq_length_histogram", "events_gapfill",
                             "source_overlap_matrix"]
