@@ -332,23 +332,50 @@ def _session_env(report: dict) -> dict:
     return out
 
 
+def _round_no() -> int:
+    """Current build round: ``SPARK_GRAFT_ROUND`` if set, else
+    1 + the highest committed ``BENCH_r{N}.json`` in the repo root
+    (the driver writes one per completed round, so during round N
+    the highest on disk is N−1)."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env and env.isdigit():
+        return int(env)
+    best = 0
+    for p in Path(_REPO).glob("BENCH_r*.json"):
+        digits = "".join(c for c in p.stem if c.isdigit())
+        if digits:
+            best = max(best, int(digits))
+    return best + 1
+
+
 def _emit(report: dict, line: dict | None = None) -> None:
-    """Print the report line AND commit the full report to
-    ``artifacts/bench_latest.json`` (VERDICT r10 wrong#4 / next#2):
-    the driver's stdout capture truncated the r9/r10 lines into
-    ``parsed: null``, losing ~9/10 of the per-query map that
-    ``tools/compare_bench.py`` reads for cross-round regression
-    checks. The committed artifact is the lossless record; the
-    printed line (``line`` if given, else the full report) leads with
-    the per-query map so even a truncated capture keeps the
-    regression instrument intact."""
+    """Print the report line AND commit the full report to an
+    IMMUTABLE per-round artifact (VERDICT r11 wrong#1 / next#3):
+    ``artifacts/bench_r{N}.json`` if free, else ``bench_r{N}.2.json``
+    etc. — a later run in the same round can never silently replace
+    an earlier committed record (r11 demonstrated the failure: the
+    driver's contended 1-session run overwrote the working-tree copy
+    of the 3-session episode artifact). ``bench_latest.json`` stays
+    as a mutable convenience copy; ``tools/compare_bench.py`` prefers
+    the per-round files. The printed line (``line`` if given, else
+    the full report) leads with the per-query map so even a truncated
+    stdout capture keeps the regression instrument intact (VERDICT
+    r10 wrong#4)."""
     line = dict(line if line is not None else report)
     try:
         art_dir = Path(_REPO) / "artifacts"
         art_dir.mkdir(exist_ok=True)
+        rnd = _round_no()
+        dest = art_dir / f"bench_r{rnd}.json"
+        seq = 1
+        while dest.exists():
+            seq += 1
+            dest = art_dir / f"bench_r{rnd}.{seq}.json"
+        with open(dest, "w") as f:
+            json.dump(report, f, indent=1)
         with open(art_dir / "bench_latest.json", "w") as f:
             json.dump(report, f, indent=1)
-        line["artifact"] = "artifacts/bench_latest.json"
+        line["artifact"] = f"artifacts/{dest.name}"
     except Exception as exc:  # noqa: BLE001 — artifact is best-effort
         print(f"bench artifact write failed: {exc!r}", file=sys.stderr)
     print(json.dumps(line))
