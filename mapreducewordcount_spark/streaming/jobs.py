@@ -148,12 +148,15 @@ def start_cms_heavy_hitters(lines: DataFrame, *, state_dir: str,
         words = batch.select(
             F.explode(tokenize_expr("value")).alias("word"))
         bcells = cms_build(words)
-        latest = latest_state_version(spark, f"{state_dir}/cells")
-        if latest is None:
+        # replay-input resolution (ADVICE r11): highest version ≤
+        # batch_id — empty batches leave holes, min(batch_id, latest)
+        # would read one and crash-loop the restarted stream
+        in_version = latest_state_version(spark, f"{state_dir}/cells",
+                                          at_most=batch_id)
+        if in_version is None:
             merged = bcells
             prev_cand = words.select("word").limit(0)
         else:
-            in_version = min(batch_id, latest)
             prev = read_state_version(spark, f"{state_dir}/cells",
                                       in_version)
             merged = (prev.unionByName(bcells)
@@ -215,10 +218,13 @@ def start_source_drift_monitor(docs: DataFrame, *, state_dir: str,
         batch = batch_df.localCheckpoint(eager=True)  # cut stream lineage
         bcnt = token_bucket_counts(batch, group_col=source_col,
                                    text_col=text_col)
-        latest = latest_state_version(spark, f"{state_dir}/cnt")
-        if latest is not None:
+        # replay-input resolution (ADVICE r11): highest version ≤
+        # batch_id, never a hole left by an empty predecessor batch
+        in_version = latest_state_version(spark, f"{state_dir}/cnt",
+                                          at_most=batch_id)
+        if in_version is not None:
             prev = read_state_version(spark, f"{state_dir}/cnt",
-                                      min(batch_id, latest))
+                                      in_version)
             bcnt = (prev.unionByName(bcnt)
                     .groupBy("grp", "bucket")
                     .agg(F.sum("c").alias("c")))
@@ -768,15 +774,22 @@ def stream_source_token_budget_tws(docs: DataFrame,
 
 # --- streaming CDC: incremental view maintenance over a change feed ---------
 
-def latest_state_version(spark, state_dir: str) -> int | None:
+def latest_state_version(spark, state_dir: str,
+                         at_most: int | None = None) -> int | None:
     """Highest committed ``v<N>`` subdirectory of a versioned state
-    dir, or None when unseeded."""
+    dir, or None when unseeded. ``at_most`` bounds the search: the
+    replay-input resolution (ADVICE r11) — a redelivered batch reads
+    the highest version ≤ its batch id, NOT ``v{batch_id}`` blindly,
+    because an empty predecessor batch writes no version at all and
+    ``min(batch_id, latest)`` would then name a hole and crash-loop
+    the stream on every restart."""
     import os
 
     if not os.path.isdir(state_dir):
         return None
     versions = [int(name[1:]) for name in os.listdir(state_dir)
-                if name.startswith("v") and name[1:].isdigit()]
+                if name.startswith("v") and name[1:].isdigit()
+                and (at_most is None or int(name[1:]) <= at_most)]
     return max(versions) if versions else None
 
 
@@ -856,20 +869,25 @@ def start_cdc_agg_refresh(changes: DataFrame, *, snapshot_dir: str,
     def refresh(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        latest = (ms.latest_manifest_version(snapshot_dir) if manifest
-                  else latest_state_version(spark, snapshot_dir))
         # normal flow: input version == batch id (seed v0, batch b
         # commits v{b+1}); redelivery re-reads its ORIGINAL input even
-        # though its own output version already exists. The start()
-        # seed check does not survive a state dir removed MID-stream,
-        # so re-raise the same seed-first error here instead of an
-        # opaque TypeError from min(batch_id, None) (ADVICE r9).
-        if latest is None:
+        # though its own output version already exists. Resolution is
+        # the highest committed version ≤ batch_id (ADVICE r11): empty
+        # batches commit nothing, so the version sequence has holes a
+        # blind min(batch_id, latest) would read and crash-loop on.
+        # The start() seed check does not survive a state dir removed
+        # MID-stream, so re-raise the seed-first error here instead of
+        # an opaque failure (ADVICE r9).
+        in_version = (ms.latest_manifest_version(snapshot_dir,
+                                                 at_most=batch_id)
+                      if manifest
+                      else latest_state_version(spark, snapshot_dir,
+                                                at_most=batch_id))
+        if in_version is None:
             raise ValueError(
                 f"no committed state under {snapshot_dir}: the state "
                 "dir lost its versions mid-stream — re-seed "
                 f"{snapshot_dir} before restarting")
-        in_version = min(batch_id, latest)
         snap = (ms.read_manifest_state(spark, snapshot_dir, in_version)
                 if manifest
                 else read_state_version(spark, snapshot_dir, in_version))
@@ -962,14 +980,18 @@ def start_chunk_index_maintenance(docs: DataFrame, *, index_dir: str,
     def refresh(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        latest = (ms.latest_manifest_version(index_dir) if manifest
-                  else latest_state_version(spark, index_dir))
-        if latest is None:  # state dir removed mid-stream (ADVICE r9)
+        # highest committed version ≤ batch_id (ADVICE r11 — see
+        # start_cdc_agg_refresh for the empty-batch-hole rationale)
+        in_version = (ms.latest_manifest_version(index_dir,
+                                                 at_most=batch_id)
+                      if manifest
+                      else latest_state_version(spark, index_dir,
+                                                at_most=batch_id))
+        if in_version is None:  # state dir removed mid-stream (ADVICE r9)
             raise ValueError(
                 f"no committed state under {index_dir}: the state "
                 "dir lost its versions mid-stream — re-seed "
                 f"{index_dir} before restarting")
-        in_version = min(batch_id, latest)
         index = (ms.read_manifest_state(spark, index_dir, in_version)
                  if manifest
                  else read_state_version(spark, index_dir, in_version)) \

@@ -56,15 +56,21 @@ def _bucket_col(key_cols: list[str], n_buckets: int):
     return F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets))
 
 
-def latest_manifest_version(state_dir: str) -> int | None:
-    """Highest committed manifest version, or None when unseeded."""
+def latest_manifest_version(state_dir: str,
+                            at_most: int | None = None) -> int | None:
+    """Highest committed manifest version, or None when unseeded.
+    ``at_most`` bounds the search — replay-input resolution for
+    redelivered micro-batches (see jobs.latest_state_version): empty
+    batches commit nothing, so version sequences legitimately have
+    holes and a replay must take the highest version ≤ batch_id."""
     if not os.path.isdir(state_dir):
         return None
     versions = []
     for name in os.listdir(state_dir):
         if name.startswith("manifest-v") and name.endswith(".json"):
             num = name[len("manifest-v"):-len(".json")]
-            if num.isdigit():
+            if num.isdigit() and (at_most is None
+                                  or int(num) <= at_most):
                 versions.append(int(num))
     return max(versions) if versions else None
 

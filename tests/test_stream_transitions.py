@@ -308,3 +308,96 @@ def test_stream_hll_registers_matches_batch(spark, tmp_path):
     want_est = {r.grp: r.hll_est
                 for r in hll_estimate(want_regs, ["grp"]).collect()}
     assert got_est == want_est
+
+
+def test_replay_after_empty_batch_resolves_version_hole(spark, tmp_path):
+    """ADVICE r11 (medium): empty batches commit no state version, so
+    the version sequence has holes; a crash-recovery replay must read
+    the highest committed version <= batch_id, not v{batch_id}
+    blindly — the blind read crash-looped the restarted stream.
+
+    Scenario: batch 0 writes v1, batch 1 is EMPTY (no v2), batch 2
+    reads v1 and writes v3. Deleting the checkpoint commit for batch
+    2 forces its redelivery on restart; the replay must resolve its
+    input back to v1 (not the nonexistent v2) and reproduce v3."""
+    import os
+
+    from mapreducewordcount_spark.streaming import (
+        start_cms_heavy_hitters,
+    )
+
+    src = tmp_path / "lines"
+    src.mkdir()
+    state, out, ckpt = (str(tmp_path / d) for d in
+                        ("state", "out", "ckpt"))
+
+    def start():
+        stream = (spark.readStream.format("text")
+                  .option("maxFilesPerTrigger", "1").load(str(src)))
+        return start_cms_heavy_hitters(stream, state_dir=state,
+                                       out_dir=out,
+                                       checkpoint_dir=ckpt,
+                                       k=2, pool=4)
+
+    q = start()
+    try:
+        (src / "b0.txt").write_text("alpha alpha beta\n")
+        q.processAllAvailable()
+        (src / "b1.txt").write_text("")      # empty: no state commit
+        q.processAllAvailable()
+        (src / "b2.txt").write_text("beta beta gamma\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()  # release the checkpoint before restart
+
+    cells = f"{state}/cells"
+    assert sorted(os.listdir(cells)) == ["v1", "v3"]  # the hole is real
+    before = {(r.word, r.cms_count) for r in
+              spark.read.parquet(f"{out}/v3").collect()}
+
+    # forget batch 2's commit -> structured streaming redelivers it
+    # (the .crc sidecar must go too or the re-commit rename fails)
+    os.remove(f"{ckpt}/commits/2")
+    os.remove(f"{ckpt}/commits/.2.crc")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    after = {(r.word, r.cms_count) for r in
+             spark.read.parquet(f"{out}/v3").collect()}
+    assert after == before  # idempotent replay, no crash loop
+    assert dict(after)["beta"] == 3  # batch-0 occurrence still counted
+
+
+def test_version_resolution_at_most_bounds():
+    """Unit pins for the replay-input resolution on both state
+    layouts (plain versioned dirs and manifest files)."""
+    import os
+    import tempfile
+
+    from mapreducewordcount_spark.streaming.jobs import (
+        latest_state_version,
+    )
+    from mapreducewordcount_spark.streaming.manifest_state import (
+        latest_manifest_version,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        for v in (0, 1, 3, 7):
+            os.makedirs(f"{d}/v{v}")
+        assert latest_state_version(None, d) == 7
+        assert latest_state_version(None, d, at_most=7) == 7
+        assert latest_state_version(None, d, at_most=6) == 3
+        assert latest_state_version(None, d, at_most=2) == 1
+        assert latest_state_version(None, d, at_most=-1) is None
+
+    with tempfile.TemporaryDirectory() as d:
+        for v in (0, 2, 5):
+            with open(f"{d}/manifest-v{v}.json", "w") as f:
+                f.write("{}")
+        assert latest_manifest_version(d) == 5
+        assert latest_manifest_version(d, at_most=4) == 2
+        assert latest_manifest_version(d, at_most=1) == 0
