@@ -211,10 +211,16 @@ def gc_manifest_state(state_dir: str, keep_last: int = 1) -> dict:
     must be:
 
     - Liveness is computed from the retained manifests' path lists,
-      never from directory naming conventions — a segment written by
-      a crashed/zombie writer for a NEVER-committed future version
-      (seg/v{N+1} with no manifest-v{N+1}) is unreachable by any
-      reader and is collected as an orphan.
+      never from directory naming conventions.
+    - Segments whose version is NEWER than the latest retained
+      manifest are left alone (ADVICE r11): commit_append/commit_cow
+      write segments BEFORE committing their manifest, so seg/v{N+1}
+      with no manifest-v{N+1} is indistinguishable from an in-flight
+      commit — deleting it would yield a manifest referencing
+      vanished files (silent partial-state reads). A zombie future
+      segment from a crashed writer is therefore collected by the
+      FIRST GC run after any later commit supersedes its version,
+      not by a GC racing the writer.
     - Deletion order is manifests-first for DROPPED versions (so a
       concurrent reader can no longer open a version whose segments
       are about to vanish), segments last; the retained manifests are
@@ -256,11 +262,18 @@ def gc_manifest_state(state_dir: str, keep_last: int = 1) -> dict:
         removed_manifests.append(f"manifest-v{v}.json")
 
     removed_segments = []
+    latest_kept = max(kept)
     seg_root = os.path.join(state_dir, "seg")
     if os.path.isdir(seg_root):
         for vdir in sorted(os.listdir(seg_root)):
             vpath = os.path.join(seg_root, vdir)
             if not os.path.isdir(vpath):
+                continue
+            # never touch segments newer than the latest committed
+            # manifest: they may belong to an IN-FLIGHT commit
+            # (segments land before their manifest — ADVICE r11)
+            if (vdir.startswith("v") and vdir[1:].isdigit()
+                    and int(vdir[1:]) > latest_kept):
                 continue
             for tag in sorted(os.listdir(vpath)):
                 rel = f"seg/{vdir}/{tag}"

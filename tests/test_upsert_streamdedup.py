@@ -443,9 +443,14 @@ def test_manifest_gc_removes_exactly_unreferenced(spark, tmp_path):
     carried = {p for b, ps in man0["buckets"].items()
                for p in ps if int(b) not in target}
 
-    # zombie: segment written for a never-committed version
-    os.makedirs(f"{d}/seg/v9/zombie")
-    open(f"{d}/seg/v9/zombie/part-junk.parquet", "w").write("x")
+    # zombie in a SUPERSEDED version: unreferenced, collectible
+    os.makedirs(f"{d}/seg/v0/zombie")
+    open(f"{d}/seg/v0/zombie/part-junk.parquet", "w").write("x")
+    # segment for a FUTURE version: indistinguishable from an
+    # in-flight commit (segments land before their manifest), so GC
+    # must leave it alone (ADVICE r11)
+    os.makedirs(f"{d}/seg/v9/inflight")
+    open(f"{d}/seg/v9/inflight/part-data.parquet", "w").write("x")
 
     before = {tuple(sorted(r.asDict().items()))
               for r in ms.read_manifest_state(spark, d).collect()}
@@ -453,7 +458,8 @@ def test_manifest_gc_removes_exactly_unreferenced(spark, tmp_path):
     assert report["kept_versions"] == [1]
     assert report["removed_manifests"] == ["manifest-v0.json"]
     assert set(report["removed_segments"]) == superseded | {
-        "seg/v9/zombie"}
+        "seg/v0/zombie"}
+    assert os.path.isdir(f"{d}/seg/v9/inflight")  # in-flight survives
     # carried-forward v0 segments survive and the state reads intact
     for rel in carried:
         assert os.path.isdir(f"{d}/{rel}")
@@ -468,3 +474,9 @@ def test_manifest_gc_removes_exactly_unreferenced(spark, tmp_path):
     again = ms.gc_manifest_state(d, keep_last=1)
     assert again["removed_manifests"] == []
     assert again["removed_segments"] == []
+    # once a LATER commit supersedes the stranded version, the next
+    # GC collects the now-provably-zombie segment
+    ms.commit_cow(new_rows, target, d, 1, 10)
+    report3 = ms.gc_manifest_state(d, keep_last=1)
+    assert "seg/v9/inflight" in report3["removed_segments"]
+    assert not os.path.isdir(f"{d}/seg/v9")
