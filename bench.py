@@ -163,6 +163,17 @@ HEADLINE = (
     "basket_cap_report",
     "source_drift_tv",
     "bpe_fertility_by_lang",
+    # round-12 operators: sketch-only HLL overlap (the runnable
+    # 100 TB contract — no word-level join), the IVF-PQ recall sweep
+    # (one index build, five routing levels), bottom-k reservoir
+    # sampling (one window top-k), retention cohorts (distinct +
+    # self-join on user), dedup cluster stats (near-dup components +
+    # two bounded aggregates) — first bench rows.
+    "vocab_overlap_hll_sketch",
+    "ivfpq_recall_curve",
+    "doc_reservoir_sample",
+    "events_retention_cohorts",
+    "dedup_cluster_stats",
 )
 
 #: FROZEN round-over-round comparison core (VERDICT r7 next#7): the

@@ -13,23 +13,42 @@ This module is the shared form: ``persist_tracked(df)`` registers the
 frame, and every caller's entry point starts with
 ``release_query_cache()`` — so at most one invocation's intermediates
 are ever cached, exactly the operator-module contract.
+
+Concurrency contract (ADVICE r11): the registry assumes SEQUENTIAL
+query invocations — every entry point's ``release_query_cache()``
+deliberately sweeps the PREVIOUS invocation's intermediates, so two
+queries composed lazily (build both frames, then act) or run from
+concurrent threads in one session will unpersist each other's live
+intermediates. That degrades the persist OPTIMIZATION (Spark
+recomputes the lineage; results stay correct) but silently forfeits
+the plan shape SCALE.md prices. Callers that need concurrent queries
+in one session should materialize each query's result before starting
+the next. The list itself is lock-guarded so the degraded concurrent
+case can't also corrupt tracking state (lost or doubly-unpersisted
+entries).
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
+_LOCK = threading.Lock()
 
 
 def release_query_cache() -> None:
     """Unpersist every intermediate persisted through
     ``persist_tracked`` by prior query invocations."""
-    while _TRACKED:
-        _TRACKED.pop().unpersist()
+    with _LOCK:
+        frames, _TRACKED[:] = _TRACKED[:], []
+    for df in frames:
+        df.unpersist()
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:
     df = df.persist()
-    _TRACKED.append(df)
+    with _LOCK:
+        _TRACKED.append(df)
     return df

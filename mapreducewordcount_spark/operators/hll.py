@@ -27,8 +27,12 @@ partitionings:
   order-invariant — the float never depends on summation order, and
   one literal-for-literal division finishes identically on both
   engines. (No small-range linear-counting branch: that needs ln,
-  which is libm-dependent; the RAW estimate is the contract and its
-  bias at small n is part of the reported calibration.)
+  which is libm-dependent; the RAW estimate is the contract. Its
+  small-range behavior is a FLOOR of α·M ≈ 184 — mostly-empty
+  registers each contribute 2⁰ — so below ~2.5·M ≈ 640 distinct
+  items the raw value OVER-estimates, crossing exact near 640; the
+  envelope is pinned in tests/test_hll_overlap.py. Consumers must
+  read any estimate ≲ 640 as "at most ~640", not as a count.)
 
 Scale shape: one distinct + one partial-agg groupBy per sketch
 build (≤ |groups| × M rows out); every union/overlap after that

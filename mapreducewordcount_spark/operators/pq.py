@@ -336,11 +336,34 @@ def _adc_fold(m: int, n_cent: int):
         F.lit(0.0), lambda acc, x: acc + x)
 
 
+def ivfpq_build(assigned: DataFrame, centroids: DataFrame,
+                m: int = 8, n_cent: int = 16) -> tuple[DataFrame, list]:
+    """Write-time half of residual IVF+PQ: residual-encode the
+    assigned corpus (``vector − centroid[list]`` via a broadcast
+    join + codegen ``zip_with`` subtract, map-side) and train/encode
+    the PQ codebooks on the residuals. → (codes, books), exactly
+    ``pq_build``'s contract. Split out of :func:`ivfpq_shortlist` so
+    a caller serving MANY query batches — or sweeping ``n_probe``
+    for a recall curve — trains and encodes ONCE; the per-batch read
+    path is routing + ADC only, which is the real serving shape
+    (FAISS builds the index once too)."""
+    res_corpus = (assigned
+                  .join(F.broadcast(centroids), "list_id")
+                  .select("neighbor_id",
+                          F.zip_with("c_vec", "cent_vec",
+                                     lambda a, b: a - b).alias("res"),
+                          "list_id"))
+    return pq_build(res_corpus, id_col="neighbor_id", vec_col="res",
+                    m=m, k=n_cent)
+
+
 def ivfpq_shortlist(assigned: DataFrame, centroids: DataFrame,
                     queries: DataFrame, routed: DataFrame,
                     vec_col: str = "embedding",
                     query_id_col: str = "query_id", m: int = 8,
-                    n_cent: int = 16, refine: int = 32) -> DataFrame:
+                    n_cent: int = 16, refine: int = 32,
+                    prebuilt: tuple[DataFrame, list] | None = None
+                    ) -> DataFrame:
     """RESIDUAL-encoded IVF+PQ shortlist — the full FAISS IndexIVFPQ
     recipe (VERDICT r10 next#7): PQ codes quantize the residual
     ``vector − centroid[list]`` rather than the raw vector. Residuals
@@ -368,15 +391,12 @@ def ivfpq_shortlist(assigned: DataFrame, centroids: DataFrame,
     Output contract matches ``pq_shortlist``: the ``refine``
     lowest-ADC (query_id, neighbor_id) rows per query, self-pairs
     excluded — feed to ``pq_rerank`` for the exact tail.
+
+    ``prebuilt`` takes an :func:`ivfpq_build` result so repeated
+    query batches (or an ``n_probe`` sweep) skip the train+encode.
     """
-    res_corpus = (assigned
-                  .join(F.broadcast(centroids), "list_id")
-                  .select("neighbor_id",
-                          F.zip_with("c_vec", "cent_vec",
-                                     lambda a, b: a - b).alias("res"),
-                          "list_id"))
-    codes, books = pq_build(res_corpus, id_col="neighbor_id",
-                            vec_col="res", m=m, k=n_cent)
+    codes, books = (prebuilt if prebuilt is not None
+                    else ivfpq_build(assigned, centroids, m, n_cent))
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"))
     qres = (routed

@@ -49,6 +49,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline8,
         pipeline9,
         pipeline10,
+        pipeline11,
         text_queries,
         tpch,
         wordcount_queries,
@@ -121,68 +122,59 @@ def all_queries() -> dict[str, QuerySpec]:
     #   rows; they plus the remaining nine lead r12). Every window
     #   member and the whole registry verified locally this round:
     #   full-suite green, 5-axis hostile gate-sim all-exact,
-    #   whole-registry plan scan zero CartesianProduct.
+    #   whole-registry plan scan zero CartesianProduct;
+    #   r12 window (below) — VERDICT r11 next#2: the 17-query
+    #   r8-last-green tail leads (the only rows older than r9 in the
+    #   cumulative record), then any r12 first-evers, then the oldest
+    #   33 of the 50-query r9-last-green cohort. The remaining 17 r9
+    #   rows are the designated spills and lead r13.
     full: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries,
                 pipeline_queries, pipeline2, pipeline3, pipeline4,
                 pipeline5, pipeline6, pipeline7, pipeline8, pipeline9,
-                pipeline10, tpch, bucketed_join, analytics,
+                pipeline10, pipeline11, tpch, bucketed_join, analytics,
                 text_queries, analytics2, analytics3, tpch2, tpch3):
         full.update(mod.QUERIES)
 
     gate_first = (
-        # --- value-CHANGED this round: the held-out language-ID
-        # rework (VERDICT r10 next#4: fit on the 80% train band,
-        # confusion on the held-out 20% only) and the residual
-        # IVF-PQ encoding (next#7) — both re-artifacted at all three
-        # SFs and locally oracle-exact
-        "doc_language_ngram", "ann_ivfpq_topk",
-        # --- r11 first-ever rows: explicit-register HLL overlap,
-        # IPF mixture calibration, the basket-cap audit (next#6),
-        # the integer-exact source-drift monitor
-        "vocab_overlap_hll", "mixture_ipf_grid", "basket_cap_report",
-        "source_drift_tv", "bpe_fertility_by_lang",
-        # --- r10 late additions: judge-verified exact last round but
-        # never driver-checked — the driver row is the durable record
-        # (VERDICT r10 next#1). doc_nfc_stats was also touched this
-        # round (NULL-text coalesce, value-identical on this corpus)
-        "part_pair_affinity", "decontam_minhash_report",
-        "events_type_transitions", "doc_nfc_stats",
-        "grouping_sets_revenue",
-        # --- oracle-text changed (artifact family renamed when the
-        # langid holdout split the weight tables): value-identical,
-        # re-gated for the record
-        "mixture_on_predicted_lang",
-        # --- the five r7-stale rows (VERDICT r10 next#1)
-        "rollup_with_grouping_flags", "unpivot_part_measures",
-        "orders_by_month", "pivot_status_by_segment",
-        "label_centroid_norms",
-        # --- 33 oldest of the 49-query r8-last-green cohort; after
-        # this round every registry query's last green driver row is
-        # >= r9 except the 16-query r8 tail that leads r12
-        "wc_word_count", "wc_word_count_salted", "curate_corpus",
-        "ann_cosine_topk", "dedup_exact", "dedup_ngram_pairs",
-        "dedup_prefix_pairs", "dedup_minhash_pairs", "dedup_groups",
-        "doc_winnow_fingerprints", "dedup_winnow_pairs",
-        "dedup_embedding_pairs", "dedup_embedding_pairs_lsh",
-        "decontam_report", "decontam_bloom_report", "pii_scrub_stats",
-        "stratified_sample_docs", "weighted_sample_docs",
-        "boilerplate_lines", "training_mixture_plan",
-        "mixture_applied_sample", "doc_dup_spans",
-        "pack_curated_corpus", "bpe_pair_stats", "epoch_shuffle_order",
-        "c4_line_dedup", "doc_quality_features", "doc_char_entropy",
-        "pack_mixture_corpus", "media_video_frames",
-        "dataset_split_stats", "doc_ngram_novelty",
-        # --- positions 51-57: the designated spills if the driver
-        # cuts at 50 (next six of the r8 cohort; they lead r12 with
-        # the remaining ten: heavy_hitters_words, orders_snapshot_diff,
-        # orders_agg_ivm_minmax, orders_cdc_e2e, doc_length_outliers,
-        # bigram_collocations, lineitem_profile, events_rate_cusum,
-        # doc_hybrid_search, doc_cdc_chunks)
-        "curate_corpus_best", "incremental_dedup_report",
-        "knn_label_accuracy", "dedup_survivors",
-        "seq_length_histogram", "events_gapfill",
+        # --- the 17-query r8-last-green tail (VERDICT r11 next#2 /
+        # missing#3): the only rows in the cumulative driver record
+        # older than r9 — they lead unconditionally
+        "bigram_collocations", "curate_corpus_best", "dedup_survivors",
+        "doc_cdc_chunks", "doc_hybrid_search", "doc_length_outliers",
+        "events_gapfill", "events_rate_cusum", "heavy_hitters_words",
+        "incremental_dedup_report", "knn_label_accuracy",
+        "lineitem_profile", "orders_agg_ivm_minmax", "orders_cdc_e2e",
+        "orders_snapshot_diff", "seq_length_histogram",
         "source_overlap_matrix",
+        # --- r12 first-ever rows (new this round, locally
+        # oracle-verified incl. hostile gate-sim before entering)
+        "vocab_overlap_hll_sketch", "ivfpq_recall_curve",
+        "doc_reservoir_sample", "events_retention_cohorts",
+        "dedup_cluster_stats",
+        # --- oldest 33 of the 50-query r9-last-green cohort; the
+        # remaining 17 (big_spender_segments, bucketed_order_revenue,
+        # churned_customers, content_word_counts,
+        # curriculum_epoch_order, customers_without_orders,
+        # distinct_stats, embedding_cluster_stats,
+        # pack_training_sequences, part_brand_stats,
+        # retained_customers, rollup_revenue, running_revenue,
+        # top_bigrams, top_customers, top_orders_per_customer,
+        # wc_bucket_hist) are the designated spills and lead r13
+        "q1_pricing_summary", "q2_min_cost_supplier", "q3_top_orders",
+        "q4_priority_late", "q5_region_revenue", "q6_forecast_revenue",
+        "q7_nation_volume", "q8_market_share",
+        "ann_ivf_topk", "ann_lsh_topk", "ann_pq_topk",
+        "dedup_simhash_pairs", "semantic_dedup_embeddings",
+        "incremental_neardup_report",
+        "doc_cdc_chunk_dedup", "doc_chunks", "doc_compression_ratio",
+        "doc_hybrid_bm25", "doc_keywords_tfidf", "doc_length_deciles",
+        "doc_lm_quality", "doc_quality_calibrated",
+        "doc_repetition_stats",
+        "events_after_purchase", "events_asof_orders", "events_hourly",
+        "events_json_stats", "events_props_keys", "events_sessions",
+        "media_audio_features", "media_audio_fp_pairs",
+        "media_image_dhash_pairs", "media_image_features",
     )
     out = {n: full[n] for n in gate_first}
     out.update(full)  # remainder keeps its original relative order

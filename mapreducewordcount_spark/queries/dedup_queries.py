@@ -30,9 +30,10 @@ Oracle notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mapreducewordcount_spark.functions.vectors import cosine
 from mapreducewordcount_spark.operators import dedup as dd
 from mapreducewordcount_spark.operators import similarity as sim
 from mapreducewordcount_spark.queries import QuerySpec
@@ -471,6 +472,131 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_rerank(sl, emb, queries, k=5)
 
 
+#: the committed recall sweep: n_lists=16, so 16 probes IS the
+#: exhaustive scan — the curve's right edge is PQ-only error
+IVFPQ_PROBES = (1, 2, 4, 8, 16)
+
+
+def ivfpq_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5-vs-``n_probe`` curve for residual IVF+PQ (VERDICT r11
+    next#7): the serving trade-off — how many inverted lists a query
+    must probe to reach a given recall — as a committed lookup table
+    instead of a rerun. One row per ``IVFPQ_PROBES`` value:
+    ``hits_at_5`` (approx∩exact over the top-5s) and ``recall_at_5``
+    against the exact cosine scan. Monotonicity (recall never drops
+    as n_probe grows, since routed candidate sets are nested) is
+    pytest-pinned; the SCALE.md table is this query's output.
+
+    Plan shape: the index is built ONCE (``ivf_build`` + residual
+    ``ivfpq_build`` — train + encode exactly once for the whole
+    sweep; the read path per probe level is routing + ADC over the
+    routed candidates only, which is precisely the marginal cost a
+    production n_probe knob pays). The union of per-level ADC
+    shortlists — downstream of the three float model stages SQL
+    can't replicate — is the committed artifact; DuckDB recomputes
+    BOTH reranks (approx per level, exact from raw embeddings) and
+    the recall arithmetic from it."""
+    from functools import reduce
+
+    from mapreducewordcount_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    assigned, cent = sim.ivf_build(emb, n_lists=16, kmeans_iters=2)
+    prebuilt = pq.ivfpq_build(assigned, cent)
+    levels = []
+    for p in IVFPQ_PROBES:
+        routed = sim.ivf_route(queries, cent, n_probe=p)
+        sl = pq.ivfpq_shortlist(assigned, cent, queries, routed,
+                                refine=32, prebuilt=prebuilt)
+        levels.append(sl.withColumn("n_probe",
+                                    F.lit(p).cast("int")))
+    sl_all = _sig_artifacts.materialize_frame(
+        reduce(lambda a, b: a.unionByName(b), levels),
+        "ivfpq_recall_shortlists",
+        _sig_artifacts.embeddings_corpus_key(emb),
+        ["n_probe", "query_id", "neighbor_id"])
+
+    q = queries.select("query_id", F.col("embedding").alias("q_vec"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("c_vec"))
+    wa = (Window.partitionBy("n_probe", "query_id")
+          .orderBy(F.col("cos").desc(), F.col("neighbor_id")))
+    approx = (sl_all.join(F.broadcast(q), "query_id")
+              .join(c, "neighbor_id")
+              .withColumn("cos", F.round(cosine("q_vec", "c_vec"), 6))
+              .withColumn("__r", F.row_number().over(wa))
+              .filter(F.col("__r") <= 5)
+              .select("n_probe", "query_id", "neighbor_id"))
+    exact = (sim.cosine_topk(emb, queries, k=5)
+             .select("query_id", "neighbor_id"))
+    hits = (approx.join(exact, ["query_id", "neighbor_id"])
+            .groupBy("n_probe")
+            .agg(F.count(F.lit(1)).alias("__hits")))
+    probes = spark.createDataFrame([(p,) for p in IVFPQ_PROBES],
+                                   "n_probe int")
+    totals = queries.agg(F.count(F.lit(1)).alias("n_queries"))
+    return (probes.join(hits, "n_probe", "left")
+            .crossJoin(F.broadcast(totals))
+            .select("n_probe", "n_queries",
+                    F.coalesce("__hits", F.lit(0)).cast("long")
+                    .alias("hits_at_5"),
+                    F.round(F.coalesce("__hits", F.lit(0))
+                            / (F.lit(5.0) * F.col("n_queries")), 4)
+                    .alias("recall_at_5")))
+
+
+IVFPQ_RECALL_SQL = f"""
+WITH {_sig_artifacts.frame_cte('sl', 'ivfpq_recall_shortlists')},
+scored AS (
+  SELECT sl.n_probe, sl.query_id, sl.neighbor_id,
+         {_GUARDED_COS_6} AS cos
+  FROM sl
+  JOIN embeddings eq ON eq.vec_id = sl.query_id
+  JOIN embeddings en ON en.vec_id = sl.neighbor_id
+),
+approx AS (
+  SELECT n_probe, query_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY n_probe, query_id
+          ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored)
+  WHERE rn <= 5
+),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+      WHERE vec_id < 10),
+ex_scored AS (
+  SELECT eq.query_id, en.vec_id AS neighbor_id,
+         {_GUARDED_COS_6} AS cos
+  FROM q eq JOIN embeddings en ON en.vec_id <> eq.query_id
+),
+exact AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY cos DESC, neighbor_id) AS rn
+        FROM ex_scored)
+  WHERE rn <= 5
+),
+probes AS (SELECT unnest({list(IVFPQ_PROBES)}) AS n_probe),
+hits AS (
+  SELECT a.n_probe, count(*) AS c
+  FROM approx a JOIN exact e
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1
+),
+nq AS (SELECT count(*) AS n FROM q)
+SELECT CAST(p.n_probe AS INT) AS n_probe,
+       CAST(nq.n AS BIGINT) AS n_queries,
+       CAST(coalesce(h.c, 0) AS BIGINT) AS hits_at_5,
+       round(coalesce(h.c, 0) / (5.0 * nq.n), 4) AS recall_at_5
+FROM probes p
+LEFT JOIN hits h ON h.n_probe = p.n_probe
+CROSS JOIN nq
+"""
+
+
 ANN_IVFPQ_SQL = f"""
 WITH {_sig_artifacts.frame_cte('sl', 'ann_ivfpq_topk_shortlist')},
 scored AS (
@@ -512,6 +638,8 @@ QUERIES = {
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_SQL),
     "ann_pq_topk": QuerySpec(ann_pq_topk, ANN_PQ_SQL),
     "ann_ivfpq_topk": QuerySpec(ann_ivfpq_topk, ANN_IVFPQ_SQL),
+    "ivfpq_recall_curve": QuerySpec(ivfpq_recall_curve,
+                                    IVFPQ_RECALL_SQL),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_COSINE_SQL),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_pairs": QuerySpec(dedup_ngram_pairs, DEDUP_PAIRS_SQL),

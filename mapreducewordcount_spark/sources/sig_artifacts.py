@@ -159,14 +159,23 @@ def materialize_frame(df: DataFrame, query_name: str,
     unchanged: the FIRST call per session still recomputes and
     verifies against the committed bytes, and the divergence guard
     only needs distinct tokens at distinct call sites — give every
-    call site its own token string.
+    call site its own token string. Because a token REPLACES the
+    plan fingerprint, a same-session plan change at a token-keyed
+    call site would otherwise be invisible to the memo (ADVICE r11),
+    so the sorted column set — stable for a given model recipe,
+    different the moment the call site starts building a different
+    table — is folded into the key alongside the token: a column-set
+    change misses the memo and falls through to the full
+    recompute-and-verify path instead of silently serving the
+    committed bytes.
     """
     n, s = key
     path = ARTIFACT_ROOT / query_name / f"k={n}_{s}"
     target_path = path / "data.parquet"
     memo_key = (query_name, key,
                 memo_token if memo_token is not None
-                else df.semanticHash())
+                else df.semanticHash(),
+                tuple(sorted(df.columns)))
     if memo_key in _SESSION_VERIFIED and target_path.exists():
         return (df.sparkSession.read.parquet(str(target_path))
                 .drop("k_rows", "k_sum"))

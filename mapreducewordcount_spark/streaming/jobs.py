@@ -808,7 +808,9 @@ def start_cdc_agg_refresh(changes: DataFrame, *, snapshot_dir: str,
                           keys, group_col: str, value_col: str,
                           version_col: str = "_version",
                           op_col: str = "_op",
-                          state_format: str = "versioned"):
+                          state_format: str = "versioned",
+                          gc_every_n_batches: int | None = None,
+                          gc_keep_last: int = 2):
     """Streaming IVM — the MUTATION leg of the streaming family
     (VERDICT r7 next#6): maintain a materialized aggregate view over
     a CDC change feed via ``foreachBatch``, refreshing through the
@@ -843,6 +845,21 @@ def start_cdc_agg_refresh(changes: DataFrame, *, snapshot_dir: str,
     O(changed buckets), not O(|state|). Seed with
     ``manifest_state.seed_manifest_state(df, snapshot_dir, keys)``;
     the version/redelivery contract is identical.
+
+    ``gc_every_n_batches`` (manifest format only — VERDICT r11
+    next#5) wires retention INTO the loop: after every Nth commit
+    the batch thread calls ``gc_manifest_state(keep_last=
+    gc_keep_last)``, so a long-running stream's storage is
+    O(live state × gc_keep_last), not O(stream length), with no
+    out-of-band job. Running it on the commit thread (never
+    concurrently with a commit) is what makes it safe; the
+    future-version guard in the GC additionally protects any
+    misconfigured external runner. ``gc_keep_last`` must cover the
+    checkpoint replay horizon: a redelivered batch re-reads the
+    highest committed version ≤ its batch_id, and Spark replays at
+    most the youngest uncommitted batch, so the default 2 (current +
+    previous) is the floor — raise it only to keep extra time-travel
+    versions.
 
     Returns the started StreamingQuery (caller stops it).
     """
@@ -912,6 +929,10 @@ def start_cdc_agg_refresh(changes: DataFrame, *, snapshot_dir: str,
                                        op_col=op_col)
             ms.commit_cow(new_changed, changed, snapshot_dir,
                           in_version, batch_id + 1)
+            if (gc_every_n_batches
+                    and (batch_id + 1) % gc_every_n_batches == 0):
+                ms.gc_manifest_state(snapshot_dir,
+                                     keep_last=gc_keep_last)
         else:
             new_snap = merge_upsert(snap, batch, klist,
                                     version_col=version_col,
@@ -929,7 +950,9 @@ def start_chunk_index_maintenance(docs: DataFrame, *, index_dir: str,
                                   id_col: str = "doc_id",
                                   source_col: str = "source",
                                   text_col: str = "text",
-                                  state_format: str = "versioned"):
+                                  state_format: str = "versioned",
+                                  gc_every_n_batches: int | None = None,
+                                  gc_keep_last: int = 2):
     """Streaming twin of the round-9 chunk family: as document
     micro-batches arrive, chunk them (``operators/cdchunk``), probe
     the chunk hashes against the maintained index, append a per-batch
@@ -957,6 +980,14 @@ def start_chunk_index_maintenance(docs: DataFrame, *, index_dir: str,
     cost, not O(|index|). Seed with
     ``manifest_state.seed_manifest_state(df, index_dir,
     ["chunk_md5"])``; version/redelivery contract identical.
+
+    ``gc_every_n_batches``/``gc_keep_last`` wire manifest-state
+    retention into the commit thread exactly as in
+    :func:`start_cdc_agg_refresh` (see there for the replay-horizon
+    floor on ``gc_keep_last``). For this append-only index the
+    per-version manifests share ALL live segments, so GC here drops
+    only superseded manifests (tiny) — the parameter matters the day
+    a compaction rewrite supersedes segments.
 
     Returns the started StreamingQuery (caller stops it).
     """
@@ -1028,6 +1059,10 @@ def start_chunk_index_maintenance(docs: DataFrame, *, index_dir: str,
             # manifest names it — no index bytes rewritten
             ms.commit_append(fresh.select("chunk_md5", "length"),
                              index_dir, in_version, batch_id + 1)
+            if (gc_every_n_batches
+                    and (batch_id + 1) % gc_every_n_batches == 0):
+                ms.gc_manifest_state(index_dir,
+                                     keep_last=gc_keep_last)
         else:
             new_index = index.unionByName(
                 fresh.select("chunk_md5", "length")).distinct()

@@ -75,3 +75,33 @@ def test_estimate_matches_replay_and_is_accurate(spark):
     # raw-estimate accuracy at n/m ≈ 8: within 20% of the truth
     # (1.04/sqrt(256) ≈ 6.5% rsd; 3σ margin)
     assert abs(est - 2000) / 2000 < 0.20, est
+
+
+def test_raw_estimate_small_range_bias_envelope(spark):
+    """VERDICT r11 next#6 — the small-n disclosure, pinned: the RAW
+    estimate (deliberately no linear-counting branch; that needs ln,
+    which is libm-dependent and would break the cross-engine dyadic
+    contract) has a FLOOR of ~alpha·M ≈ 184 when most registers are
+    empty, so below the classic 2.5·M ≈ 640 threshold it
+    OVER-estimates — wildly at tiny n (×19 at n=10) — then crosses
+    exact near 640 and stays within a few percent above. A consumer
+    reading per-source vocabulary estimates must treat any value
+    ≲ 2.5·M as "at most ~640", not as a count. The envelope below is
+    deterministic (fixed hash family), so these are constants."""
+    # n=0: the analytic floor alpha·M^2 / M, exactly
+    assert round(ALPHA_M2 / M_REGISTERS, 1) == 183.9
+
+    expected_ratio = {10: (15.0, 25.0),    # floor-dominated
+                      50: (3.0, 6.0),
+                      200: (1.2, 2.0),     # still above exact
+                      640: (0.9, 1.1),     # the 2.5·M crossover
+                      5000: (0.90, 1.05)}  # asymptotic regime
+    for n, (lo, hi) in expected_ratio.items():
+        est = _py_estimate(_py_registers([f"env{i}" for i in range(n)]))
+        assert lo <= est / n <= hi, (n, est)
+    # spot-check one point through the Spark expressions too
+    df = _df(spark, [f"env{i}" for i in range(640)])
+    est = hll_estimate(hll_registers(df, "word", ["source"]),
+                       ["source"]).collect()[0].hll_est
+    assert est == _py_estimate(
+        _py_registers([f"env{i}" for i in range(640)]))

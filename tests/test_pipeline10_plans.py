@@ -20,6 +20,49 @@ def test_vocab_overlap_no_cartesian_and_registers_partial_agg(spark):
     assert "BroadcastHashJoin" in plan  # word self-join is hash-keyed
 
 
+def test_vocab_overlap_sketch_mode_has_no_word_level_join(spark):
+    """``calibrate=False`` is the runnable 100 TB contract (VERDICT
+    r11 wrong#3/next#4): the exact-calibration legs — the only
+    word-keyed joins — must be gone from the PLAN. Formatted explain
+    lists every join with its keys/condition in a ``(N) <Op>Join``
+    detail block; none may reference a word column. The register
+    build must still aggregate partially (map-side combine before
+    the one shuffle to ≤ |sources|×256 rows)."""
+    from mapreducewordcount_spark.queries.pipeline10 import (
+        vocab_overlap_hll,
+    )
+
+    df = vocab_overlap_hll(spark, SF_ORACLE, calibrate=False)
+    assert df.columns == ["src_a", "src_b", "est_a", "est_b",
+                          "est_union", "est_overlap"]
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    join_blocks = [b for b in plan.split("\n\n")
+                   if b.lstrip().startswith("(")
+                   and "Join" in b.splitlines()[0]]
+    assert join_blocks, "pair/register algebra still joins"
+    offenders = [b.splitlines()[0] for b in join_blocks
+                 if "word#" in b]
+    assert not offenders, offenders
+    assert "HashAggregate" in plan
+    # sketch mode also drops the corpus-wide distinct: no
+    # (source, word)-keyed aggregate anywhere, only register folds
+    agg_blocks = [b for b in plan.split("\n\n")
+                  if "HashAggregate" in b.splitlines()[0:1][0]
+                  if b.lstrip().startswith("(")]
+    assert not [b for b in agg_blocks
+                if "word#" in b.split("Results")[0]]
+
+    # and the estimates agree with calibrate=True's sketch columns
+    # (same registers either way: max absorbs duplicates)
+    sketch = {tuple(r) for r in df.collect()}
+    full = {tuple(r) for r in
+            vocab_overlap_hll(spark, SF_ORACLE)
+            .select("src_a", "src_b", "est_a", "est_b", "est_union",
+                    "est_overlap").collect()}
+    assert sketch == full
+
+
 def test_source_drift_single_corpus_pass(spark):
     """The drift report materializes the (grp, bucket) counts ONCE:
     every downstream consumer (totals, grid join, top-bucket,

@@ -100,6 +100,7 @@ ARTIFACT_QUERIES = {
     "ann_ivf_topk": ("ann_ivf_topk_assign", "ann_ivf_topk_routed"),
     "ann_pq_topk": ("ann_pq_topk_shortlist",),
     "ann_ivfpq_topk": ("ann_ivfpq_topk_shortlist",),
+    "ivfpq_recall_curve": ("ivfpq_recall_shortlists",),
     "semantic_dedup_embeddings": ("semantic_dedup_embeddings",),
     "embedding_cluster_stats": ("embedding_cluster_stats_assign",
                                 "embedding_cluster_stats_cent"),
@@ -233,7 +234,47 @@ def test_materialize_frame_session_memo(spark, monkeypatch):
                                         ["doc_id"])
         assert len(calls) == 2          # different key → fresh verify
     finally:
-        sig_artifacts._SESSION_VERIFIED.discard(("test_memo", (2, 9)))
-        sig_artifacts._SESSION_VERIFIED.discard(("test_memo", (2, 10)))
+        for k in [k for k in sig_artifacts._SESSION_VERIFIED
+                  if k[0] == "test_memo"]:
+            sig_artifacts._SESSION_VERIFIED.discard(k)
         shutil.rmtree(sig_artifacts.ARTIFACT_ROOT / "test_memo",
+                      ignore_errors=True)
+
+
+def test_memo_token_misses_on_column_set_change(spark, monkeypatch):
+    """ADVICE r11: a ``memo_token`` REPLACES the plan fingerprint in
+    the memo key, so a same-session plan change at a token-keyed call
+    site would otherwise silently serve the committed bytes. The
+    sorted column set is folded into the key: same token + same
+    columns memo-hits, same token + different columns falls through
+    to the recompute-and-verify path."""
+    import shutil
+
+    from mapreducewordcount_spark.sources import sig_artifacts
+
+    calls = []
+    real = sig_artifacts._write_artifact
+
+    def counting(out, path, filename, sort_cols):
+        calls.append(str(path))
+        return real(out, path, filename, sort_cols)
+
+    monkeypatch.setattr(sig_artifacts, "_write_artifact", counting)
+    df1 = spark.createDataFrame([(1, "a")], "doc_id long, v string")
+    df2 = spark.createDataFrame([(1, "a", 7)],
+                                "doc_id long, v string, w long")
+    try:
+        sig_artifacts.materialize_frame(df1, "test_memo_tok", (1, 5),
+                                        ["doc_id"], memo_token="tok")
+        sig_artifacts.materialize_frame(df1, "test_memo_tok", (1, 5),
+                                        ["doc_id"], memo_token="tok")
+        assert len(calls) == 1          # token+columns stable → hit
+        sig_artifacts.materialize_frame(df2, "test_memo_tok", (1, 5),
+                                        ["doc_id"], memo_token="tok")
+        assert len(calls) == 2          # column-set change → miss
+    finally:
+        for k in [k for k in sig_artifacts._SESSION_VERIFIED
+                  if k[0] == "test_memo_tok"]:
+            sig_artifacts._SESSION_VERIFIED.discard(k)
+        shutil.rmtree(sig_artifacts.ARTIFACT_ROOT / "test_memo_tok",
                       ignore_errors=True)

@@ -480,3 +480,82 @@ def test_manifest_gc_removes_exactly_unreferenced(spark, tmp_path):
     report3 = ms.gc_manifest_state(d, keep_last=1)
     assert "seg/v9/inflight" in report3["removed_segments"]
     assert not os.path.isdir(f"{d}/seg/v9")
+
+
+def test_stream_gc_collects_superseded_segments_mid_stream(
+        spark, tmp_path):
+    """Retention wired INTO the maintenance loop (VERDICT r11
+    next#5): with ``gc_every_n_batches`` set, the commit thread GCs
+    the manifest state after every Nth batch — superseded manifests
+    and the segments only they referenced are collected WHILE the
+    stream runs, the retained state stays byte-identical to the
+    no-GC run, and storage stops growing with stream length."""
+    import json
+    import os
+
+    from mapreducewordcount_spark.operators.merge import merge_upsert
+    from mapreducewordcount_spark.streaming import manifest_state as ms
+    from mapreducewordcount_spark.streaming.jobs import (
+        start_cdc_agg_refresh,
+    )
+
+    snap_dir = str(tmp_path / "snap")
+    seed = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 200), (3, "b", 300), (4, "b", 400)],
+        "k long, grp string, v long")
+    ms.seed_manifest_state(seed, snap_dir, ["k"], n_buckets=4)
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("_version", T.IntegerType()),
+        T.StructField("_op", T.StringType())])
+    b1 = [{"k": 1, "grp": "a", "v": 150, "_version": 2, "_op": "U"}]
+    b2 = [{"k": 3, "grp": "b", "v": 333, "_version": 3, "_op": "U"},
+          {"k": 9, "grp": "c", "v": 900, "_version": 4, "_op": "U"}]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = start_cdc_agg_refresh(
+        stream, snapshot_dir=snap_dir,
+        view_dir=str(tmp_path / "view"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        keys=["k"], group_col="grp", value_col="v",
+        state_format="manifest",
+        gc_every_n_batches=1, gc_keep_last=1)
+    try:
+        q.processAllAvailable()
+        # batch 1 committed v1 and GC'd: manifest-v0 is gone already
+        manifests_after_b1 = sorted(
+            f for f in os.listdir(snap_dir) if f.startswith("manifest"))
+        assert manifests_after_b1 == ["manifest-v1.json"]
+        (src / "b2.json").write_text(
+            "\n".join(json.dumps(r) for r in b2))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # only the latest manifest survives; every on-disk segment is
+    # referenced by it (zero zombies, zero dangling references)
+    assert sorted(f for f in os.listdir(snap_dir)
+                  if f.startswith("manifest")) == ["manifest-v2.json"]
+    man = ms._load_manifest(snap_dir, 2)
+    live = {p for ps in man["buckets"].values() for p in ps}
+    on_disk = set()
+    seg_root = os.path.join(snap_dir, "seg")
+    for vdir in os.listdir(seg_root):
+        for tag in os.listdir(os.path.join(seg_root, vdir)):
+            on_disk.add(f"seg/{vdir}/{tag}")
+    assert on_disk == live
+    # and the retained state equals the from-scratch recompute
+    final = {(r.k, r.grp, r.v) for r in
+             ms.read_manifest_state(spark, snap_dir).collect()}
+    chg = spark.createDataFrame(
+        [tuple(r.values()) for b in (b1, b2) for r in b],
+        "k long, grp string, v long, _version int, _op string")
+    want = {(r.k, r.grp, r.v) for r in
+            merge_upsert(seed, chg, ["k"]).collect()}
+    assert final == want
