@@ -90,6 +90,35 @@ def hll_estimate(regs: DataFrame, group_cols: list[str],
             .agg(F.round(F.lit(ALPHA_M2) / denom, 4).alias(est_col)))
 
 
+def hll_estimate_small_range(regs: DataFrame, group_cols: list[str],
+                             est_col: str = "hll_est",
+                             corrected_col: str = "hll_est_corrected"
+                             ) -> DataFrame:
+    """REPORT-ONLY companion to :func:`hll_estimate` (the GK-swap
+    precedent — never on the oracle gate): the raw estimate PLUS the
+    standard small-range correction of Flajolet et al. 2007 §4 —
+    linear counting ``M·ln(M/V)`` (V = empty registers) whenever the
+    raw estimate is ≤ 2.5·M and V > 0. The correction needs ``ln``,
+    whose libm dependence is exactly what the raw-dyadic gate
+    contract excludes, so consumers get BOTH columns: the mergeable
+    cross-engine raw value and the human-readable corrected one
+    (within ~15% down to n ≈ M/10, pytest-pinned — vs the raw
+    value's ×19 floor inflation at n = 10)."""
+    present = F.count(F.lit(1))
+    denom = ((F.lit(M_REGISTERS) - present).cast("double")
+             + F.sum(F.pow(F.lit(2.0), -F.col("rho"))))
+    raw = F.lit(ALPHA_M2) / denom
+    v_empty = (F.lit(M_REGISTERS) - present).cast("double")
+    corrected = F.when(
+        (raw <= 2.5 * M_REGISTERS) & (v_empty > 0),
+        F.lit(float(M_REGISTERS))
+        * F.log(F.lit(float(M_REGISTERS)) / v_empty)
+    ).otherwise(raw)
+    return (regs.groupBy(*group_cols)
+            .agg(F.round(raw, 4).alias(est_col),
+                 F.round(corrected, 4).alias(corrected_col)))
+
+
 def hll_denom_sql(rho_expr: str = "rho") -> str:
     """The per-group denominator in DuckDB SQL, mirroring
     ``hll_estimate`` term for term (use inside a GROUP BY)."""

@@ -105,3 +105,35 @@ def test_raw_estimate_small_range_bias_envelope(spark):
                        ["source"]).collect()[0].hll_est
     assert est == _py_estimate(
         _py_registers([f"env{i}" for i in range(640)]))
+
+
+def test_small_range_corrected_estimate_report_column(spark):
+    """The report-only linear-counting companion (never on the gate
+    — it needs ln): corrected estimate within ~15% down to n ≈ M/10,
+    where the raw value is floor-inflated ×19; above 2.5·M the
+    correction hands back exactly the raw estimate."""
+    import math
+
+    from mapreducewordcount_spark.operators.hll import (
+        hll_estimate_small_range,
+    )
+
+    def both(n):
+        df = _df(spark, [f"env{i}" for i in range(n)])
+        row = hll_estimate_small_range(
+            hll_registers(df, "word", ["source"]),
+            ["source"]).collect()[0]
+        return row.hll_est, row.hll_est_corrected
+
+    for n, tol in ((25, 0.20), (100, 0.15), (400, 0.15)):
+        raw, corr = both(n)
+        assert abs(corr - n) / n <= tol, (n, raw, corr)
+        assert corr < raw  # the raw value is floor-inflated here
+    # python replay of the linear-counting branch at one point
+    regs = _py_registers([f"env{i}" for i in range(100)])
+    v = M_REGISTERS - len(regs)
+    want = round(M_REGISTERS * math.log(M_REGISTERS / v), 4)
+    assert both(100)[1] == want
+    # large n: raw > 2.5·M → corrected IS the raw estimate
+    raw, corr = both(5000)
+    assert corr == raw
