@@ -803,6 +803,35 @@ def read_state_version(spark, state_dir: str,
     return spark.read.parquet(f"{state_dir}/v{version}")
 
 
+def gc_versioned_state(state_dir: str, keep_last: int = 2) -> dict:
+    """Retention for PLAIN versioned-parquet state dirs — the
+    manifest-GC analog for the simple format (every version is a
+    full self-contained copy, so GC is just dropping old ``v<N>``
+    dirs): keep the ``keep_last`` HIGHEST committed versions, delete
+    the rest. Version sequences legitimately have holes (empty
+    batches commit nothing), so "last K" counts existing versions,
+    not ids. Same contract as ``gc_manifest_state``: run from the
+    commit thread (the loops' ``gc_every_n_batches``) or with the
+    stream stopped; ``keep_last`` ≥ 2 covers the replay horizon
+    (a redelivered batch reads the highest version ≤ its id).
+    Idempotent; returns {kept_versions, removed_versions}."""
+    import os
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    if not os.path.isdir(state_dir):
+        return {"kept_versions": [], "removed_versions": []}
+    versions = sorted(int(n[1:]) for n in os.listdir(state_dir)
+                      if n.startswith("v") and n[1:].isdigit())
+    kept = versions[-keep_last:]
+    removed = []
+    for v in versions[:-keep_last] if len(versions) > keep_last else []:
+        shutil.rmtree(os.path.join(state_dir, f"v{v}"))
+        removed.append(v)
+    return {"kept_versions": kept, "removed_versions": removed}
+
+
 def start_cdc_agg_refresh(changes: DataFrame, *, snapshot_dir: str,
                           view_dir: str, checkpoint_dir: str,
                           keys, group_col: str, value_col: str,
@@ -846,20 +875,23 @@ def start_cdc_agg_refresh(changes: DataFrame, *, snapshot_dir: str,
     ``manifest_state.seed_manifest_state(df, snapshot_dir, keys)``;
     the version/redelivery contract is identical.
 
-    ``gc_every_n_batches`` (manifest format only — VERDICT r11
-    next#5) wires retention INTO the loop: after every Nth commit
-    the batch thread calls ``gc_manifest_state(keep_last=
-    gc_keep_last)``, so a long-running stream's storage is
-    O(live state × gc_keep_last), not O(stream length), with no
-    out-of-band job. Running it on the commit thread (never
-    concurrently with a commit) is what makes it safe; the
-    future-version guard in the GC additionally protects any
-    misconfigured external runner. ``gc_keep_last`` must cover the
-    checkpoint replay horizon: a redelivered batch re-reads the
-    highest committed version ≤ its batch_id, and Spark replays at
-    most the youngest uncommitted batch, so the default 2 (current +
-    previous) is the floor — raise it only to keep extra time-travel
-    versions.
+    ``gc_every_n_batches`` (VERDICT r11 next#5) wires retention INTO
+    the loop: after every Nth commit the batch thread GCs the
+    SNAPSHOT state — ``gc_manifest_state`` in manifest format,
+    ``gc_versioned_state`` for plain versioned dirs — so a
+    long-running stream's storage is O(live state × gc_keep_last),
+    not O(stream length), with no out-of-band job. Running it on the
+    commit thread (never concurrently with a commit) is what makes
+    it safe; the manifest GC's future-version guard additionally
+    protects any misconfigured external runner. ``gc_keep_last``
+    must cover the checkpoint replay horizon: a redelivered batch
+    re-reads the highest committed version ≤ its batch_id, and Spark
+    replays at most the youngest uncommitted batch, so the default 2
+    (current + previous) is the floor — raise it only to keep extra
+    time-travel versions. The VIEW dir is deliberately not GC'd: it
+    is the stream's output history (the diff/SCD2 time-travel
+    surface), not recoverable state — prune it with an explicit
+    ``gc_versioned_state(view_dir, ...)`` if history isn't wanted.
 
     Returns the started StreamingQuery (caller stops it).
     """
@@ -939,6 +971,10 @@ def start_cdc_agg_refresh(changes: DataFrame, *, snapshot_dir: str,
                                     op_col=op_col)
             new_snap.write.mode("overwrite").parquet(
                 f"{snapshot_dir}/v{batch_id + 1}")
+            if (gc_every_n_batches
+                    and (batch_id + 1) % gc_every_n_batches == 0):
+                gc_versioned_state(snapshot_dir,
+                                   keep_last=gc_keep_last)
 
     return (changes.writeStream.outputMode("append")
             .option("checkpointLocation", checkpoint_dir)
@@ -981,13 +1017,15 @@ def start_chunk_index_maintenance(docs: DataFrame, *, index_dir: str,
     ``manifest_state.seed_manifest_state(df, index_dir,
     ["chunk_md5"])``; version/redelivery contract identical.
 
-    ``gc_every_n_batches``/``gc_keep_last`` wire manifest-state
-    retention into the commit thread exactly as in
+    ``gc_every_n_batches``/``gc_keep_last`` wire index retention
+    into the commit thread exactly as in
     :func:`start_cdc_agg_refresh` (see there for the replay-horizon
-    floor on ``gc_keep_last``). For this append-only index the
-    per-version manifests share ALL live segments, so GC here drops
-    only superseded manifests (tiny) — the parameter matters the day
-    a compaction rewrite supersedes segments.
+    floor on ``gc_keep_last``): manifest format GCs superseded
+    manifests (for this append-only index all live segments are
+    shared, so manifests are the only garbage — the parameter
+    matters more the day a compaction rewrite supersedes segments);
+    plain versioned format drops old full-copy ``v<N>`` dirs, where
+    the win is the entire O(|index|) copy per batch.
 
     Returns the started StreamingQuery (caller stops it).
     """
@@ -1068,6 +1106,10 @@ def start_chunk_index_maintenance(docs: DataFrame, *, index_dir: str,
                 fresh.select("chunk_md5", "length")).distinct()
             new_index.write.mode("overwrite").parquet(
                 f"{index_dir}/v{batch_id + 1}")
+            if (gc_every_n_batches
+                    and (batch_id + 1) % gc_every_n_batches == 0):
+                gc_versioned_state(index_dir,
+                                   keep_last=gc_keep_last)
 
     return (docs.writeStream.outputMode("append")
             .option("checkpointLocation", checkpoint_dir)

@@ -6,49 +6,47 @@ from __future__ import annotations
 
 from mapreducewordcount_spark.queries import all_queries
 
-def test_gate_window_rotation_round11():
+def test_gate_window_rotation_round12():
     names = list(all_queries())
     window = set(names[:50])
-    # VERDICT r10 next#1: value-changed queries and r11 first-evers
-    # lead, then the six never-driver-checked r10 late additions,
-    # the artifact-renamed mixture, and the five r7-stale rows
-    assert names[:18] == [
-        "doc_language_ngram", "ann_ivfpq_topk",
-        "vocab_overlap_hll", "mixture_ipf_grid", "basket_cap_report",
-        "source_drift_tv", "bpe_fertility_by_lang",
-        "part_pair_affinity", "decontam_minhash_report",
-        "events_type_transitions", "doc_nfc_stats",
-        "grouping_sets_revenue", "mixture_on_predicted_lang",
-        "rollup_with_grouping_flags", "unpivot_part_measures",
-        "orders_by_month", "pivot_status_by_segment",
-        "label_centroid_norms"]
-    # the 34 oldest r8-last-green rows fill the window
-    r8_cohort_head = {
-        "wc_word_count", "curate_corpus", "ann_cosine_topk",
-        "dedup_exact", "dedup_minhash_pairs", "dedup_groups",
-        "decontam_report", "decontam_bloom_report", "pii_scrub_stats",
-        "boilerplate_lines", "training_mixture_plan",
-        "pack_curated_corpus", "bpe_pair_stats", "c4_line_dedup",
-        "doc_quality_features", "media_video_frames"}
-    assert r8_cohort_head <= window
-    # positions 51-55: designated spills (next five r8 rows)
-    assert names[50:57] == ["curate_corpus_best",
-                            "incremental_dedup_report",
-                            "knn_label_accuracy", "dedup_survivors",
-                            "seq_length_histogram", "events_gapfill",
-                            "source_overlap_matrix"]
+    # VERDICT r11 next#2: the 17-query r8-last-green tail leads
+    # unconditionally (the only rows older than r9 in the cumulative
+    # driver record), then the five r12 first-evers
+    assert names[:22] == [
+        "bigram_collocations", "curate_corpus_best", "dedup_survivors",
+        "doc_cdc_chunks", "doc_hybrid_search", "doc_length_outliers",
+        "events_gapfill", "events_rate_cusum", "heavy_hitters_words",
+        "incremental_dedup_report", "knn_label_accuracy",
+        "lineitem_profile", "orders_agg_ivm_minmax", "orders_cdc_e2e",
+        "orders_snapshot_diff", "seq_length_histogram",
+        "source_overlap_matrix",
+        "vocab_overlap_hll_sketch", "ivfpq_recall_curve",
+        "doc_reservoir_sample", "events_retention_cohorts",
+        "dedup_cluster_stats"]
+    # the oldest r9-last-green rows fill the window
+    r9_cohort_head = {
+        "q1_pricing_summary", "q5_region_revenue", "ann_ivf_topk",
+        "ann_pq_topk", "dedup_simhash_pairs", "doc_hybrid_bm25",
+        "doc_quality_calibrated", "events_asof_orders",
+        "events_hourly", "doc_keywords_tfidf"}
+    assert r9_cohort_head <= window
+    # positions 51-55: designated spills (tail of the r9 cohort)
+    assert names[50:55] == ["events_sessions", "media_audio_features",
+                            "media_audio_fp_pairs",
+                            "media_image_dhash_pairs",
+                            "media_image_features"]
     assert len(window) == 50
-    # freshly green in r9/r10 -> correctly rotated OUT this round
-    for q in ("sketch_stats", "sketch_cms_words",
-              "doc_chunk_share_pairs", "hybrid_rank_overlap",
-              "semantic_decontam_report", "wc_top20",
-              "q9_type_profit", "doc_bpe_tokens", "orders_cdc_merge",
-              "doc_quality_calibrated", "doc_cdc_chunk_dedup",
-              "ann_lsh_topk", "q1_pricing_summary",
-              "dedup_simhash_pairs", "wc_bucket_hist",
-              # the r8 tail that leads r12 stays out too
-              "heavy_hitters_words", "orders_snapshot_diff",
-              "orders_cdc_e2e", "doc_hybrid_search", "doc_cdc_chunks"):
+    # freshly green in r10/r11 -> correctly rotated OUT this round
+    for q in ("doc_language_ngram", "ann_ivfpq_topk",
+              "vocab_overlap_hll", "mixture_ipf_grid",
+              "basket_cap_report", "source_drift_tv",
+              "bpe_fertility_by_lang", "part_pair_affinity",
+              "decontam_minhash_report", "events_type_transitions",
+              "doc_nfc_stats", "grouping_sets_revenue",
+              "mixture_on_predicted_lang", "wc_top20",
+              # r13 leads (the remaining r9 cohort) stay out too
+              "big_spender_segments", "wc_bucket_hist",
+              "top_bigrams", "rollup_revenue"):
         assert q not in window, q
 
 

@@ -559,3 +559,88 @@ def test_stream_gc_collects_superseded_segments_mid_stream(
     want = {(r.k, r.grp, r.v) for r in
             merge_upsert(seed, chg, ["k"]).collect()}
     assert final == want
+
+
+def test_gc_versioned_state_keeps_last_k_existing(tmp_path):
+    """Plain-format retention: holes in the version sequence (empty
+    batches) count nothing — "last K" is over EXISTING versions; a
+    keep_last below 1 refuses rather than deleting everything."""
+    import os
+
+    import pytest as _pytest
+
+    from mapreducewordcount_spark.streaming.jobs import (
+        gc_versioned_state,
+    )
+
+    d = str(tmp_path / "st")
+    for v in (0, 2, 5):
+        os.makedirs(f"{d}/v{v}")
+        open(f"{d}/v{v}/part-0.parquet", "w").write("x")
+    report = gc_versioned_state(d, keep_last=2)
+    assert report == {"kept_versions": [2, 5], "removed_versions": [0]}
+    assert sorted(os.listdir(d)) == ["v2", "v5"]
+    # idempotent
+    assert gc_versioned_state(d, keep_last=2)["removed_versions"] == []
+    with _pytest.raises(ValueError, match="keep_last"):
+        gc_versioned_state(d, keep_last=0)
+    # unseeded dir is a no-op, not an error
+    assert gc_versioned_state(str(tmp_path / "nope")) \
+        == {"kept_versions": [], "removed_versions": []}
+
+
+def test_stream_gc_versioned_format_drops_old_copies(spark, tmp_path):
+    """The versioned-format leg of loop-wired retention: full-copy
+    v<N> snapshot dirs beyond keep_last are dropped mid-stream and
+    the retained state still equals the from-scratch recompute."""
+    import json
+    import os
+
+    from mapreducewordcount_spark.operators.merge import merge_upsert
+    from mapreducewordcount_spark.streaming.jobs import (
+        read_state_version,
+        start_cdc_agg_refresh,
+    )
+
+    snap_dir = str(tmp_path / "snap")
+    seed = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 200)], "k long, grp string, v long")
+    seed.write.parquet(f"{snap_dir}/v0")
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("_version", T.IntegerType()),
+        T.StructField("_op", T.StringType())])
+    b1 = [{"k": 1, "grp": "a", "v": 111, "_version": 2, "_op": "U"}]
+    b2 = [{"k": 3, "grp": "c", "v": 300, "_version": 3, "_op": "U"}]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+
+    q = start_cdc_agg_refresh(
+        spark.readStream.schema(schema).json(str(src)),
+        snapshot_dir=snap_dir, view_dir=str(tmp_path / "view"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        keys=["k"], group_col="grp", value_col="v",
+        state_format="versioned",
+        gc_every_n_batches=1, gc_keep_last=1)
+    try:
+        q.processAllAvailable()
+        assert sorted(os.listdir(snap_dir)) == ["v1"]  # v0 collected
+        (src / "b2.json").write_text(
+            "\n".join(json.dumps(r) for r in b2))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert sorted(os.listdir(snap_dir)) == ["v2"]
+    final = {(r.k, r.grp, r.v) for r in
+             read_state_version(spark, snap_dir).collect()}
+    chg = spark.createDataFrame(
+        [tuple(r.values()) for b in (b1, b2) for r in b],
+        "k long, grp string, v long, _version int, _op string")
+    want = {(r.k, r.grp, r.v) for r in
+            merge_upsert(seed, chg, ["k"]).collect()}
+    assert final == want
