@@ -288,9 +288,26 @@ def run_session() -> dict:
     # per-query isolation: one broken query must degrade the report
     # (null timing + error string), never erase it — a bench harness
     # should degrade, not vanish (round-2 lesson).
+    # SPARK_GRAFT_BENCH_ONLY=core (or a comma list of query names)
+    # restricts the session to a subset — the clean-gap instrument:
+    # this host's contention episodes leave ~3-6 min quiet gaps, too
+    # short for a full headline session but enough for the frozen
+    # 24-query CORE, whose core_total is the cross-round regression
+    # number anyway. The report carries ``subset`` so a reader (and
+    # compare_bench's per-query ratios) can't mistake a core-only
+    # session's headline_total for a full run's.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    if only == "core":
+        names: tuple[str, ...] = CORE
+    elif only:
+        wanted = set(only.split(","))
+        names = tuple(n for n in HEADLINE if n in wanted)
+    else:
+        names = HEADLINE
+
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in names:
         _quiesce()
         runs: list[float] = []
         try:
@@ -315,6 +332,7 @@ def run_session() -> dict:
     # — come FIRST; fingerprints and method strings ride the tail.
     report = {"metric": "headline_total", "value": total, "unit": "sec",
               "core_total": core_total, "queries": timings, "sf": sf_dir,
+              "subset": only or "headline",
               "env_start": env_start, "env_end": _env_fingerprint(),
               "method": "median-of-3, cache-cleared+GC between queries"}
     if errors:
