@@ -433,7 +433,7 @@ def dup_groups(pairs: DataFrame, a_col: str = "a_id",
     # materialize the edge list ONCE before iterating: every round
     # joins `edges`, and a lazy `pairs` plan (a shingle self-join, an
     # LSH band probe) would otherwise RE-EXECUTE per round — measured
-    # 16 s → 5.5 s on dedup_cluster_stats at sf0.1, where the
+    # 16 s → ~6 s warm on dedup_cluster_stats at sf0.1, where the
     # un-checkpointed shingle join dominated every iteration. Edges
     # are the bounded survivor pair set, cheap to hold.
     edges = edges.localCheckpoint(eager=True)
