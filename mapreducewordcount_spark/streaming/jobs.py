@@ -1114,3 +1114,89 @@ def start_chunk_index_maintenance(docs: DataFrame, *, index_dir: str,
     return (docs.writeStream.outputMode("append")
             .option("checkpointLocation", checkpoint_dir)
             .foreachBatch(refresh).start())
+
+
+def start_reservoir_maintenance(docs: DataFrame, *, state_dir: str,
+                                checkpoint_dir: str, k: int = 20,
+                                group_col: str = "source",
+                                id_col: str = "doc_id",
+                                gc_every_n_batches: int | None = None,
+                                gc_keep_last: int = 2):
+    """Streaming twin of ``doc_reservoir_sample`` — a RUNNING uniform
+    k-sample per group over an unbounded document stream, in
+    |groups| × k rows of state forever.
+
+    This is exactly why the batch query chose bottom-k-by-hash over
+    sequential Algorithm R (queries/pipeline11.py): bottom-k is
+    MERGEABLE, so the maintenance step is one line of algebra —
+    ``state ← bottom_k(state ∪ batch)`` — and the post-batch state
+    provably equals the batch operator over the union of everything
+    ever seen (boundary-parity pytest-pinned), with no RNG state to
+    checkpoint and replay-stable results (the hash IS the
+    randomness; a redelivered batch re-derives the same sample).
+    A per-group ``n_seen`` count rides the same state so a consumer
+    can turn the sample into rates; it sum-merges exactly.
+
+    State discipline matches :func:`start_cms_heavy_hitters`:
+    versioned parquet, NO caller seed (an absent dir IS the empty
+    reservoir), batch ``b`` reads the highest committed version ≤ b
+    and writes ``v{b+1}`` (idempotent redelivery), and
+    ``gc_every_n_batches``/``gc_keep_last`` wire
+    :func:`gc_versioned_state` into the commit thread.
+
+    Returns the started StreamingQuery (caller stops it).
+    """
+    spark = docs.sparkSession
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from pyspark.sql import Window
+
+        batch = (batch_df
+                 .select(F.col(group_col).alias("grp"),
+                         F.col(id_col).alias("id"))
+                 .groupBy("grp", "id")
+                 .agg(F.count(F.lit(1)).alias("n_seen"))
+                 .localCheckpoint(eager=True))
+        in_version = latest_state_version(spark, state_dir,
+                                          at_most=batch_id)
+        if in_version is None:
+            pool = batch
+            prev_counts = batch.select("grp").limit(0) \
+                .withColumn("n_prev", F.lit(0).cast("long"))
+        else:
+            prev = read_state_version(spark, state_dir, in_version)
+            pool = prev.select("grp", "id",
+                               F.lit(1).cast("long").alias("n_seen")) \
+                .unionByName(batch)
+            prev_counts = (prev.groupBy("grp")
+                           .agg(F.max("n_seen_grp").alias("n_prev")))
+        hk = F.md5(F.concat(F.lit("rsv:"), F.col("id").cast("string")))
+        w = Window.partitionBy("grp").orderBy(hk, "id")
+        # duplicate ids across state∪batch collapse first (an id
+        # re-delivered or re-crawled must not occupy two slots)
+        dedup = pool.groupBy("grp", "id").agg(
+            F.sum("n_seen").alias("__n"))
+        kept = (dedup
+                .withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") <= k)
+                .select("grp", "id"))
+        n_batch = batch.groupBy("grp").agg(
+            F.sum("n_seen").alias("n_batch"))
+        counts = (n_batch.join(prev_counts, "grp", "full")
+                  .select("grp",
+                          (F.coalesce("n_prev", F.lit(0))
+                           + F.coalesce("n_batch", F.lit(0)))
+                          .alias("n_seen_grp")))
+        out = kept.join(counts, "grp").select(
+            "grp", "id", F.col("n_seen_grp").cast("long"))
+        out.write.mode("overwrite").parquet(
+            f"{state_dir}/v{batch_id + 1}")
+        if (gc_every_n_batches
+                and (batch_id + 1) % gc_every_n_batches == 0):
+            gc_versioned_state(state_dir, keep_last=gc_keep_last)
+
+    return (docs.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(refresh).start())

@@ -644,3 +644,61 @@ def test_stream_gc_versioned_format_drops_old_copies(spark, tmp_path):
     want = {(r.k, r.grp, r.v) for r in
             merge_upsert(seed, chg, ["k"]).collect()}
     assert final == want
+
+
+def test_stream_reservoir_matches_batch_bottom_k(spark, tmp_path):
+    """Streaming reservoir twin: after two micro-batches the state
+    equals the batch bottom-k over the UNION of everything seen (the
+    mergeability that justified bottom-k over Algorithm R), the
+    per-group n_seen is exact, state is ≤ |groups|·k rows, and
+    loop-wired GC keeps only the retained versions."""
+    import hashlib
+    import json
+    import os
+
+    from mapreducewordcount_spark.streaming.jobs import (
+        read_state_version,
+        start_reservoir_maintenance,
+    )
+
+    k = 3
+    st = str(tmp_path / "rsv")
+    src = tmp_path / "docs"
+    src.mkdir()
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType())])
+    b1 = [{"doc_id": i, "source": "a"} for i in range(8)] \
+        + [{"doc_id": 100 + i, "source": "b"} for i in range(2)]
+    b2 = [{"doc_id": 8 + i, "source": "a"} for i in range(7)] \
+        + [{"doc_id": 102, "source": "b"}]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+
+    q = start_reservoir_maintenance(
+        spark.readStream.schema(schema).json(str(src)),
+        state_dir=st, checkpoint_dir=str(tmp_path / "ckpt"),
+        k=k, gc_every_n_batches=1, gc_keep_last=1)
+    try:
+        q.processAllAvailable()
+        (src / "b2.json").write_text(
+            "\n".join(json.dumps(r) for r in b2))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert sorted(os.listdir(st)) == ["v2"]  # GC kept only latest
+    state = read_state_version(spark, st).collect()
+
+    def bottom_k(ids):
+        return set(sorted(
+            ids, key=lambda d: (hashlib.md5(
+                f"rsv:{d}".encode()).hexdigest(), d))[:k])
+
+    all_rows = b1 + b2
+    for grp in ("a", "b"):
+        ids = [r["doc_id"] for r in all_rows if r["source"] == grp]
+        got = {r.id for r in state if r.grp == grp}
+        assert got == bottom_k(ids), grp
+        n = {r.n_seen_grp for r in state if r.grp == grp}
+        assert n == {len(ids)}, grp
+        assert len(got) == min(k, len(set(ids)))
