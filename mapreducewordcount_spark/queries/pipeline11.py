@@ -17,15 +17,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mapreducewordcount_spark.operators.sampling import (
+    RSV_SALT as _RSV_SALT,
+    reservoir_hash,
+)
 from mapreducewordcount_spark.queries import QuerySpec
 from mapreducewordcount_spark.sources.tables import load_table
 
 #: per-source reservoir capacity for the gate query
 RESERVOIR_K = 20
-#: salt namespacing the sample's hash stream (the repo-wide rule:
-#: every hash-consumer salts, so adding one can never correlate with
-#: another's bucketing)
-_RSV_SALT = "rsv:"
 
 
 def doc_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,8 +49,7 @@ def doc_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (source, sample_rank, doc_id, n_chars, n_in_source).
     """
     docs = load_table(spark, sf_dir, "documents")
-    hk = F.md5(F.concat(F.lit(_RSV_SALT),
-                        F.col("doc_id").cast("string")))
+    hk = reservoir_hash("doc_id")
     w = Window.partitionBy("source").orderBy(hk, "doc_id")
     wn = Window.partitionBy("source")
     return (docs

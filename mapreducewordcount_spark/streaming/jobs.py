@@ -832,6 +832,25 @@ def gc_versioned_state(state_dir: str, keep_last: int = 2) -> dict:
     return {"kept_versions": kept, "removed_versions": removed}
 
 
+def _check_loop_gc_keep_last(gc_every_n_batches, gc_keep_last) -> None:
+    """Replay-horizon floor for LOOP-WIRED GC (ADVICE r12). With
+    ``keep_last=1``, a crash between the ``v{b+1}`` state write and
+    the streaming-checkpoint commit leaves no version ≤ b: GC already
+    deleted ``v{≤b}``, so the redelivered batch resolves
+    ``latest_state_version(at_most=b)`` to None — seeded jobs raise,
+    but the reservoir's no-seed contract treats None as EMPTY state
+    and silently resets the accumulated sample. ``keep_last=1`` stays
+    legal only for offline/manual :func:`gc_versioned_state` use
+    (stream stopped ⇒ no redelivery window)."""
+    if gc_every_n_batches and gc_keep_last < 2:
+        raise ValueError(
+            f"gc_keep_last must be >= 2 when gc_every_n_batches is "
+            f"set (got {gc_keep_last}): keep_last=1 cannot cover the "
+            "checkpoint replay horizon — a crash between the state "
+            "write and the checkpoint commit would leave the "
+            "redelivered batch no version <= its batch_id to read")
+
+
 def start_cdc_agg_refresh(changes: DataFrame, *, snapshot_dir: str,
                           view_dir: str, checkpoint_dir: str,
                           keys, group_col: str, value_col: str,
@@ -901,6 +920,7 @@ def start_cdc_agg_refresh(changes: DataFrame, *, snapshot_dir: str,
     from mapreducewordcount_spark.operators.merge import merge_upsert
     from mapreducewordcount_spark.streaming import manifest_state as ms
 
+    _check_loop_gc_keep_last(gc_every_n_batches, gc_keep_last)
     spark = changes.sparkSession
     klist = list(keys)
     manifest = state_format == "manifest"
@@ -1034,6 +1054,7 @@ def start_chunk_index_maintenance(docs: DataFrame, *, index_dir: str,
     )
     from mapreducewordcount_spark.streaming import manifest_state as ms
 
+    _check_loop_gc_keep_last(gc_every_n_batches, gc_keep_last)
     spark = docs.sparkSession
     manifest = state_format == "manifest"
     latest0 = (ms.latest_manifest_version(index_dir) if manifest
@@ -1146,6 +1167,7 @@ def start_reservoir_maintenance(docs: DataFrame, *, state_dir: str,
 
     Returns the started StreamingQuery (caller stops it).
     """
+    _check_loop_gc_keep_last(gc_every_n_batches, gc_keep_last)
     spark = docs.sparkSession
 
     def refresh(batch_df: DataFrame, batch_id: int) -> None:
@@ -1172,7 +1194,13 @@ def start_reservoir_maintenance(docs: DataFrame, *, state_dir: str,
                 .unionByName(batch)
             prev_counts = (prev.groupBy("grp")
                            .agg(F.max("n_seen_grp").alias("n_prev")))
-        hk = F.md5(F.concat(F.lit("rsv:"), F.col("id").cast("string")))
+        # the shared expression — NOT a local copy — so the
+        # stream/batch bottom-k parity can't be broken by editing
+        # one side's salt (ADVICE r12)
+        from mapreducewordcount_spark.operators.sampling import (
+            reservoir_hash,
+        )
+        hk = reservoir_hash("id")
         w = Window.partitionBy("grp").orderBy(hk, "id")
         # duplicate ids across state∪batch collapse first (an id
         # re-delivered or re-crawled must not occupy two slots)

@@ -525,25 +525,31 @@ def test_stream_gc_collects_superseded_segments_mid_stream(
         checkpoint_dir=str(tmp_path / "ckpt"),
         keys=["k"], group_col="grp", value_col="v",
         state_format="manifest",
-        gc_every_n_batches=1, gc_keep_last=1)
+        gc_every_n_batches=1, gc_keep_last=2)
     try:
         q.processAllAvailable()
-        # batch 1 committed v1 and GC'd: manifest-v0 is gone already
+        # batch 1 committed v1; keep_last=2 (the replay-horizon
+        # floor — ADVICE r12) retains v0+v1
         manifests_after_b1 = sorted(
             f for f in os.listdir(snap_dir) if f.startswith("manifest"))
-        assert manifests_after_b1 == ["manifest-v1.json"]
+        assert manifests_after_b1 == ["manifest-v0.json",
+                                      "manifest-v1.json"]
         (src / "b2.json").write_text(
             "\n".join(json.dumps(r) for r in b2))
         q.processAllAvailable()
     finally:
         q.stop()
 
-    # only the latest manifest survives; every on-disk segment is
-    # referenced by it (zero zombies, zero dangling references)
+    # only the last TWO manifests survive (replay horizon); every
+    # on-disk segment is referenced by a kept manifest (zero
+    # zombies, zero dangling references)
     assert sorted(f for f in os.listdir(snap_dir)
-                  if f.startswith("manifest")) == ["manifest-v2.json"]
-    man = ms._load_manifest(snap_dir, 2)
-    live = {p for ps in man["buckets"].values() for p in ps}
+                  if f.startswith("manifest")) \
+        == ["manifest-v1.json", "manifest-v2.json"]
+    live = set()
+    for v in (1, 2):
+        man = ms._load_manifest(snap_dir, v)
+        live |= {p for ps in man["buckets"].values() for p in ps}
     on_disk = set()
     seg_root = os.path.join(snap_dir, "seg")
     for vdir in os.listdir(seg_root):
@@ -625,17 +631,19 @@ def test_stream_gc_versioned_format_drops_old_copies(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
         keys=["k"], group_col="grp", value_col="v",
         state_format="versioned",
-        gc_every_n_batches=1, gc_keep_last=1)
+        gc_every_n_batches=1, gc_keep_last=2)
     try:
         q.processAllAvailable()
-        assert sorted(os.listdir(snap_dir)) == ["v1"]  # v0 collected
+        # keep_last=2 (replay-horizon floor, ADVICE r12): v0 is
+        # still the previous version after the v1 commit
+        assert sorted(os.listdir(snap_dir)) == ["v0", "v1"]
         (src / "b2.json").write_text(
             "\n".join(json.dumps(r) for r in b2))
         q.processAllAvailable()
     finally:
         q.stop()
 
-    assert sorted(os.listdir(snap_dir)) == ["v2"]
+    assert sorted(os.listdir(snap_dir)) == ["v1", "v2"]  # v0 collected
     final = {(r.k, r.grp, r.v) for r in
              read_state_version(spark, snap_dir).collect()}
     chg = spark.createDataFrame(
@@ -677,7 +685,7 @@ def test_stream_reservoir_matches_batch_bottom_k(spark, tmp_path):
     q = start_reservoir_maintenance(
         spark.readStream.schema(schema).json(str(src)),
         state_dir=st, checkpoint_dir=str(tmp_path / "ckpt"),
-        k=k, gc_every_n_batches=1, gc_keep_last=1)
+        k=k, gc_every_n_batches=1, gc_keep_last=2)
     try:
         q.processAllAvailable()
         (src / "b2.json").write_text(
@@ -686,7 +694,9 @@ def test_stream_reservoir_matches_batch_bottom_k(spark, tmp_path):
     finally:
         q.stop()
 
-    assert sorted(os.listdir(st)) == ["v2"]  # GC kept only latest
+    # GC kept the retained versions: only two exist, both within
+    # the keep_last=2 replay horizon (ADVICE r12 floor)
+    assert sorted(os.listdir(st)) == ["v1", "v2"]
     state = read_state_version(spark, st).collect()
 
     def bottom_k(ids):
@@ -702,3 +712,64 @@ def test_stream_reservoir_matches_batch_bottom_k(spark, tmp_path):
         n = {r.n_seen_grp for r in state if r.grp == grp}
         assert n == {len(ids)}, grp
         assert len(got) == min(k, len(set(ids)))
+
+
+def test_loop_gc_keep_last_floor_is_enforced(spark, tmp_path):
+    """ADVICE r12 (medium): loop-wired GC with keep_last=1 cannot
+    cover the checkpoint replay horizon — a crash between the state
+    write and the checkpoint commit leaves the redelivered batch no
+    version ≤ its id, which the reservoir's no-seed contract would
+    silently interpret as an EMPTY reservoir. All three streaming
+    entry points refuse at start(); keep_last=1 stays legal for
+    offline gc_versioned_state use."""
+    import pytest as _pytest
+
+    from mapreducewordcount_spark.streaming.jobs import (
+        start_cdc_agg_refresh,
+        start_chunk_index_maintenance,
+        start_reservoir_maintenance,
+    )
+
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("text", T.StringType())])
+    (tmp_path / "nosrc").mkdir()
+    (tmp_path / "nosrc2").mkdir()
+    docs = spark.readStream.schema(doc_schema).json(
+        str(tmp_path / "nosrc"))
+    with _pytest.raises(ValueError, match="gc_keep_last"):
+        start_reservoir_maintenance(
+            docs, state_dir=str(tmp_path / "st"),
+            checkpoint_dir=str(tmp_path / "ck"),
+            gc_every_n_batches=1, gc_keep_last=1)
+    with _pytest.raises(ValueError, match="gc_keep_last"):
+        start_chunk_index_maintenance(
+            docs, index_dir=str(tmp_path / "idx"),
+            report_dir=str(tmp_path / "rep"),
+            checkpoint_dir=str(tmp_path / "ck2"),
+            gc_every_n_batches=2, gc_keep_last=1)
+    cdc_schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("_version", T.IntegerType()),
+        T.StructField("_op", T.StringType())])
+    changes = spark.readStream.schema(cdc_schema).json(
+        str(tmp_path / "nosrc2"))
+    with _pytest.raises(ValueError, match="gc_keep_last"):
+        start_cdc_agg_refresh(
+            changes, snapshot_dir=str(tmp_path / "snap"),
+            view_dir=str(tmp_path / "view"),
+            checkpoint_dir=str(tmp_path / "ck3"),
+            keys=["k"], group_col="grp", value_col="v",
+            gc_every_n_batches=1, gc_keep_last=1)
+    # no GC wired -> keep_last value is irrelevant, no raise at the
+    # validation layer (the unseeded-dir error fires instead)
+    with _pytest.raises(ValueError, match="no committed state"):
+        start_cdc_agg_refresh(
+            changes, snapshot_dir=str(tmp_path / "snap"),
+            view_dir=str(tmp_path / "view"),
+            checkpoint_dir=str(tmp_path / "ck4"),
+            keys=["k"], group_col="grp", value_col="v",
+            gc_keep_last=1)
