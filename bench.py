@@ -34,6 +34,7 @@ from __future__ import annotations
 import gc
 import json
 import os
+import re
 import statistics
 import subprocess
 import sys
@@ -249,7 +250,68 @@ def _env_fingerprint() -> dict:
         fp["cpu_score_ms"] = round(best * 1000, 1)
     except Exception:  # noqa: BLE001
         fp["cpu_score_ms"] = None
+    # single-thread DRAM bandwidth (best-of-3 256 MB numpy copy —
+    # far beyond LLC): the noisy-neighbor tell cpu_score can't see.
+    # A compute-bound loop reads clean while a bandwidth-hungry
+    # co-tenant slows every shuffle/scan (tools/fp_watch.py r12).
+    try:
+        import numpy as np
+        a = np.empty(32 * 1024 * 1024, dtype=np.float64)  # 256 MB
+        a[:] = 1.0
+        bw_best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            b = a.copy()
+            bw_best = min(bw_best, time.perf_counter() - t0)
+            del b
+        # copy reads + writes 256 MB each → 512 MB moved
+        fp["membw_gbps"] = round((2 * a.nbytes / bw_best) / 1e9, 2)
+    except Exception:  # noqa: BLE001
+        fp["membw_gbps"] = None
     return fp
+
+
+#: contention thresholds for the self-flagging bench record (VERDICT
+#: r12 wrong#1 / next#3). A session whose window violates any of
+#: these is marked ``"contended": true`` in its own JSON so a
+#: downstream reader can't mistake contention tails for plan changes:
+#: - steal_pct > 1%: hypervisor actively de-scheduling this guest
+#:   (clean-era sessions read < 0.5%; the driver's r11/r12 noisy
+#:   runs read 5.5%/3.88%)
+#: - cpu_score_ms start/end drift > 10%: the machine's single-core
+#:   speed changed DURING the session — whatever was measured
+#:   between the two snapshots straddles two machine states
+#: - membw_gbps < 3.5 on either snapshot: this host reads
+#:   5.4-6.5 GB/s single-thread in zero-steal windows
+#:   (artifacts/fp_watch_r12/13.log); dips below ~4 co-occur with
+#:   co-tenant episodes, so 3.5 flags only severe bandwidth theft
+CONTENTION = {"steal_pct": 1.0, "score_drift": 0.10,
+              "membw_floor_gbps": 3.5}
+
+
+def _contention_reasons(sess_env: dict) -> list[str]:
+    """Violations of the CONTENTION thresholds for one condensed
+    session env (the ``_session_env`` shape). Empty list = clean."""
+    reasons: list[str] = []
+    steal = sess_env.get("steal_pct")
+    if steal is not None and steal > CONTENTION["steal_pct"]:
+        reasons.append(f"steal_pct {steal} > {CONTENTION['steal_pct']}")
+    scores = [(sess_env.get(side) or {}).get("cpu_score_ms")
+              for side in ("start", "end")]
+    if all(isinstance(s, (int, float)) for s in scores) and min(scores):
+        drift = abs(scores[1] - scores[0]) / min(scores)
+        if drift > CONTENTION["score_drift"]:
+            reasons.append(
+                f"cpu_score_ms drift {drift:.0%} "
+                f"({scores[0]} -> {scores[1]}) > "
+                f"{CONTENTION['score_drift']:.0%}")
+    for side in ("start", "end"):
+        bw = (sess_env.get(side) or {}).get("membw_gbps")
+        if bw is not None and bw < CONTENTION["membw_floor_gbps"]:
+            reasons.append(
+                f"membw_gbps {bw} ({side}) < "
+                f"{CONTENTION['membw_floor_gbps']}")
+    return reasons
 
 
 def run_session() -> dict:
@@ -302,6 +364,13 @@ def run_session() -> dict:
     elif only:
         wanted = set(only.split(","))
         names = tuple(n for n in HEADLINE if n in wanted)
+        unknown = sorted(wanted - set(HEADLINE))
+        if unknown:
+            # a typo'd name must not silently shrink the subset
+            # (ADVICE r12): the session still runs, but the record
+            # and stderr both say what was dropped
+            print(f"SPARK_GRAFT_BENCH_ONLY names not in HEADLINE, "
+                  f"ignored: {', '.join(unknown)}", file=sys.stderr)
     else:
         names = HEADLINE
 
@@ -337,6 +406,13 @@ def run_session() -> dict:
               "method": "median-of-3, cache-cleared+GC between queries"}
     if errors:
         report["errors"] = errors
+    # self-identify a contended window IN the record (VERDICT r12
+    # wrong#1): a downstream reader of a single noisy session must
+    # not have to cross-check fp_watch logs to distrust its tails
+    reasons = _contention_reasons(_session_env(report))
+    report["contended"] = bool(reasons)
+    if reasons:
+        report["contended_reasons"] = reasons
     spark.stop()
     return report
 
@@ -371,9 +447,12 @@ def _round_no() -> int:
         return int(env)
     best = 0
     for p in Path(_REPO).glob("BENCH_r*.json"):
-        digits = "".join(c for c in p.stem if c.isdigit())
-        if digits:
-            best = max(best, int(digits))
+        # anchored: a seq-suffixed file (BENCH_r12.2.json, stem
+        # "BENCH_r12.2") must parse as round 12, not 122 — digit
+        # concatenation scattered future artifacts (ADVICE r12)
+        m = re.match(r"BENCH_r(\d+)", p.stem)
+        if m:
+            best = max(best, int(m.group(1)))
     return best + 1
 
 
@@ -461,6 +540,8 @@ def main() -> None:
         errors.update(r.get("errors", {}))
 
     env = [_session_env(r) for r in reports]
+    per_sess_reasons = [_contention_reasons(e) for e in env]
+    contended = any(per_sess_reasons)
     report = {
         "metric": "headline_total",
         # the median SESSION total — a total that actually happened,
@@ -486,10 +567,17 @@ def main() -> None:
         # carries only the condensed numbers (score/util/steal); the
         # full start/end fingerprints live in the committed artifact.
         "env": env,
+        # true when ANY session violated a CONTENTION threshold —
+        # the record self-identifies so r12.14-style tails can't be
+        # read as plan changes (VERDICT r12 wrong#1 / next#3)
+        "contended": contended,
         "method": (f"{len(reports)} fresh-JVM sessions x (median-of-3 "
                    "per query, cache-cleared+GC between queries); "
                    "headline = median session total"),
     }
+    if contended:
+        report["contended_reasons"] = [
+            r for rs in per_sess_reasons for r in rs]
     if errors:
         report["errors"] = errors
     slim_env = [{

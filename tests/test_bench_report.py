@@ -87,3 +87,100 @@ def test_salvage_recovers_leading_queries_from_truncation():
     assert len(rep["queries"]) >= 20
     assert rep["core_total"] == 3.3
     assert all(k.startswith("q") for k in rep["queries"])
+
+def test_round_no_ignores_seq_suffixed_root_files(tmp_path, monkeypatch):
+    """ADVICE r12: digit concatenation parsed BENCH_r12.2.json as
+    round 122; the anchored regex must read it as round 12 and skip
+    non-matching stems entirely."""
+    import bench
+
+    monkeypatch.setattr(bench, "_REPO", str(tmp_path))
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    (tmp_path / "BENCH_r12.json").write_text("{}")
+    (tmp_path / "BENCH_r12.2.json").write_text("{}")
+    (tmp_path / "BENCH_report3.json").write_text("{}")  # no r\d+ prefix
+    assert bench._round_no() == 13
+
+
+def _fp(score=95.0, membw=6.0):
+    return {"cpu_score_ms": score, "membw_gbps": membw}
+
+
+def test_contention_reasons_synthetic_fingerprints():
+    """VERDICT r12 next#3: the bench record self-identifies a
+    contended window. Each threshold fires independently on a
+    synthetic condensed-session env; a clean window fires none."""
+    import bench
+
+    clean = {"start": _fp(), "end": _fp(96.0), "steal_pct": 0.2}
+    assert bench._contention_reasons(clean) == []
+
+    stolen = {"start": _fp(), "end": _fp(), "steal_pct": 3.88}
+    assert any("steal_pct" in r for r in
+               bench._contention_reasons(stolen))
+
+    drifted = {"start": _fp(90.0), "end": _fp(120.0), "steal_pct": 0.1}
+    assert any("drift" in r for r in
+               bench._contention_reasons(drifted))
+
+    starved = {"start": _fp(membw=2.9), "end": _fp(), "steal_pct": 0.1}
+    assert any("membw" in r for r in
+               bench._contention_reasons(starved))
+
+    # missing probes (old records, no numpy) must not flag
+    sparse = {"start": {"cpu_score_ms": None, "membw_gbps": None},
+              "end": {}, "steal_pct": None}
+    assert bench._contention_reasons(sparse) == []
+
+
+def test_run_session_report_carries_contended_flag(monkeypatch):
+    """The single-session shape (the driver's usual capture) gets the
+    flag computed from its own env_start/env_end — no fp_watch
+    cross-check needed to distrust a noisy record."""
+    import bench
+
+    report = {"queries": {"q1": 0.1},
+              "env_start": {"cpu_score_ms": 95.0, "membw_gbps": 6.1,
+                            "cpu_jiffies": {"busy": 100, "total": 1000,
+                                            "steal": 50}},
+              "env_end": {"cpu_score_ms": 96.0, "membw_gbps": 6.0,
+                          "cpu_jiffies": {"busy": 300, "total": 2000,
+                                          "steal": 90}}}
+    sess = bench._session_env(report)
+    assert sess["steal_pct"] == 4.0  # (90-50)/(2000-1000)
+    reasons = bench._contention_reasons(sess)
+    assert reasons and any("steal" in r for r in reasons)
+
+
+def test_compare_bench_refuses_cross_subset_value(capsys):
+    """ADVICE r12: a core-only session's headline_total must not be
+    ratio'd against a full session's; per-query ratios stay."""
+    import importlib
+
+    sys.path.insert(0, "tools")
+    cb = importlib.import_module("compare_bench")
+
+    old = {"subset": "headline", "value": 100.0, "core_total": 25.0,
+           "queries": {"q1": 1.0, "q2": 2.0}}
+    new = {"subset": "core", "value": 26.0, "core_total": 24.0,
+           "queries": {"q1": 1.1, "q2": 1.9}, "contended": True,
+           "contended_reasons": ["steal_pct 3.9 > 1.0"]}
+    argv = sys.argv
+    try:
+        import json as _json
+        import tempfile
+        with tempfile.TemporaryDirectory() as td:
+            po, pn = f"{td}/old.json", f"{td}/new.json"
+            with open(po, "w") as f:
+                _json.dump(old, f)
+            with open(pn, "w") as f:
+                _json.dump(new, f)
+            sys.argv = ["compare_bench", po, pn]
+            cb.main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "subset mismatch" in out
+    assert "CONTENDED" in out
+    assert "core_total: old" in out      # core is still comparable
+    assert "value: old" not in out       # headline ratio suppressed

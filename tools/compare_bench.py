@@ -114,6 +114,26 @@ def main() -> None:
     old, new = load(sys.argv[1]), load(sys.argv[2])
     top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 
+    # a core-only session's headline_total sums 24 queries, a full
+    # session's sums 70+ — their 'value' ratio is meaningless
+    # (ADVICE r12). Per-query ratios below stay valid (shared set).
+    subsets = (old.get("subset"), new.get("subset"))
+    subset_mismatch = (all(subsets) and subsets[0] != subsets[1])
+    if subset_mismatch:
+        print(f"WARNING: subset mismatch (old={subsets[0]!r} "
+              f"new={subsets[1]!r}) — headline 'value' totals are "
+              "NOT comparable and are suppressed below; per-query "
+              "ratios over the shared set remain valid")
+    # a self-flagged contended record (bench.py CONTENTION): raw
+    # wall-clock comparison against it is refused explicitly —
+    # trust only the score-normalized numbers and ratio SHAPE
+    for label, rep in (("old", old), ("new", new)):
+        if rep.get("contended"):
+            print(f"WARNING: {label} report self-identifies as "
+                  f"CONTENDED ({'; '.join(rep.get('contended_reasons', [])[:3])}) "
+                  "— raw totals untrustworthy; read score-normalized "
+                  "ratios and per-query shape only")
+
     s_old, s_new = score_of(old), score_of(new)
     if s_old and s_new:
         cal = s_new / s_old
@@ -145,6 +165,8 @@ def main() -> None:
         f"{q} {r:.2f}" for q, r in spread_hi))
 
     for key in ("core_total", "value"):
+        if key == "value" and subset_mismatch:
+            continue  # suppressed — see the subset-mismatch warning
         a, b = old.get(key), new.get(key)
         if a and b:
             line = f"{key}: old {a} new {b} (ratio {b / a:.3f}"
