@@ -424,6 +424,88 @@ def ivfpq_shortlist(assigned: DataFrame, centroids: DataFrame,
             .select("query_id", "neighbor_id"))
 
 
+def ivfpq_shortlist_sweep(assigned: DataFrame, centroids: DataFrame,
+                          queries: DataFrame, routed_ranked: DataFrame,
+                          probes, vec_col: str = "embedding",
+                          query_id_col: str = "query_id", m: int = 8,
+                          n_cent: int = 16, refine: int = 32,
+                          prebuilt: tuple[DataFrame, list] | None = None
+                          ) -> DataFrame:
+    """Every ``n_probe`` level's :func:`ivfpq_shortlist` in ONE
+    routing + ONE ADC pass (VERDICT r12 next#4).
+
+    The per-level candidate sets are nested (``ivf_route`` orders
+    lists nearest-first with a stable tie-break, so level ``p`` is
+    exactly the ``route_rank <= p`` prefix of the max level), which
+    makes the sweep derivable from a single scoring pass:
+
+    - ``routed_ranked`` routes once at ``max(probes)`` WITH the
+      ``route_rank`` column (``ivf_route(..., with_rank=True)``);
+    - ADC scores each candidate once against its own list's residual
+      table — identical arithmetic to the per-level calls;
+    - one window per query ordered by ``(adc, neighbor_id)`` carries
+      a running count of candidates with ``route_rank <= p`` for
+      each level: for a row IN level ``p`` that running count IS its
+      ``row_number`` within the level, so ``<= refine`` reproduces
+      the per-level ADC cutoff exactly — including the legitimate
+      non-monotonicity where a larger pool evicts a true neighbor
+      from the top-``refine``. All level counters share one window
+      spec, so Catalyst computes them in a single Window operator
+      (one shuffle), and only rows that make at least one shortlist
+      survive to the explode.
+
+    Output: (n_probe, query_id, neighbor_id) — per level, exactly
+    the rows ``ivfpq_shortlist`` at that ``n_probe`` would return
+    (equivalence is pytest-pinned). Vs. per-level calls the plan
+    drops from ``len(probes)`` route+ADC passes over nested sets
+    (~2× the corpus re-scored at the committed 1/2/4/8/16 sweep) to
+    one pass over the max level."""
+    probe_levels = sorted(set(int(p) for p in probes))
+    codes, books = (prebuilt if prebuilt is not None
+                    else ivfpq_build(assigned, centroids, m, n_cent))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    ranked = routed_ranked.select(
+        "query_id", "list_id", F.col("route_rank").cast("long"))
+    qres = (ranked
+            .join(F.broadcast(q), "query_id")
+            .join(F.broadcast(centroids), "list_id")
+            .select("query_id", "list_id", "route_rank",
+                    F.zip_with("q_vec", "cent_vec",
+                               lambda a, b: a - b).alias("qres")))
+    qtab = _adc_tables_df(qres, books, "query_id", "qres",
+                          passthrough=("list_id", "route_rank"))
+    cand = (ranked.select("query_id", "list_id")
+            .join(assigned.select("neighbor_id", "list_id"), "list_id")
+            .select("query_id", "list_id", "neighbor_id"))
+    scored = (cand
+              .join(codes, "neighbor_id")
+              .join(qtab, ["query_id", "list_id"])
+              .withColumn("adc", _adc_fold(m, n_cent))
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id", "route_rank", "adc"))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("adc"), F.col("neighbor_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # one select → one Window operator for all level counters (the
+    # withColumn form left 5 stacked Window nodes; same single
+    # shuffle, but 5 passes over the sorted partition)
+    scored = scored.select(
+        "*", *[F.sum(F.when(F.col("route_rank") <= p, 1)
+                     .otherwise(0)).over(w).alias(f"__rk{p}")
+               for p in probe_levels])
+    in_levels = F.filter(
+        F.array(*[F.when((F.col("route_rank") <= p)
+                         & (F.col(f"__rk{p}") <= refine), F.lit(p))
+                  for p in probe_levels]),
+        lambda x: x.isNotNull())
+    return (scored
+            .select("query_id", "neighbor_id",
+                    F.explode(in_levels).alias("n_probe"))
+            .select(F.col("n_probe").cast("int").alias("n_probe"),
+                    "query_id", "neighbor_id"))
+
+
 def pq_rerank(cand: DataFrame, corpus: DataFrame, queries: DataFrame,
               k: int = 5, id_col: str = "vec_id",
               vec_col: str = "embedding",

@@ -217,7 +217,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def _nearest_lists(df: DataFrame, cent: DataFrame, vec: str, out: str,
-                   take: int) -> DataFrame:
+                   take: int, with_rank: bool = False) -> DataFrame:
     """Attach the ``take`` nearest list_ids to each row — a
     zero-shuffle Arrow-batched matrix argmax over the collected
     centroid table (the FAISS assignment step).
@@ -241,18 +241,27 @@ def _nearest_lists(df: DataFrame, cent: DataFrame, vec: str, out: str,
     """
     rows = cent.collect()  # n_lists rows — bounded by construction
     return _assign_to_rows(df, [(r.list_id, r.cent_vec) for r in rows],
-                           vec, take)
+                           vec, take, with_rank=with_rank)
 
 
 def _assign_to_rows(df: DataFrame, cent_rows: list, vec: str,
-                    take: int) -> DataFrame:
+                    take: int, with_rank: bool = False) -> DataFrame:
     """``_nearest_lists`` against already-collected ``(list_id,
     vector)`` pairs — lets the Lloyd loop reuse its driver-side
-    centroid state without a per-iteration re-collect."""
+    centroid state without a per-iteration re-collect.
+
+    ``with_rank`` adds a 1-based ``route_rank`` column (position in
+    the nearest-centroid order) so a probe SWEEP can route once at
+    the largest level and derive every smaller level by
+    ``route_rank <= p`` — the candidate sets are nested by
+    construction (same stable ordering at every prefix length)."""
     import numpy as np
 
     if not cent_rows:
-        return df.withColumn("list_id", F.lit(None).cast("long")).limit(0)
+        out = df.withColumn("list_id", F.lit(None).cast("long"))
+        if with_rank:
+            out = out.withColumn("route_rank", F.lit(None).cast("int"))
+        return out.limit(0)
     cent_rows = sorted(cent_rows, key=lambda r: r[0])
     ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
     C = np.array([list(r[1]) for r in cent_rows], dtype=np.float64)
@@ -262,14 +271,20 @@ def _assign_to_rows(df: DataFrame, cent_rows: list, vec: str,
     from pyspark.sql import types as T
 
     schema = T.StructType(list(df.schema.fields)
-                          + [T.StructField("list_id", T.LongType())])
+                          + [T.StructField("list_id", T.LongType())]
+                          + ([T.StructField("route_rank", T.IntegerType())]
+                             if with_rank else []))
 
     def run(batches):
         import pandas as pd
 
         for pdf in batches:
             if not len(pdf):
-                yield pdf.assign(list_id=pd.Series(dtype="int64"))
+                out = pdf.assign(list_id=pd.Series(dtype="int64"))
+                if with_rank:
+                    out = out.assign(
+                        route_rank=pd.Series(dtype="int32"))
+                yield out
                 continue
             X = np.array(pdf[vec].tolist(), dtype=np.float64)
             Xn = np.sqrt((X * X).sum(axis=1))
@@ -279,12 +294,23 @@ def _assign_to_rows(df: DataFrame, cent_rows: list, vec: str,
             if take == 1:
                 # first max on ties → smallest list_id (ids sorted)
                 pick = ids[np.argmax(cos, axis=1)]
-                yield pdf.assign(list_id=pick)
+                out = pdf.assign(list_id=pick)
+                if with_rank:
+                    out = out.assign(
+                        route_rank=np.ones(len(pdf), dtype=np.int32))
+                yield out
             else:
                 top = np.argsort(-cos, axis=1, kind="stable")[:, :take]
                 out_pdf = pdf.loc[pdf.index.repeat(top.shape[1])] \
                     .reset_index(drop=True)
-                yield out_pdf.assign(list_id=ids[top].ravel())
+                out_pdf = out_pdf.assign(list_id=ids[top].ravel())
+                if with_rank:
+                    # row-major ravel: each input row's lists emit in
+                    # nearest-first order, so rank tiles 1..take
+                    out_pdf = out_pdf.assign(route_rank=np.tile(
+                        np.arange(1, top.shape[1] + 1,
+                                  dtype=np.int32), len(pdf)))
+                yield out_pdf
 
     return df.mapInPandas(run, schema=schema)
 
@@ -390,14 +416,24 @@ def ivf_probe(assigned: DataFrame, centroids: DataFrame,
 
 def ivf_route(queries: DataFrame, centroids: DataFrame,
               n_probe: int = 4, vec_col: str = "embedding",
-              query_id_col: str = "query_id") -> DataFrame:
+              query_id_col: str = "query_id",
+              with_rank: bool = False) -> DataFrame:
     """(query_id, list_id) probe routing: each query's ``n_probe``
     nearest centroids (broadcast-centroid Arrow argmax; ties →
-    smallest list_id). The model half of ``ivf_probe``."""
+    smallest list_id). The model half of ``ivf_probe``.
+
+    ``with_rank=True`` adds ``route_rank`` (1 = nearest list): route
+    ONCE at the largest probe level and every smaller level is the
+    ``route_rank <= p`` prefix — the single-pass sweep contract
+    (:func:`~mapreducewordcount_spark.operators.pq.
+    ivfpq_shortlist_sweep`)."""
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"))
-    return (_nearest_lists(q, centroids, "q_vec", "query_id", n_probe)
-            .select("query_id", "list_id"))
+    cols = ["query_id", "list_id"] + (["route_rank"] if with_rank
+                                      else [])
+    return (_nearest_lists(q, centroids, "q_vec", "query_id", n_probe,
+                           with_rank=with_rank)
+            .select(*cols))
 
 
 def ivf_rerank(assigned: DataFrame, routed: DataFrame,

@@ -116,14 +116,18 @@ def test_cluster_stats_account_for_every_document(spark):
 
 
 def test_ivfpq_recall_curve_pinned_and_monotone(spark):
-    """The committed recall sweep (VERDICT r11 next#7): recall@5
-    never decreases with n_probe (routed candidate sets are nested;
-    the exact pin below would catch an ADC-eviction regression where
-    a grown candidate pool pushes a true neighbor out of the
-    refine=32 shortlist), and the SF_ORACLE (sf0.01) curve is pinned
-    exactly — every model stage is hash-seeded, so these are
-    constants, not flakes. (sf0.001 measures [0.22, 0.36, 0.5, 0.56,
-    0.58] — same shape.)"""
+    """The committed recall sweep (VERDICT r11 next#7): the SF_ORACLE
+    (sf0.01) curve is pinned exactly — every model stage is
+    hash-seeded, so these are constants, not flakes. (sf0.001
+    measures [0.22, 0.36, 0.5, 0.56, 0.58] — same shape.)
+
+    Monotonicity here is an EMPIRICAL pinned property of this corpus,
+    not a structural guarantee (ADVICE r12): routed candidate sets
+    are nested, but the refine=32 ADC cutoff can evict a true top-5
+    neighbor when the pool grows, so recall may legitimately dip on
+    another corpus. If a corpus/SF regeneration ever fails the
+    sorted-recalls assert, re-pin the exact values rather than
+    hunting a bug — the exact pin is the regression check."""
     rows = sorted((r["n_probe"], r["recall_at_5"], r["hits_at_5"],
                    r["n_queries"])
                   for r in ivfpq_recall_curve(spark, SF_ORACLE)
@@ -134,3 +138,77 @@ def test_ivfpq_recall_curve_pinned_and_monotone(spark):
     assert all(r[3] == 10 for r in rows)
     assert all(r[2] == round(r[1] * 5 * r[3]) for r in rows)
     assert recalls == [0.3, 0.42, 0.5, 0.6, 0.78]
+
+
+def test_ivfpq_sweep_single_pass_plan_and_equivalence(spark):
+    """VERDICT r12 next#4: the recall curve's sweep routes ONCE at
+    max(n_probe) and ADC-scores ONCE; each level is the
+    route_rank <= p prefix with its per-level refine cutoff derived
+    from a shared-window running count. Two pins:
+
+    - plan: exactly ONE Window operator (all level counters share
+      one spec) and a CONSTANT MapInPandas count — the old per-level
+      form grew both linearly with len(IVFPQ_PROBES);
+    - semantics: the sweep's (n_probe, query_id, neighbor_id) set is
+      EXACTLY the union of per-level ivfpq_shortlist calls —
+      including the refine-eviction behavior the single window must
+      reproduce."""
+    import re
+
+    from mapreducewordcount_spark.operators import pq
+    from mapreducewordcount_spark.operators import similarity as sim
+    from mapreducewordcount_spark.plans import explain_str
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    assigned, cent = sim.ivf_build(emb, n_lists=16, kmeans_iters=2)
+    prebuilt = pq.ivfpq_build(assigned, cent)
+    routed = sim.ivf_route(queries, cent, n_probe=max(IVFPQ_PROBES),
+                           with_rank=True)
+    sweep = pq.ivfpq_shortlist_sweep(assigned, cent, queries, routed,
+                                     IVFPQ_PROBES, refine=32,
+                                     prebuilt=prebuilt)
+
+    tree = explain_str(sweep).split("\n\n")[0]
+    n_window = sum(bool(re.search(r"\bWindow \(", ln))
+                   for ln in tree.splitlines())
+    n_mip = sum("MapInPandas" in ln for ln in tree.splitlines())
+    assert n_window == 1, tree
+    # 6 = routing×2 subtree refs (cand + query-residual sides),
+    # assigned×2 (candidates + code encode), encode, ADC tables —
+    # constant in len(IVFPQ_PROBES), vs ~5× each per-level before
+    assert n_mip == 6, tree
+
+    got = {(r.n_probe, r.query_id, r.neighbor_id)
+           for r in sweep.collect()}
+    want = set()
+    for p in IVFPQ_PROBES:
+        rp = sim.ivf_route(queries, cent, n_probe=p)
+        sl = pq.ivfpq_shortlist(assigned, cent, queries, rp,
+                                refine=32, prebuilt=prebuilt)
+        want |= {(p, r.query_id, r.neighbor_id)
+                 for r in sl.collect()}
+    assert got == want
+
+
+def test_ivf_route_rank_prefix_is_plain_route(spark):
+    """route_rank's contract: the rank-p prefix of a with_rank route
+    at n_probe=N equals a plain route at n_probe=p (nested sets,
+    identical stable tie-break) — the property the sweep rests on."""
+    from mapreducewordcount_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    _, cent = sim.ivf_build(emb, n_lists=16, kmeans_iters=2)
+    ranked = sim.ivf_route(queries, cent, n_probe=8,
+                           with_rank=True).collect()
+    assert {r.route_rank for r in ranked} == set(range(1, 9))
+    for p in (1, 4, 8):
+        plain = {(r.query_id, r.list_id)
+                 for r in sim.ivf_route(queries, cent,
+                                        n_probe=p).collect()}
+        prefix = {(r.query_id, r.list_id)
+                  for r in ranked if r.route_rank <= p}
+        assert prefix == plain, p
