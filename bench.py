@@ -175,6 +175,14 @@ HEADLINE = (
     "doc_reservoir_sample",
     "events_retention_cohorts",
     "dedup_cluster_stats",
+    # round-13 operators: incremental IVF-PQ append + drift report
+    # (frozen-model encode of the new batch, integer-exact per-list
+    # aggregation), quality-stratified reservoir (one tokenizer pass
+    # + per-stratum window top-k) — first bench rows.
+    # ivfpq_recall_curve changed plan this round (single-pass sweep):
+    # compare it per-query, never inside a frozen subset.
+    "ivfpq_append_report",
+    "doc_stratified_reservoir",
 )
 
 #: FROZEN round-over-round comparison core (VERDICT r7 next#7): the

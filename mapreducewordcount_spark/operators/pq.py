@@ -89,7 +89,18 @@ def pq_build(corpus: DataFrame, id_col: str = "vec_id",
                .select(vec_col)
                .collect())]
     books = _train_codebooks(sample, m, k, kmeans_iters)
+    return pq_encode(corpus, books, id_col=id_col,
+                     vec_col=vec_col), books
 
+
+def pq_encode(corpus: DataFrame, books: list, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode a corpus against EXISTING codebooks — the append half
+    of ``pq_build`` (VERDICT r12 next#5). Per-vector subspace argmin
+    over the broadcast-in-closure codebooks: zero shuffle, and a
+    row's code depends only on that row + the model artifact, so
+    encoding a new batch separately and unioning equals re-encoding
+    the whole corpus with the same books (pytest-pinned)."""
     def encode(batches):
         import numpy as np
         import pandas as pd
@@ -106,11 +117,10 @@ def pq_build(corpus: DataFrame, id_col: str = "vec_id",
             yield pd.DataFrame({"neighbor_id": pdf["__id"],
                                 "codes": list(out)})
 
-    codes = (corpus
-             .select(F.col(id_col).alias("__id"),
-                     F.col(vec_col).alias("__vec"))
-             .mapInPandas(encode, schema="neighbor_id long, codes array<int>"))
-    return codes, books
+    return (corpus
+            .select(F.col(id_col).alias("__id"),
+                    F.col(vec_col).alias("__vec"))
+            .mapInPandas(encode, schema="neighbor_id long, codes array<int>"))
 
 
 #: above this many queries the per-query ADC tables stop riding the
@@ -347,14 +357,55 @@ def ivfpq_build(assigned: DataFrame, centroids: DataFrame,
     for a recall curve — trains and encodes ONCE; the per-batch read
     path is routing + ADC only, which is the real serving shape
     (FAISS builds the index once too)."""
-    res_corpus = (assigned
-                  .join(F.broadcast(centroids), "list_id")
-                  .select("neighbor_id",
-                          F.zip_with("c_vec", "cent_vec",
-                                     lambda a, b: a - b).alias("res"),
-                          "list_id"))
-    return pq_build(res_corpus, id_col="neighbor_id", vec_col="res",
+    return pq_build(ivfpq_residuals(assigned, centroids),
+                    id_col="neighbor_id", vec_col="res",
                     m=m, k=n_cent)
+
+
+def ivfpq_residuals(assigned: DataFrame,
+                    centroids: DataFrame) -> DataFrame:
+    """(neighbor_id, res, list_id): the residual frame ``vector −
+    centroid[list]`` — one broadcast join + codegen ``zip_with``
+    subtract, map-side, zero shuffle. Shared by the build path
+    (:func:`ivfpq_build`), the append path (:func:`ivfpq_append`)
+    and the drift report, so all three quantize against the
+    identical arithmetic."""
+    return (assigned
+            .join(F.broadcast(centroids), "list_id")
+            .select("neighbor_id",
+                    F.zip_with("c_vec", "cent_vec",
+                               lambda a, b: a - b).alias("res"),
+                    "list_id"))
+
+
+def ivfpq_append(batch: DataFrame, centroids: DataFrame, books: list,
+                 id_col: str = "vec_id", vec_col: str = "embedding"
+                 ) -> tuple[DataFrame, DataFrame]:
+    """Incremental index maintenance (VERDICT r12 next#5): encode a
+    NEW embedding batch against the EXISTING model artifacts —
+    coarse centroids and PQ codebooks — with no re-train and no
+    touch of the stored codes. → ``(assigned_new, codes_new)``; the
+    composed index is ``stored_codes ∪ codes_new`` (and
+    ``stored_assigned ∪ assigned_new``).
+
+    Correctness rests on per-row independence: a vector's list
+    assignment and residual code depend only on that vector plus the
+    model artifacts, never on other rows — so append-then-union is
+    bitwise-identical to a from-scratch ``ivf_assign`` +
+    ``ivfpq_build``-style encode of the full corpus with the same
+    artifacts (pytest-pinned, and the property FAISS's ``add()``
+    relies on too). What append CANNOT fix is model staleness: if
+    the batch's distribution has moved, its residuals grow and ADC
+    quality decays — the per-list residual-norm drift report
+    (``queries/dedup_queries.ivfpq_append_report``) is the re-train
+    trigger."""
+    from mapreducewordcount_spark.operators.similarity import ivf_assign
+
+    assigned_new = ivf_assign(batch, centroids, id_col=id_col,
+                              vec_col=vec_col)
+    codes_new = pq_encode(ivfpq_residuals(assigned_new, centroids),
+                          books, id_col="neighbor_id", vec_col="res")
+    return assigned_new, codes_new
 
 
 def ivfpq_shortlist(assigned: DataFrame, centroids: DataFrame,

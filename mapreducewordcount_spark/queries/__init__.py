@@ -123,11 +123,20 @@ def all_queries() -> dict[str, QuerySpec]:
     #   member and the whole registry verified locally this round:
     #   full-suite green, 5-axis hostile gate-sim all-exact,
     #   whole-registry plan scan zero CartesianProduct;
-    #   r12 window (below) — VERDICT r11 next#2: the 17-query
-    #   r8-last-green tail leads (the only rows older than r9 in the
-    #   cumulative record), then any r12 first-evers, then the oldest
-    #   33 of the 50-query r9-last-green cohort. The remaining 17 r9
-    #   rows are the designated spills and lead r13.
+    #   r12 window — VERDICT r11 next#2: the 17-query r8-last-green
+    #   tail led, then the five r12 first-evers, then 28 of the
+    #   r9-last-green cohort (the driver cut at 50; the five
+    #   designated spills events_sessions/media_* stayed r9);
+    #   r13 window (below) — VERDICT r12 next#2: the 22 r9-last-green
+    #   rows lead unconditionally (the only rows older than r10 in
+    #   the cumulative record — CORRECTNESS_r9..r12 histogram:
+    #   r12=50, r11=50, r10=48, r9=22), then the two r13 first-evers
+    #   (ivfpq_append_report, doc_stratified_reservoir — both
+    #   locally EXACT vs DuckDB at sf0.001 AND sf0.01 plus hostile
+    #   gate-sim before entering), then the oldest 26 of the
+    #   48-query r10-last-green cohort in name order. The remaining
+    #   22 r10 rows (q10_returned_customers .. wc_top20) are the
+    #   designated spills and lead r14.
     full: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries,
                 pipeline_queries, pipeline2, pipeline3, pipeline4,
@@ -137,44 +146,46 @@ def all_queries() -> dict[str, QuerySpec]:
         full.update(mod.QUERIES)
 
     gate_first = (
-        # --- the 17-query r8-last-green tail (VERDICT r11 next#2 /
+        # --- the 22-query r9-last-green cohort (VERDICT r12 next#2 /
         # missing#3): the only rows in the cumulative driver record
-        # older than r9 — they lead unconditionally
-        "bigram_collocations", "curate_corpus_best", "dedup_survivors",
-        "doc_cdc_chunks", "doc_hybrid_search", "doc_length_outliers",
-        "events_gapfill", "events_rate_cusum", "heavy_hitters_words",
-        "incremental_dedup_report", "knn_label_accuracy",
-        "lineitem_profile", "orders_agg_ivm_minmax", "orders_cdc_e2e",
-        "orders_snapshot_diff", "seq_length_histogram",
-        "source_overlap_matrix",
-        # --- r12 first-ever rows (new this round, locally
-        # oracle-verified incl. hostile gate-sim before entering)
-        "vocab_overlap_hll_sketch", "ivfpq_recall_curve",
-        "doc_reservoir_sample", "events_retention_cohorts",
-        "dedup_cluster_stats",
-        # --- oldest 33 of the 50-query r9-last-green cohort; the
-        # remaining 17 (big_spender_segments, bucketed_order_revenue,
-        # churned_customers, content_word_counts,
-        # curriculum_epoch_order, customers_without_orders,
-        # distinct_stats, embedding_cluster_stats,
-        # pack_training_sequences, part_brand_stats,
-        # retained_customers, rollup_revenue, running_revenue,
-        # top_bigrams, top_customers, top_orders_per_customer,
-        # wc_bucket_hist) are the designated spills and lead r13
-        "q1_pricing_summary", "q2_min_cost_supplier", "q3_top_orders",
-        "q4_priority_late", "q5_region_revenue", "q6_forecast_revenue",
-        "q7_nation_volume", "q8_market_share",
-        "ann_ivf_topk", "ann_lsh_topk", "ann_pq_topk",
-        "dedup_simhash_pairs", "semantic_dedup_embeddings",
-        "incremental_neardup_report",
-        "doc_cdc_chunk_dedup", "doc_chunks", "doc_compression_ratio",
-        "doc_hybrid_bm25", "doc_keywords_tfidf", "doc_length_deciles",
-        "doc_lm_quality", "doc_quality_calibrated",
-        "doc_repetition_stats",
-        "events_after_purchase", "events_asof_orders", "events_hourly",
-        "events_json_stats", "events_props_keys", "events_sessions",
-        "media_audio_features", "media_audio_fp_pairs",
-        "media_image_dhash_pairs", "media_image_features",
+        # older than r10 — they lead unconditionally
+        "big_spender_segments", "bucketed_order_revenue",
+        "churned_customers", "content_word_counts",
+        "curriculum_epoch_order", "customers_without_orders",
+        "distinct_stats", "embedding_cluster_stats",
+        "events_sessions", "media_audio_features",
+        "media_audio_fp_pairs", "media_image_dhash_pairs",
+        "media_image_features", "pack_training_sequences",
+        "part_brand_stats", "retained_customers", "rollup_revenue",
+        "running_revenue", "top_bigrams", "top_customers",
+        "top_orders_per_customer", "wc_bucket_hist",
+        # --- r13 first-ever rows (new this round, locally
+        # oracle-verified at sf0.001 AND sf0.01 incl. hostile
+        # gate-sim before entering)
+        "ivfpq_append_report", "doc_stratified_reservoir",
+        # --- oldest 26 of the 48-query r10-last-green cohort (name
+        # order); the remaining 22 (q10_returned_customers,
+        # q11_important_parts, q12_ship_priority,
+        # q13_order_count_dist, q14_promo_revenue, q15_top_supplier,
+        # q16_part_supplier_counts, q17_small_qty_revenue,
+        # q18_large_orders, q19_disjunctive,
+        # q20_excess_share_suppliers, q21_late_suppliers,
+        # q22_idle_customers, q9_type_profit,
+        # segment_price_quantiles, semantic_decontam_report,
+        # sketch_cms_words, sketch_hll_report, sketch_stats,
+        # source_quota_cap, supplier_part_pagerank, wc_top20) are
+        # the designated spills and lead r14
+        "above_avg_customers", "acctbal_histogram", "cube_revenue",
+        "doc_bm25_multi", "doc_bm25_topk", "doc_bpe_tokens",
+        "doc_chunk_gc_report", "doc_chunk_share_pairs",
+        "doc_fingerprints", "doc_language_id", "doc_quality",
+        "doc_stats", "dsir_selection", "events_compaction_plan",
+        "events_funnel", "exact_substring_dedup",
+        "hybrid_rank_overlap", "join_skew_report",
+        "lineitem_zorder_layout", "nation_balance_reconciliation",
+        "orders_agg_ivm", "orders_cdc_merge", "orders_nearby_window",
+        "orders_scd2_history", "part_name_features",
+        "part_name_fuzzy_pairs",
     )
     out = {n: full[n] for n in gate_first}
     out.update(full)  # remainder keeps its original relative order

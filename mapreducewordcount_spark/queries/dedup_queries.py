@@ -549,6 +549,125 @@ def ivfpq_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("recall_at_5")))
 
 
+#: vec_id % MOD == MOD−1 is the "new batch" in the append scenario
+#: (~20% of the corpus) — integer arithmetic both engines share
+IVFPQ_APPEND_MOD = 5
+
+#: drift ratio at/above which the report flags a re-train: the new
+#: batch's mean squared residual is ≥ 1.5× the base corpus's in that
+#: list, i.e. the frozen centroids are describing the new data ~50%
+#: worse than the data they were trained on
+IVFPQ_RETRAIN_DRIFT = 1.5
+
+
+def ivfpq_append_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN maintenance report (VERDICT r12 next#5): the
+    scenario is an index BUILT on the base corpus (vec_id % 5 ≠ 4 —
+    centroids and PQ codebooks trained before the batch existed),
+    then a new batch (vec_id % 5 = 4) appended via
+    ``operators/pq.ivfpq_append`` — assigned to the frozen coarse
+    quantizer and residual-encoded against the frozen codebooks, no
+    re-train, no touch of the stored codes. Composed-index
+    correctness (append ∪ stored ≡ from-scratch encode with the same
+    artifacts) is pytest-pinned per-row; THIS query is the
+    capacity/staleness view the consumer watches: per inverted list,
+    how many base vs appended vectors it holds and how much worse
+    the frozen centroid describes the new data.
+
+    Output (one row per list): n_base, n_new, mean squared residual
+    norm of each side (6dp), ``drift_ratio`` = new/base mean (4dp),
+    and ``retrain`` — true when drift ≥ 1.5, the signal that the
+    coarse quantizer has gone stale for incoming data. At 100 TB the
+    same report is a ~n_lists-row aggregate over the assignment
+    table the append path writes anyway.
+
+    Oracle: the model stages (k-means, float residual norms) are not
+    SQL-replicable, so the per-vector table (vec_id, list_id,
+    is_new, µ-scaled integer residual norm) is the committed
+    artifact; BOTH engines compute the report — integer sums, then
+    the identical round()-of-double-division expressions — from
+    those bytes."""
+    from mapreducewordcount_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_new = F.col("vec_id") % IVFPQ_APPEND_MOD == IVFPQ_APPEND_MOD - 1
+    base, batch = emb.filter(~is_new), emb.filter(is_new)
+    assigned_base, cent = sim.ivf_build(base, n_lists=16,
+                                        kmeans_iters=2)
+    _codes_base, books = pq.ivfpq_build(assigned_base, cent)
+    assigned_new, _codes_new = pq.ivfpq_append(batch, cent, books)
+
+    def res2_rows(assigned: DataFrame, flag: bool) -> DataFrame:
+        # µ-scaled integer squared residual norm: floor(‖res‖²·1e6).
+        # Float arithmetic stays ENGINE-side (the artifact pins it);
+        # everything downstream aggregates exact integers.
+        return (pq.ivfpq_residuals(assigned, cent)
+                .select(F.col("neighbor_id").alias("vec_id"),
+                        "list_id", F.lit(flag).alias("is_new"),
+                        F.floor(F.aggregate(
+                            F.transform("res", lambda x:
+                                        x.cast("double") * x),
+                            F.lit(0.0), lambda acc, x: acc + x)
+                            * 1e6).cast("long").alias("res2_u")))
+
+    art = _sig_artifacts.materialize_frame(
+        res2_rows(assigned_base, False)
+        .unionByName(res2_rows(assigned_new, True)),
+        "ivfpq_append_assign",
+        _sig_artifacts.embeddings_corpus_key(emb),
+        ["vec_id"])
+    agg = (art.groupBy("list_id")
+           .agg(F.sum(F.when(~F.col("is_new"), 1).otherwise(0))
+                .cast("long").alias("n_base"),
+                F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+                .cast("long").alias("n_new"),
+                F.sum(F.when(~F.col("is_new"), F.col("res2_u"))
+                      .otherwise(0)).alias("s_base"),
+                F.sum(F.when(F.col("is_new"), F.col("res2_u"))
+                      .otherwise(0)).alias("s_new")))
+    mean_base = (F.col("s_base") / F.nullif(F.col("n_base"), F.lit(0))
+                 / F.lit(1e6))
+    mean_new = (F.col("s_new") / F.nullif(F.col("n_new"), F.lit(0))
+                / F.lit(1e6))
+    drift = F.round(mean_new / mean_base, 4)
+    return (agg.select(F.col("list_id").cast("long"),
+                       "n_base", "n_new",
+                       F.round(mean_base, 6).alias("mean_res2_base"),
+                       F.round(mean_new, 6).alias("mean_res2_new"),
+                       drift.alias("drift_ratio"),
+                       F.coalesce(drift >= IVFPQ_RETRAIN_DRIFT,
+                                  F.lit(False)).alias("retrain"))
+            .orderBy("list_id"))
+
+
+IVFPQ_APPEND_SQL = f"""
+WITH {_sig_artifacts.frame_cte('a', 'ivfpq_append_assign')},
+agg AS (
+  SELECT list_id,
+         CAST(sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_base,
+         CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+         sum(CASE WHEN NOT is_new THEN res2_u ELSE 0 END) AS s_base,
+         sum(CASE WHEN is_new THEN res2_u ELSE 0 END) AS s_new
+  FROM a GROUP BY list_id
+)
+SELECT CAST(list_id AS BIGINT) AS list_id, n_base, n_new,
+       round(s_base / nullif(n_base, 0) / 1000000.0, 6)
+         AS mean_res2_base,
+       round(s_new / nullif(n_new, 0) / 1000000.0, 6)
+         AS mean_res2_new,
+       round((s_new / nullif(n_new, 0) / 1000000.0)
+             / (s_base / nullif(n_base, 0) / 1000000.0), 4)
+         AS drift_ratio,
+       coalesce(round((s_new / nullif(n_new, 0) / 1000000.0)
+                      / (s_base / nullif(n_base, 0) / 1000000.0), 4)
+                >= {IVFPQ_RETRAIN_DRIFT}, FALSE) AS retrain
+FROM agg
+ORDER BY list_id
+"""
+
+
 IVFPQ_RECALL_SQL = f"""
 WITH {_sig_artifacts.frame_cte('sl', 'ivfpq_recall_shortlists')},
 scored AS (
@@ -642,6 +761,8 @@ QUERIES = {
     "ann_ivfpq_topk": QuerySpec(ann_ivfpq_topk, ANN_IVFPQ_SQL),
     "ivfpq_recall_curve": QuerySpec(ivfpq_recall_curve,
                                     IVFPQ_RECALL_SQL),
+    "ivfpq_append_report": QuerySpec(ivfpq_append_report,
+                                     IVFPQ_APPEND_SQL),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_COSINE_SQL),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_pairs": QuerySpec(dedup_ngram_pairs, DEDUP_PAIRS_SQL),

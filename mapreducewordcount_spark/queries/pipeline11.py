@@ -77,6 +77,87 @@ FROM ranked WHERE sample_rank <= {RESERVOIR_K}
 """
 
 
+#: per-(source, quality-tier) capacity for the stratified sample
+STRATUM_K = 5
+
+
+def doc_stratified_reservoir(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Quality-stratified reservoir (VERDICT r12 next#6 — the two
+    r12 primitives COMPOSED): ``STRATUM_K`` docs per (source,
+    quality tier), i.e. the sample a human-eval batch actually
+    draws — uniform within each stratum so low-quality strata are
+    represented instead of drowned out by volume. Reuses the
+    bottom-k-by-hash reservoir verbatim (``operators/sampling`` —
+    same salt, same mergeability/replay story as
+    :func:`doc_reservoir_sample`, only the partition key widens to
+    the stratum) and the discrete quality tiers of the curriculum
+    query (``quality_score`` sums of {.3,.2,.3,.2} weights: ≥0.8
+    high, ≥0.5 mid, else low — a CASE, no window/ntile needed).
+
+    Plan shape: one tokenizer pass for the quality signals, then a
+    single window top-k per stratum (partial top-k before the
+    shuffle: ≤ k rows per stratum per partition on the wire, never
+    the corpus). ``n_in_stratum`` — the population the k rows
+    represent, the Horvitz-Thompson denominator when re-weighting
+    eval results — rides the same window pass.
+
+    Output: (source, tier, sample_rank, doc_id, quality,
+    n_in_stratum).
+    """
+    from mapreducewordcount_spark.functions import text_metrics as tm
+    from mapreducewordcount_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "source", "doc_id",
+        F.round(tm.quality_score("text"), 4).alias("quality"))
+    scored = scored.withColumn(
+        "tier",
+        F.when(F.col("quality") >= 0.8, F.lit("high"))
+        .when(F.col("quality") >= 0.5, F.lit("mid"))
+        .otherwise(F.lit("low")))
+    hk = reservoir_hash("doc_id")
+    w = Window.partitionBy("source", "tier").orderBy(hk, "doc_id")
+    wn = Window.partitionBy("source", "tier")
+    return (scored
+            .withColumn("sample_rank", F.row_number().over(w))
+            .withColumn("n_in_stratum",
+                        F.count(F.lit(1)).over(wn).cast("long"))
+            .filter(F.col("sample_rank") <= STRATUM_K)
+            .select("source", "tier",
+                    F.col("sample_rank").cast("int").alias("sample_rank"),
+                    "doc_id", "quality", "n_in_stratum"))
+
+
+def _stratified_reservoir_sql() -> str:
+    from mapreducewordcount_spark.queries.analytics import (
+        DOC_QUALITY_SQL,
+    )
+
+    return f"""
+WITH dq AS ({DOC_QUALITY_SQL}),
+t AS (
+  SELECT d.source, dq.doc_id, dq.quality,
+         CASE WHEN dq.quality >= 0.8 THEN 'high'
+              WHEN dq.quality >= 0.5 THEN 'mid'
+              ELSE 'low' END AS tier
+  FROM dq JOIN documents d ON dq.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT source, tier, doc_id, quality,
+         row_number() OVER (PARTITION BY source, tier
+                            ORDER BY md5('{_RSV_SALT}' || doc_id),
+                                     doc_id) AS sample_rank,
+         count(*) OVER (PARTITION BY source, tier) AS n_in_stratum
+  FROM t
+)
+SELECT source, tier, CAST(sample_rank AS INT) AS sample_rank, doc_id,
+       quality, CAST(n_in_stratum AS BIGINT) AS n_in_stratum
+FROM ranked WHERE sample_rank <= {STRATUM_K}
+"""
+
+
 #: retention horizon (week offsets 0..N reported)
 RETENTION_MAX_OFFSET = 6
 
@@ -251,6 +332,8 @@ FROM (SELECT * FROM multi UNION ALL SELECT * FROM single)
 QUERIES = {
     "doc_reservoir_sample": QuerySpec(doc_reservoir_sample,
                                       DOC_RESERVOIR_SQL),
+    "doc_stratified_reservoir": QuerySpec(doc_stratified_reservoir,
+                                          _stratified_reservoir_sql()),
     "events_retention_cohorts": QuerySpec(events_retention_cohorts,
                                           EVENTS_RETENTION_SQL),
     "dedup_cluster_stats": QuerySpec(dedup_cluster_stats,

@@ -212,3 +212,62 @@ def test_ivf_route_rank_prefix_is_plain_route(spark):
         prefix = {(r.query_id, r.list_id)
                   for r in ranked if r.route_rank <= p}
         assert prefix == plain, p
+
+
+def test_stratified_reservoir_composition(spark):
+    """VERDICT r12 next#6: the stratified sample composes the two
+    r12 primitives without changing either — per (source, tier)
+    stratum it IS bottom-k-by-hash (same salt/order as
+    doc_reservoir_sample), tiers partition each source by the
+    discrete quality cut, and n_in_stratum sums back to the
+    source size."""
+    import hashlib
+
+    from mapreducewordcount_spark.functions import text_metrics as tm
+    from mapreducewordcount_spark.queries.pipeline11 import (
+        STRATUM_K,
+        doc_stratified_reservoir,
+    )
+
+    rows = doc_stratified_reservoir(spark, SF_ORACLE).collect()
+    docs = load_table(spark, SF_ORACLE, "documents")
+    scored = {(r["doc_id"]): (r["source"], r["quality"]) for r in
+              docs.select("doc_id", "source",
+                          F.round(tm.quality_score("text"), 4)
+                          .alias("quality")).collect()}
+
+    def tier_of(q):
+        return "high" if q >= 0.8 else ("mid" if q >= 0.5 else "low")
+
+    strata: dict[tuple, list] = {}
+    for r in rows:
+        src, q = scored[r["doc_id"]]
+        assert r["source"] == src
+        assert r["quality"] == q
+        assert r["tier"] == tier_of(q)
+        strata.setdefault((r["source"], r["tier"]), []).append(r)
+
+    pop: dict[tuple, list] = {}
+    for did, (src, q) in scored.items():
+        pop.setdefault((src, tier_of(q)), []).append(did)
+
+    assert set(strata) == set(pop)
+    for key, rs in strata.items():
+        ids = pop[key]
+        assert len(rs) == min(STRATUM_K, len(ids))
+        assert sorted(r["sample_rank"] for r in rs) \
+            == list(range(1, len(rs) + 1))
+        assert all(r["n_in_stratum"] == len(ids) for r in rs)
+        # the sample IS bottom-k by the shared salted hash
+        want = set(sorted(
+            ids, key=lambda d: (hashlib.md5(
+                f"rsv:{d}".encode()).hexdigest(), d))[:STRATUM_K])
+        assert {r["doc_id"] for r in rs} == want
+    # every source's strata partition that source
+    by_src: dict[str, int] = {}
+    for (src, _t), ids in pop.items():
+        by_src[src] = by_src.get(src, 0) + len(ids)
+    src_sizes = {r["source"]: r["n"] for r in
+                 docs.groupBy("source")
+                 .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src == src_sizes

@@ -257,3 +257,90 @@ def test_pq_candidates_seam_edge_cases(spark, emb):
     selfp = q.select("query_id",
                      F.col("query_id").alias("neighbor_id"))
     assert pq_shortlist(emb, q, refine=8, candidates=selfp).count() == 0
+
+
+def test_ivfpq_append_composes_to_from_scratch_encode(spark, emb):
+    """VERDICT r12 next#5: append-then-union must be BITWISE the
+    from-scratch index built with the same frozen model artifacts —
+    per-row independence of assignment + residual encoding is the
+    property FAISS add() relies on, pinned here end-to-end:
+    assignments, codes, and a served shortlist all agree."""
+    from mapreducewordcount_spark.operators import pq
+    from mapreducewordcount_spark.operators import similarity as sim
+    from mapreducewordcount_spark.operators.similarity import ivf_assign
+
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    batch = emb.filter(F.col("vec_id") % 5 == 4)
+    assert batch.count() > 0 and base.count() > 0
+
+    assigned_base, cent = sim.ivf_build(base, n_lists=16,
+                                        kmeans_iters=2)
+    codes_base, books = pq.ivfpq_build(assigned_base, cent)
+    assigned_new, codes_new = pq.ivfpq_append(batch, cent, books)
+
+    # composed = stored ∪ appended
+    comp_assign = {(r.neighbor_id, r.list_id) for r in
+                   assigned_base.select("neighbor_id", "list_id")
+                   .collect()}
+    comp_assign |= {(r.neighbor_id, r.list_id) for r in
+                    assigned_new.select("neighbor_id", "list_id")
+                    .collect()}
+    comp_codes = {r.neighbor_id: tuple(r.codes)
+                  for r in codes_base.collect()}
+    comp_codes.update({r.neighbor_id: tuple(r.codes)
+                       for r in codes_new.collect()})
+
+    # from-scratch: assign + encode the FULL corpus against the SAME
+    # frozen artifacts (cent, books)
+    scratch_assigned = ivf_assign(emb, cent)
+    scratch_codes = pq.pq_encode(
+        pq.ivfpq_residuals(scratch_assigned, cent), books,
+        id_col="neighbor_id", vec_col="res")
+    assert comp_assign == {(r.neighbor_id, r.list_id) for r in
+                           scratch_assigned
+                           .select("neighbor_id", "list_id").collect()}
+    assert comp_codes == {r.neighbor_id: tuple(r.codes)
+                          for r in scratch_codes.collect()}
+
+    # and the SERVED path over the composed index equals serving the
+    # from-scratch one (same routed shortlist for a query batch)
+    q = _queries(emb)
+    routed = sim.ivf_route(q, cent, n_probe=4)
+    comp_sl = pq.ivfpq_shortlist(
+        assigned_base.unionByName(assigned_new), cent, q, routed,
+        refine=32,
+        prebuilt=(codes_base.unionByName(codes_new), books))
+    scratch_sl = pq.ivfpq_shortlist(
+        scratch_assigned, cent, q, routed, refine=32,
+        prebuilt=(scratch_codes, books))
+    assert ({(r.query_id, r.neighbor_id) for r in comp_sl.collect()}
+            == {(r.query_id, r.neighbor_id)
+                for r in scratch_sl.collect()})
+
+
+def test_ivfpq_append_drift_report_invariants(spark, emb):
+    """The drift report accounts for every vector exactly once
+    (Σ n_base + Σ n_new = corpus), base/new splits match the
+    vec_id%5 scenario, means are positive, and retrain fires iff the
+    rounded drift ratio crosses the committed 1.5 threshold."""
+    from mapreducewordcount_spark.queries.dedup_queries import (
+        IVFPQ_RETRAIN_DRIFT,
+        ivfpq_append_report,
+    )
+
+    rows = ivfpq_append_report(spark, SF_ORACLE).collect()
+    assert rows
+    n = emb.count()
+    n_new_expect = emb.filter(F.col("vec_id") % 5 == 4).count()
+    assert sum(r.n_base + r.n_new for r in rows) == n
+    assert sum(r.n_new for r in rows) == n_new_expect
+    for r in rows:
+        assert r.n_base >= 0 and r.n_new >= 0
+        if r.n_base:
+            assert r.mean_res2_base > 0
+        if r.n_new:
+            assert r.mean_res2_new > 0
+        if r.drift_ratio is not None:
+            assert r.retrain == (r.drift_ratio >= IVFPQ_RETRAIN_DRIFT)
+        else:
+            assert r.retrain is False
