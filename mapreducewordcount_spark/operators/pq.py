@@ -378,6 +378,20 @@ def ivfpq_residuals(assigned: DataFrame,
                     "list_id"))
 
 
+def res2_micro(res_col: str = "res"):
+    """µ-scaled integer squared residual norm:
+    ``floor(‖res‖² · 1e6)`` as a LONG column — the drift statistic
+    shared by the batch report
+    (``queries/dedup_queries.ivfpq_append_report``) and the streaming
+    index-maintenance loop, ONE definition so the two sides can't
+    drift apart (the ``reservoir_hash`` discipline). Float math stays
+    engine-side; every consumer downstream aggregates exact
+    integers."""
+    return (F.floor(F.aggregate(
+        F.transform(res_col, lambda x: x.cast("double") * x),
+        F.lit(0.0), lambda acc, x: acc + x) * 1e6).cast("long"))
+
+
 def ivfpq_append(batch: DataFrame, centroids: DataFrame, books: list,
                  id_col: str = "vec_id", vec_col: str = "embedding"
                  ) -> tuple[DataFrame, DataFrame]:

@@ -598,17 +598,14 @@ def ivfpq_append_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned_new, _codes_new = pq.ivfpq_append(batch, cent, books)
 
     def res2_rows(assigned: DataFrame, flag: bool) -> DataFrame:
-        # µ-scaled integer squared residual norm: floor(‖res‖²·1e6).
-        # Float arithmetic stays ENGINE-side (the artifact pins it);
+        # the SHARED µ-scaled integer residual norm (pq.res2_micro —
+        # one definition with the streaming maintenance loop). Float
+        # arithmetic stays ENGINE-side (the artifact pins it);
         # everything downstream aggregates exact integers.
         return (pq.ivfpq_residuals(assigned, cent)
                 .select(F.col("neighbor_id").alias("vec_id"),
                         "list_id", F.lit(flag).alias("is_new"),
-                        F.floor(F.aggregate(
-                            F.transform("res", lambda x:
-                                        x.cast("double") * x),
-                            F.lit(0.0), lambda acc, x: acc + x)
-                            * 1e6).cast("long").alias("res2_u")))
+                        pq.res2_micro("res").alias("res2_u")))
 
     art = _sig_artifacts.materialize_frame(
         res2_rows(assigned_base, False)

@@ -1228,3 +1228,150 @@ def start_reservoir_maintenance(docs: DataFrame, *, state_dir: str,
     return (docs.writeStream.outputMode("append")
             .option("checkpointLocation", checkpoint_dir)
             .foreachBatch(refresh).start())
+
+
+def start_ann_index_maintenance(embs: DataFrame, *, index_dir: str,
+                                report_dir: str, checkpoint_dir: str,
+                                centroids: DataFrame, books: list,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                state_format: str = "versioned",
+                                gc_every_n_batches: int | None = None,
+                                gc_keep_last: int = 2):
+    """Streaming twin of the incremental ANN append path (VERDICT r12
+    next#5 closed batch-side this round; this is the loop form): as
+    embedding micro-batches arrive, route them to the FROZEN coarse
+    quantizer, residual-encode against the FROZEN codebooks
+    (``operators/pq.ivfpq_append`` — the per-batch work is O(batch)
+    regardless of index size, zero shuffle), append a per-list drift
+    report, and commit the grown codes index. The continuous form of
+    FAISS ``add()``: the model artifacts never change inside the
+    loop; the REPORT is what tells the operator the model has gone
+    stale (re-train = an offline rebuild, then a new loop seeded
+    from it).
+
+    State discipline is :func:`start_chunk_index_maintenance`'s
+    verbatim — the codes index is append-only:
+
+    - versioned parquet seeded at ``{index_dir}/v0`` with the
+      offline build's codes ``(neighbor_id long, list_id long,
+      codes array<int>)`` (an empty frame with that schema is a
+      legitimate cold start — the model artifacts still come from an
+      offline train); an unseeded dir raises before ``start()``;
+    - batch ``b`` reads the highest committed version ≤ b and writes
+      ``v{b+1}`` of index AND report — idempotent redelivery; empty
+      batches commit nothing (version holes expected);
+    - already-indexed ids are dropped by an anti-join on the 8-byte
+      key (a re-delivered or re-crawled vector must not occupy two
+      index slots);
+    - ``state_format="manifest"`` commits ONE segment holding the
+      batch's new codes + a manifest (O(new vectors), not
+      O(|index|)); seed with ``manifest_state.seed_manifest_state(
+      codes_df, index_dir, ["neighbor_id"])``;
+    - ``gc_every_n_batches``/``gc_keep_last`` wire retention into
+      the commit thread (replay-horizon floor enforced).
+
+    The per-batch report row set — ``(list_id, n_new, sum_res2_u,
+    mean_res2_new, batch_id)`` with the SHARED µ-scaled integer norm
+    (``pq.res2_micro``) — is the trend the consumer watches: a batch
+    whose per-list mean residual norm runs persistently above the
+    build-time level means the frozen centroids describe arriving
+    data worse (the batch analog of ``ivfpq_append_report``'s
+    drift_ratio; sums are exact integers so any window of report
+    versions re-aggregates exactly).
+
+    Returns the started StreamingQuery (caller stops it).
+    """
+    from mapreducewordcount_spark.operators import pq
+    from mapreducewordcount_spark.streaming import manifest_state as ms
+
+    _check_loop_gc_keep_last(gc_every_n_batches, gc_keep_last)
+    spark = embs.sparkSession
+    manifest = state_format == "manifest"
+    latest0 = (ms.latest_manifest_version(index_dir) if manifest
+               else latest_state_version(spark, index_dir))
+    if latest0 is None:
+        raise ValueError(
+            f"no committed state under {index_dir}: seed "
+            + ("it with manifest_state.seed_manifest_state "
+               if manifest else f"{index_dir}/v0 ")
+            + "with the offline build's codes (an empty "
+            "neighbor_id/list_id/codes frame is a legitimate cold "
+            "start) before start(); state dirs are local-filesystem "
+            "only")
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        in_version = (ms.latest_manifest_version(index_dir,
+                                                 at_most=batch_id)
+                      if manifest
+                      else latest_state_version(spark, index_dir,
+                                                at_most=batch_id))
+        if in_version is None:  # state dir removed mid-stream
+            raise ValueError(
+                f"no committed state under {index_dir}: the state "
+                "dir lost its versions mid-stream — re-seed "
+                f"{index_dir} before restarting")
+        index = (ms.read_manifest_state(spark, index_dir, in_version)
+                 if manifest
+                 else read_state_version(spark, index_dir,
+                                         in_version)) \
+            .select("neighbor_id", "list_id", "codes")
+        batch = batch_df.localCheckpoint(eager=True)
+
+        fresh = (batch
+                 .select(F.col(id_col).alias("neighbor_id"), vec_col)
+                 .join(index.select("neighbor_id"), "neighbor_id",
+                       "left_anti"))
+        # ivfpq_append unrolled so the assign — upstream of BOTH the
+        # report (residuals) and the commit (codes) — checkpoints
+        # once and neither consumer re-runs the Arrow argmax
+        from mapreducewordcount_spark.operators.similarity import (
+            ivf_assign,
+        )
+
+        assigned_new = ivf_assign(
+            fresh, centroids, id_col="neighbor_id",
+            vec_col=vec_col).localCheckpoint(eager=True)
+        codes_new = pq.pq_encode(
+            pq.ivfpq_residuals(assigned_new, centroids), books,
+            id_col="neighbor_id", vec_col="res") \
+            .join(assigned_new.select("neighbor_id", "list_id"),
+                  "neighbor_id")
+
+        report = (pq.ivfpq_residuals(assigned_new, centroids)
+                  .select("list_id",
+                          pq.res2_micro("res").alias("res2_u"))
+                  .groupBy("list_id")
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_new"),
+                       F.sum("res2_u").cast("long")
+                       .alias("sum_res2_u"))
+                  .select("list_id", "n_new", "sum_res2_u",
+                          F.round(F.col("sum_res2_u")
+                                  / F.col("n_new") / F.lit(1e6), 6)
+                          .alias("mean_res2_new"),
+                          F.lit(batch_id).cast("long")
+                          .alias("batch_id")))
+        report.write.mode("overwrite").parquet(
+            f"{report_dir}/v{batch_id + 1}")
+
+        new_rows = codes_new.select("neighbor_id", "list_id", "codes")
+        if manifest:
+            ms.commit_append(new_rows, index_dir, in_version,
+                             batch_id + 1)
+            if (gc_every_n_batches
+                    and (batch_id + 1) % gc_every_n_batches == 0):
+                ms.gc_manifest_state(index_dir,
+                                     keep_last=gc_keep_last)
+        else:
+            index.unionByName(new_rows).write.mode("overwrite") \
+                .parquet(f"{index_dir}/v{batch_id + 1}")
+            if (gc_every_n_batches
+                    and (batch_id + 1) % gc_every_n_batches == 0):
+                gc_versioned_state(index_dir,
+                                   keep_last=gc_keep_last)
+
+    return (embs.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(refresh).start())

@@ -773,3 +773,103 @@ def test_loop_gc_keep_last_floor_is_enforced(spark, tmp_path):
             checkpoint_dir=str(tmp_path / "ck4"),
             keys=["k"], group_col="grp", value_col="v",
             gc_keep_last=1)
+
+
+@pytest.mark.parametrize("state_format", ["versioned", "manifest"])
+def test_stream_ann_index_maintenance_matches_scratch(spark, tmp_path,
+                                                      state_format):
+    """Streaming ANN append loop (round 13): seed the index with the
+    offline build on the base corpus, stream the remaining vectors in
+    two micro-batches (the second REDELIVERS one already-indexed id),
+    and the final committed codes must equal a from-scratch encode of
+    the full corpus against the same frozen artifacts — the streaming
+    form of the batch composed-index pin. Reports carry per-list
+    n_new + the shared integer residual norms per batch. Both state
+    formats."""
+    import json
+
+    from mapreducewordcount_spark.operators import pq
+    from mapreducewordcount_spark.operators import similarity as sim
+    from mapreducewordcount_spark.operators.similarity import ivf_assign
+    from mapreducewordcount_spark.sources.tables import load_table
+    from mapreducewordcount_spark.streaming import manifest_state as ms
+    from mapreducewordcount_spark.streaming.jobs import (
+        read_state_version,
+        start_ann_index_maintenance,
+    )
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    assigned_base, cent = sim.ivf_build(base, n_lists=16,
+                                        kmeans_iters=2)
+    codes_base, books = pq.ivfpq_build(assigned_base, cent)
+    seed = codes_base.join(
+        assigned_base.select("neighbor_id", "list_id"), "neighbor_id") \
+        .select("neighbor_id", "list_id", "codes")
+
+    idx_dir = str(tmp_path / "ann_index")
+    rep_dir = str(tmp_path / "ann_reports")
+    if state_format == "manifest":
+        ms.seed_manifest_state(seed, idx_dir, ["neighbor_id"],
+                               n_buckets=4)
+    else:
+        seed.write.parquet(f"{idx_dir}/v0")
+
+    new_rows = (emb.filter(F.col("vec_id") % 5 == 4)
+                .select("vec_id", "embedding").collect())
+    b1 = [r for r in new_rows if r.vec_id % 10 == 4]
+    b2 = [r for r in new_rows if r.vec_id % 10 == 9]
+    assert b1 and b2
+
+    def dump(rows):
+        return "\n".join(json.dumps(
+            {"vec_id": r.vec_id,
+             "embedding": [float(x) for x in r.embedding]})
+            for r in rows)
+
+    src = tmp_path / "embs"
+    src.mkdir()
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType()))])
+    (src / "b1.json").write_text(dump(b1))
+
+    q = start_ann_index_maintenance(
+        spark.readStream.schema(schema).json(str(src)),
+        index_dir=idx_dir, report_dir=rep_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        centroids=cent, books=books, state_format=state_format)
+    try:
+        q.processAllAvailable()
+        # batch 2: the rest, plus a REDELIVERY of a b1 vector — the
+        # anti-join must keep the index a set
+        (src / "b2.json").write_text(dump(b2 + b1[:1]))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = (ms.read_manifest_state(spark, idx_dir)
+             if state_format == "manifest"
+             else read_state_version(spark, idx_dir))
+    got = {(r.neighbor_id, r.list_id, tuple(r.codes))
+           for r in final.collect()}
+    scratch_assigned = ivf_assign(emb, cent)
+    scratch = pq.pq_encode(
+        pq.ivfpq_residuals(scratch_assigned, cent), books,
+        id_col="neighbor_id", vec_col="res") \
+        .join(scratch_assigned.select("neighbor_id", "list_id"),
+              "neighbor_id")
+    want = {(r.neighbor_id, r.list_id, tuple(r.codes))
+            for r in scratch.collect()}
+    assert got == want
+
+    # reports: v1 covers b1, v2 covers ONLY b2's genuinely-new rows
+    r1 = spark.read.parquet(f"{rep_dir}/v1")
+    r2 = spark.read.parquet(f"{rep_dir}/v2")
+    assert r1.agg(F.sum("n_new")).first()[0] == len(b1)
+    assert r2.agg(F.sum("n_new")).first()[0] == len(b2)
+    for rep in (r1, r2):
+        for row in rep.collect():
+            assert row.n_new > 0 and row.sum_res2_u > 0
+            assert row.mean_res2_new > 0
