@@ -101,6 +101,7 @@ ARTIFACT_QUERIES = {
     "ann_pq_topk": ("ann_pq_topk_shortlist",),
     "ann_ivfpq_topk": ("ann_ivfpq_topk_shortlist",),
     "ivfpq_recall_curve": ("ivfpq_recall_shortlists",),
+    "ivfpq_append_report": ("ivfpq_append_assign",),
     "semantic_dedup_embeddings": ("semantic_dedup_embeddings",),
     "embedding_cluster_stats": ("embedding_cluster_stats_assign",
                                 "embedding_cluster_stats_cent"),
