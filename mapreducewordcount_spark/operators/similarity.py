@@ -374,15 +374,26 @@ def ivf_build(corpus: DataFrame, id_col: str = "vec_id",
     # have a STABLE semanticHash or the artifact session memo
     # (sources/sig_artifacts) misses on every invocation and re-runs
     # the full model pipeline each time (measured 20 s vs 2 s at
-    # sf0.001).
+    # sf0.001). Built as ONE parsed SQL expression, not per-element
+    # F.lit(): the column-object form was n_lists×dim py4j
+    # round-trips — ~2.5 s of pure DRIVER time at the SemDeDup
+    # sf0.1 operating point (45 lists × 64 dims), measured as a
+    # job-free gap in the event log and the dominant term of the
+    # r11→r12 semantic_dedup_embeddings creep (round 13). One
+    # expr() call parses server-side in milliseconds, and the
+    # identical string yields the identical plan, so the
+    # semanticHash stability the memo needs is unchanged.
     if cent_rows:
-        lit_rows = F.array(*[
-            F.struct(F.lit(int(cid)).cast("long").alias("list_id"),
-                     F.array(*[F.lit(float(x)) for x in vec])
-                     .cast("array<float>").alias("cent_vec"))
-            for cid, vec in cent_rows])
+        parts = ", ".join(
+            "named_struct('list_id', CAST({} AS BIGINT), 'cent_vec',"
+            " CAST(array({}) AS ARRAY<FLOAT>))".format(
+                int(cid),
+                ", ".join(f"CAST({float(x)!r} AS DOUBLE)"
+                          for x in vec))
+            for cid, vec in cent_rows)
         cent = (corpus.sparkSession.range(1)
-                .select(F.explode(lit_rows).alias("s"))
+                .select(F.explode(F.expr(f"array({parts})"))
+                        .alias("s"))
                 .select("s.list_id", "s.cent_vec"))
     else:  # degenerate empty corpus: schema-only frame
         cent = corpus.sparkSession.createDataFrame(
