@@ -183,6 +183,7 @@ HEADLINE = (
     # compare it per-query, never inside a frozen subset.
     "ivfpq_append_report",
     "doc_stratified_reservoir",
+    "leakage_safe_splits",
 )
 
 #: FROZEN round-over-round comparison core (VERDICT r7 next#7): the

@@ -161,10 +161,14 @@ def all_queries() -> dict[str, QuerySpec]:
         "top_orders_per_customer", "wc_bucket_hist",
         # --- r13 first-ever rows (new this round, locally
         # oracle-verified at sf0.001 AND sf0.01 incl. hostile
-        # gate-sim before entering)
+        # gate-sim before entering; leakage_safe_splits verified at
+        # both SFs, gate-sim vanilla-equivalent arithmetic already
+        # covered by dataset_split_stats + dedup_cluster_stats)
         "ivfpq_append_report", "doc_stratified_reservoir",
-        # --- oldest 26 of the 48-query r10-last-green cohort (name
-        # order); the remaining 22 (q10_returned_customers,
+        "leakage_safe_splits",
+        # --- oldest 25 of the 48-query r10-last-green cohort (name
+        # order); the remaining 23 (part_name_fuzzy_pairs,
+        # q10_returned_customers,
         # q11_important_parts, q12_ship_priority,
         # q13_order_count_dist, q14_promo_revenue, q15_top_supplier,
         # q16_part_supplier_counts, q17_small_qty_revenue,
@@ -185,7 +189,6 @@ def all_queries() -> dict[str, QuerySpec]:
         "lineitem_zorder_layout", "nation_balance_reconciliation",
         "orders_agg_ivm", "orders_cdc_merge", "orders_nearby_window",
         "orders_scd2_history", "part_name_features",
-        "part_name_fuzzy_pairs",
     )
     out = {n: full[n] for n in gate_first}
     out.update(full)  # remainder keeps its original relative order

@@ -329,6 +329,149 @@ FROM (SELECT * FROM multi UNION ALL SELECT * FROM single)
 """
 
 
+#: 80/10/10 — wider eval bands than the 98/1/1 production split so
+#: the gate corpora populate every split and the naive-leakage
+#: comparison column has mass to count
+LEAKAGE_SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+#: salt decorrelating the leakage-safe split from the plain
+#: dataset_split (':split') and every other md5-keyed decision
+_LEAK_SALT = "leak"
+
+
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates
+    across splits: the split is keyed on each document's dedup
+    CLUSTER REPRESENTATIVE (the min-label component id from the
+    committed near-dup pipeline; singletons represent themselves), so
+    an entire near-dup cluster moves between splits atomically — the
+    eval-decontamination discipline a val/test set needs, since a val
+    doc with a train near-twin measures memorization, not
+    generalization. Composition of two shipped primitives, neither
+    changed: ``shingle_jaccard_pairs → dup_groups`` (the
+    dedup_cluster_stats lineage) and ``dataset_split`` (salted-md5
+    bands, ':leak'-salted so the assignment is independent of the
+    production ':split' bands).
+
+    Output: one row per split — n_docs, n_clusters (multi-doc
+    clusters wholly inside the split), n_clustered_docs — plus two
+    corpus-wide audit columns repeated per row: ``leaked_clusters``
+    (clusters straddling splits under THIS assignment — structurally
+    0, but computed, not asserted) and ``naive_leaked_clusters``
+    (clusters that straddle under the doc_id-keyed split — what the
+    operator prevents). At 100 TB the split column is a row-local
+    projection downstream of the dedup pass the pipeline already
+    runs; the audit is two bounded aggregates.
+    """
+    from mapreducewordcount_spark.functions.sampling import (
+        dataset_split,
+    )
+    from mapreducewordcount_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = dd.dup_groups(
+        dd.shingle_jaccard_pairs(docs, threshold=0.5))
+    rep = (docs.select("doc_id")
+           .join(groups, "doc_id", "left")
+           .select("doc_id", "group_id",
+                   F.coalesce("group_id", F.col("doc_id"))
+                   .alias("rep_id")))
+    assigned = rep.select(
+        "doc_id", "group_id",
+        dataset_split("rep_id", LEAKAGE_SPLIT_FRACS, salt=_LEAK_SALT)
+        .alias("split"),
+        dataset_split("doc_id", LEAKAGE_SPLIT_FRACS, salt=_LEAK_SALT)
+        .alias("naive_split"))
+    clustered = assigned.filter(F.col("group_id").isNotNull())
+    leaked = (clustered.groupBy("group_id")
+              .agg(F.countDistinct("split").alias("ns"),
+                   F.countDistinct("naive_split").alias("nns"))
+              .agg(F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+                   .cast("long").alias("leaked_clusters"),
+                   F.sum(F.when(F.col("nns") > 1, 1).otherwise(0))
+                   .cast("long").alias("naive_leaked_clusters")))
+    per_split = (assigned.groupBy("split")
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                      F.countDistinct("group_id").cast("long")
+                      .alias("n_clusters"),
+                      F.sum(F.when(F.col("group_id").isNotNull(), 1)
+                            .otherwise(0)).cast("long")
+                      .alias("n_clustered_docs")))
+    return (per_split.crossJoin(F.broadcast(leaked))
+            .orderBy("split"))
+
+
+def _leakage_safe_splits_sql() -> str:
+    from mapreducewordcount_spark.queries.dedup_queries import (
+        _SHINGLES_CTE,
+        _WORDS_CTE,
+    )
+    from mapreducewordcount_spark.queries.pipeline2 import _hex4_sql
+
+    def case(key: str) -> str:
+        v = _hex4_sql(f"md5(CAST({key} AS VARCHAR) || ':{_LEAK_SALT}')")
+        names = list(LEAKAGE_SPLIT_FRACS)
+        cum, whens = 0.0, []
+        for name in names[:-1]:
+            cum += LEAKAGE_SPLIT_FRACS[name]
+            whens.append(f"WHEN {v} < {int(cum * 65536)} "
+                         f"THEN '{name}'")
+        return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+
+    return f"""
+WITH RECURSIVE {_WORDS_CTE}, {_SHINGLES_CTE},
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        / (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL SELECT b_id, a_id FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+comp AS (SELECT id AS doc_id, min(r) AS group_id
+         FROM reach GROUP BY id),
+rep AS (
+  SELECT d.doc_id, c.group_id,
+         coalesce(c.group_id, d.doc_id) AS rep_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+assigned AS (
+  SELECT doc_id, group_id,
+         {case('rep_id')} AS split,
+         {case('doc_id')} AS naive_split
+  FROM rep
+),
+leaked AS (
+  SELECT CAST(coalesce(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS leaked_clusters,
+         CAST(coalesce(sum(CASE WHEN nns > 1 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS naive_leaked_clusters
+  FROM (SELECT group_id, count(DISTINCT split) AS ns,
+               count(DISTINCT naive_split) AS nns
+        FROM assigned WHERE group_id IS NOT NULL GROUP BY 1)
+),
+per_split AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT group_id) AS BIGINT) AS n_clusters,
+         CAST(sum(CASE WHEN group_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_clustered_docs
+  FROM assigned GROUP BY 1
+)
+SELECT p.split, p.n_docs, p.n_clusters, p.n_clustered_docs,
+       l.leaked_clusters, l.naive_leaked_clusters
+FROM per_split p CROSS JOIN leaked l
+ORDER BY split
+"""
+
+
 QUERIES = {
     "doc_reservoir_sample": QuerySpec(doc_reservoir_sample,
                                       DOC_RESERVOIR_SQL),
@@ -338,4 +481,6 @@ QUERIES = {
                                           EVENTS_RETENTION_SQL),
     "dedup_cluster_stats": QuerySpec(dedup_cluster_stats,
                                      _dedup_cluster_stats_sql()),
+    "leakage_safe_splits": QuerySpec(leakage_safe_splits,
+                                     _leakage_safe_splits_sql()),
 }

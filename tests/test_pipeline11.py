@@ -271,3 +271,55 @@ def test_stratified_reservoir_composition(spark):
                  docs.groupBy("source")
                  .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert by_src == src_sizes
+
+
+def test_leakage_safe_splits_move_clusters_atomically(spark):
+    """Round-13 composition: split keyed on the dedup-cluster
+    representative ⇒ no cluster straddles splits (computed 0, and
+    re-verified independently here), while the doc_id-keyed naive
+    assignment demonstrably leaks; counts partition the corpus."""
+    import hashlib
+
+    from mapreducewordcount_spark.operators import dedup as dd
+    from mapreducewordcount_spark.queries.pipeline11 import (
+        LEAKAGE_SPLIT_FRACS,
+        leakage_safe_splits,
+    )
+
+    rows = leakage_safe_splits(spark, SF_ORACLE).collect()
+    docs = load_table(spark, SF_ORACLE, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert {r.split for r in rows} <= set(LEAKAGE_SPLIT_FRACS)
+    assert all(r.leaked_clusters == 0 for r in rows)
+    assert rows[0].naive_leaked_clusters > 0  # the operator earns it
+
+    # independent recomputation: group docs, band each rep/doc by the
+    # same md5 arithmetic, count straddling clusters both ways
+    groups = {r.doc_id: r.group_id for r in
+              dd.dup_groups(dd.shingle_jaccard_pairs(
+                  docs, threshold=0.5)).collect()}
+
+    def band(key):
+        h = hashlib.md5(f"{key}:leak".encode()).hexdigest()
+        v = int(h[:4], 16)
+        names = list(LEAKAGE_SPLIT_FRACS)
+        cum = 0.0
+        for name in names[:-1]:
+            cum += LEAKAGE_SPLIT_FRACS[name]
+            if v < int(cum * 65536):
+                return name
+        return names[-1]
+
+    by_group: dict[int, set] = {}
+    by_group_naive: dict[int, set] = {}
+    for (did,) in docs.select("doc_id").collect():
+        gid = groups.get(did)
+        if gid is not None:
+            by_group.setdefault(gid, set()).add(band(gid))
+            by_group_naive.setdefault(gid, set()).add(band(did))
+    assert all(len(s) == 1 for s in by_group.values())
+    naive_leaked = sum(1 for s in by_group_naive.values() if len(s) > 1)
+    assert rows[0].naive_leaked_clusters == naive_leaked
+    # cluster accounting agrees with the per-split rollup
+    assert sum(r.n_clustered_docs for r in rows) == len(groups)
+    assert sum(r.n_clusters for r in rows) == len(by_group)

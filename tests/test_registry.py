@@ -11,8 +11,8 @@ def test_gate_window_rotation_round13():
     window = set(names[:50])
     # VERDICT r12 next#2: the 22-query r9-last-green cohort leads
     # unconditionally (the only rows older than r10 in the cumulative
-    # driver record), then the two r13 first-evers
-    assert names[:24] == [
+    # driver record), then the three r13 first-evers
+    assert names[:25] == [
         "big_spender_segments", "bucketed_order_revenue",
         "churned_customers", "content_word_counts",
         "curriculum_epoch_order", "customers_without_orders",
@@ -23,14 +23,15 @@ def test_gate_window_rotation_round13():
         "part_brand_stats", "retained_customers", "rollup_revenue",
         "running_revenue", "top_bigrams", "top_customers",
         "top_orders_per_customer", "wc_bucket_hist",
-        "ivfpq_append_report", "doc_stratified_reservoir"]
+        "ivfpq_append_report", "doc_stratified_reservoir",
+        "leakage_safe_splits"]
     # the oldest r10-last-green rows fill the window
     r10_cohort_head = {
         "above_avg_customers", "acctbal_histogram", "cube_revenue",
         "doc_bm25_topk", "doc_fingerprints", "doc_language_id",
         "doc_quality", "dsir_selection", "events_funnel",
         "exact_substring_dedup", "join_skew_report",
-        "orders_cdc_merge", "part_name_fuzzy_pairs"}
+        "orders_cdc_merge"}
     assert r10_cohort_head <= window
     assert len(window) == 50
     # freshly green in r11/r12 -> correctly rotated OUT this round
@@ -42,6 +43,7 @@ def test_gate_window_rotation_round13():
               "semantic_dedup_embeddings", "events_hourly",
               # r14 leads (the remaining r10 cohort) stay out too
               "q10_returned_customers", "wc_top20",
+              "part_name_fuzzy_pairs",
               "sketch_stats", "supplier_part_pagerank"):
         assert q not in window, q
 
