@@ -294,3 +294,72 @@ def changed_buckets_of(batch: DataFrame, key_cols: list[str],
     return sorted(r["__bucket"] for r in
                   batch.select(_bucket_col(key_cols, n_buckets)
                                .alias("__bucket")).distinct().collect())
+
+
+def compact_manifest_state(spark: SparkSession,
+                           state_dir: str) -> dict:
+    """FULL segment compaction (offline maintenance): rewrite every
+    non-empty bucket's live content as ONE segment and re-commit the
+    LATEST manifest in place to reference only the compacted
+    segments. The long-running append loops (chunk index, ANN codes)
+    grow one shared segment per batch forever — read cost and
+    manifest size grow O(batches); compaction resets both to
+    O(n_buckets) without changing content (equality pinned by test).
+
+    Two deliberate design points:
+
+    - **Full, not partial.** An append segment is LISTED under every
+      bucket it touches; compacting bucket ``b`` alone would leave
+      the shared path live under other buckets while ``b``'s rows
+      reappear in its compacted segment — a whole-state read (which
+      dedups PATHS, not rows) would then double-count ``b``'s rows.
+      The correct unit is every bucket at once.
+    - **In-place latest, no new version.** The streaming loops
+      resolve state as ``latest_manifest_version(at_most=batch_id)``
+      and write ``v{batch_id+1}`` idempotently on redelivery; a
+      compaction commit at ``latest+1`` would collide with the
+      resumed stream's next batch (same version number ⇒ the batch
+      would overwrite it as "its own" redelivered output). Rewriting
+      ``manifest-v{latest}.json`` atomically (tmp + ``os.replace``)
+      allocates nothing. Worst case — a crashed writer redelivers
+      batch ``latest`` — the replay regenerates the pre-compaction
+      manifest from its original inputs: content stays correct,
+      compaction is merely undone and its orphaned segments are
+      collected by the next GC.
+
+    Offline-only contract (stream stopped), like ``keep_last=1``
+    ``gc_versioned_state`` use. Old segments are NOT deleted here —
+    they may be referenced by older retained manifests; run
+    :func:`gc_manifest_state` afterwards to collect what no retained
+    manifest references. Returns
+    ``{"version", "segments_before", "segments_after"}``.
+    """
+    latest = latest_manifest_version(state_dir)
+    if latest is None:
+        raise ValueError(f"no committed state under {state_dir}")
+    man = _load_manifest(state_dir, latest)
+    key_cols, nb = man["key_cols"], man["n_buckets"]
+    before = {p for ps in man["buckets"].values() for p in ps}
+    state = read_manifest_state(spark, state_dir, latest)
+    # one materialization; the 16 per-bucket writes then filter the
+    # checkpointed rows instead of re-unioning every segment 16×
+    with_b = (state.withColumn("__bucket", _bucket_col(key_cols, nb))
+              .localCheckpoint(eager=True))
+    buckets: dict[str, list[str]] = {str(b): [] for b in range(nb)}
+    schema_ref = None
+    for b in range(nb):
+        if not man["buckets"][str(b)]:
+            continue  # bucket already empty — stays an empty list
+        part = with_b.filter(F.col("__bucket") == b).drop("__bucket")
+        rel = _write_segment(part, state_dir, latest, f"c{b}")
+        buckets[str(b)] = [rel]
+        schema_ref = schema_ref or rel
+    if schema_ref is None:  # fully-empty state: schema-only segment
+        schema_ref = _write_segment(state.limit(0), state_dir,
+                                    latest, "cschema")
+    _write_manifest(state_dir, latest, {
+        **man, "version": latest, "buckets": buckets,
+        "schema_ref": schema_ref})
+    after = {p for ps in buckets.values() for p in ps} or {schema_ref}
+    return {"version": latest, "segments_before": len(before),
+            "segments_after": len(after)}

@@ -873,3 +873,58 @@ def test_stream_ann_index_maintenance_matches_scratch(spark, tmp_path,
         for row in rep.collect():
             assert row.n_new > 0 and row.sum_res2_u > 0
             assert row.mean_res2_new > 0
+
+
+def test_manifest_compaction_resets_segment_growth(spark, tmp_path):
+    """Round-13 compaction: after N append commits every touched
+    bucket lists N+1 shared segments; full compaction rewrites the
+    LATEST manifest in place to one segment per non-empty bucket
+    with IDENTICAL content (whole-state read, no duplicates), a
+    subsequent append commits against the compacted manifest, and GC
+    then collects the superseded pre-compaction segments."""
+    import os
+
+    from mapreducewordcount_spark.streaming import manifest_state as ms
+
+    st = str(tmp_path / "mstate")
+    seed = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(8)], "k long, v string")
+    ms.seed_manifest_state(seed, st, ["k"], n_buckets=4)
+    rows = {(i, f"s{i}") for i in range(8)}
+    for batch in range(3):
+        new = spark.createDataFrame(
+            [(100 + batch * 10 + j, f"b{batch}_{j}") for j in range(6)],
+            "k long, v string")
+        ms.commit_append(new, st, batch, batch + 1)
+        rows |= {(100 + batch * 10 + j, f"b{batch}_{j}")
+                 for j in range(6)}
+    man = ms._load_manifest(st, 3)
+    assert max(len(ps) for ps in man["buckets"].values()) >= 3
+
+    stats = ms.compact_manifest_state(spark, st)
+    assert stats["version"] == 3
+    assert stats["segments_after"] < stats["segments_before"]
+    man2 = ms._load_manifest(st, 3)
+    assert all(len(ps) <= 1 for ps in man2["buckets"].values())
+    got = [(r.k, r.v) for r in ms.read_manifest_state(spark, st).collect()]
+    assert len(got) == len(rows)          # no duplicated rows
+    assert set(got) == rows               # identical content
+
+    # the loop continues: an append against the compacted manifest
+    new = spark.createDataFrame([(999, "post")], "k long, v string")
+    ms.commit_append(new, st, 3, 4)
+    rows.add((999, "post"))
+    assert {(r.k, r.v) for r in
+            ms.read_manifest_state(spark, st).collect()} == rows
+
+    # GC with keep_last=2 retains v3+v4; pre-compaction segments are
+    # no longer referenced by any retained manifest -> collected
+    out = ms.gc_manifest_state(st, keep_last=2)
+    assert any("append" in s for s in out["removed_segments"])
+    assert {(r.k, r.v) for r in
+            ms.read_manifest_state(spark, st).collect()} == rows
+    # compacted segments survived on disk
+    seg_root = os.path.join(st, "seg")
+    live = [f"seg/{v}/{t}" for v in os.listdir(seg_root)
+            for t in os.listdir(os.path.join(seg_root, v))]
+    assert any("/c" in p for p in live)
