@@ -248,18 +248,21 @@ def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
     """(doc_id, shingles) → (doc_id, signature array<long>)."""
     p = (1 << 31) - 1  # Mersenne prime
     coeffs = _permutation_coeffs(num_hashes)
-    base = F.transform("shingles",
-                       lambda s: F.pmod(F.xxhash64(s), F.lit(p)))
     # 64 parallel array_min(transform(...)) expressions: pays a one-time
     # codegen compile on first use but runs ~4x faster than a nested
     # transform over a coefficient array (measured — the nested form
     # evaluates struct-field lookups per element instead of folding
-    # the coefficients into constants)
-    def perm(a: int, b: int):
-        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(p))
-
-    sig = F.array(*[F.array_min(F.transform("__base", perm(a, b)))
-                    for a, b in coeffs])
+    # the coefficients into constants). Built as ONE parsed SQL
+    # string: the Column-API form (64 _create_lambda transforms) cost
+    # ~1.25 s of py4j round-trips PER INVOCATION — the dominant term
+    # of dedup_minhash_pairs' plan-construction time (round 13, the
+    # ivf_build literal-plan lesson applied; bitwise-identical
+    # signatures verified, h·a+b stays < 2^62 so no overflow under
+    # either ANSI mode).
+    base = F.expr(f"transform(shingles, s -> pmod(xxhash64(s), {p}L))")
+    sig = F.expr("array(" + ", ".join(
+        f"array_min(transform(__base, h -> pmod(h * {a}L + {b}L, {p}L)))"
+        for a, b in coeffs) + ")")
     return (sh.withColumn("__base", base)
             .select("doc_id", sig.alias("signature")))
 
@@ -344,13 +347,17 @@ def _banded_signatures(sh: DataFrame, num_hashes: int,
     """
     rows = num_hashes // bands
     sig = _signatures_from_shingles(sh, num_hashes)
+    # one parsed expr for the 16 band hashes too (same py4j-tax
+    # rationale as the signature above; bitwise-identical hashes —
+    # CAST(x AS STRING) ≡ .cast("string"), [] is 0-based in both)
+    band_arr = "array(" + ", ".join(
+        "xxhash64(concat_ws(',', " + ", ".join(
+            f"CAST(signature[{b * rows + r}] AS STRING)"
+            for r in range(rows)) + "))"
+        for b in range(bands)) + ")"
     return _persist_tracked(sig.select(
         "doc_id",
-        F.posexplode(F.array(*[
-            F.xxhash64(F.concat_ws(",", *[
-                F.col("signature")[b * rows + r].cast("string")
-                for r in range(rows)]))
-            for b in range(bands)])).alias("band", "band_hash")))
+        F.posexplode(F.expr(band_arr)).alias("band", "band_hash")))
 
 
 def minhash_lsh_cross_pairs(index_docs: DataFrame, batch_docs: DataFrame,
