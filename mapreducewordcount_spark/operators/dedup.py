@@ -450,12 +450,18 @@ def dup_groups(pairs: DataFrame, a_col: str = "a_id",
     for _ in range(max_iters):
         neighbor_min = (edges.join(labels, edges.dst == labels.id)
                         .groupBy("src").agg(F.min("comp").alias("nmin")))
+        # the previous label rides along as __prev so convergence can
+        # be read off the checkpointed frame with a scan-only count —
+        # the old form re-JOINED updated back to labels per round
+        # (one extra shuffle join per iteration at any scale; the
+        # values compared are in hand anyway, round 13)
         updated = (labels.join(neighbor_min, labels.id == neighbor_min.src,
                                "left")
                    .select(F.col("id"),
                            F.least(F.col("comp"),
                                    F.coalesce(F.col("nmin"), F.col("comp")))
-                           .alias("comp")))
+                           .alias("comp"),
+                           F.col("comp").alias("__prev")))
         # pointer halving: comp := comp(comp). comp values are vertex
         # ids, so the self-join always matches; labels only shrink.
         shortcut = updated.select(F.col("id").alias("cid"),
@@ -463,12 +469,12 @@ def dup_groups(pairs: DataFrame, a_col: str = "a_id",
         updated = (updated.join(shortcut,
                                 updated.comp == shortcut.cid, "left")
                    .select(F.col("id"),
-                           F.coalesce("ccomp", "comp").alias("comp")))
+                           F.coalesce("ccomp", "comp").alias("comp"),
+                           (F.coalesce("ccomp", "comp")
+                            != F.col("__prev")).alias("__chg")))
         updated = updated.localCheckpoint(eager=True)
-        changed = (updated.alias("u")
-                   .join(labels.alias("l"), "id")
-                   .filter(F.col("u.comp") != F.col("l.comp")).count())
-        labels = updated
+        changed = updated.filter("__chg").count()
+        labels = updated.select("id", "comp")
         if changed == 0:
             converged = True
             break

@@ -357,12 +357,20 @@ def ivf_build(corpus: DataFrame, id_col: str = "vec_id",
     cent_rows = [(r.list_id, list(r.cent_vec)) for r in seed.collect()]
     dim = len(cent_rows[0][1]) if cent_rows else 0
     if dim:
+        # the per-list mean as ONE parsed expression, not dim
+        # F.avg(F.col[i]) Column objects: the Column form was ~dim×3
+        # py4j round-trips PER LLOYD ROUND (~0.3 s at dim=64 — pure
+        # driver time, measured round 13), the parsed string is one.
+        # Same avg(c_vec[i]) expression tree either way, so partial
+        # sums, merge order and therefore centroid bits are unchanged.
+        mean_expr = F.expr(
+            "array(" + ", ".join(f"avg(c_vec[{i}])"
+                                 for i in range(dim)) + ")")
         for _ in range(kmeans_iters):
             assigned = _assign_to_rows(c, cent_rows, "c_vec", 1)
             means = (assigned.groupBy("list_id")
-                     .agg(F.array(*[F.avg(F.col("c_vec")[i])
-                                    for i in range(dim)])
-                          .cast("array<float>").alias("new_vec")))
+                     .agg(mean_expr.cast("array<float>")
+                          .alias("new_vec")))
             new = {r.list_id: list(r.new_vec) for r in means.collect()}
             # empty lists keep their previous centroid
             cent_rows = [(cid, new.get(cid, vec)) for cid, vec in cent_rows]

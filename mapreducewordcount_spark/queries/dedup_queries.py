@@ -126,7 +126,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sig = materialize_signatures(dd.simhash_docs(docs),
                                  "dedup_simhash_pairs", corpus_key(docs),
-                                 "doc_id", "simhash")
+                                 "doc_id", "simhash",
+                                 memo_token="simhash-docs")
     return dd.signature_hamming_pairs(sig, id_col="id", sig_col="sig",
                                       max_hamming=3)
 

@@ -471,7 +471,8 @@ def media_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                             schema="media_id long, payload binary")
     hashes = materialize_signatures(
         extract_image_dhash(size_bucketed(media)),
-        "media_image_dhash_pairs", corpus_key(d), "media_id", "dhash")
+        "media_image_dhash_pairs", corpus_key(d), "media_id", "dhash",
+        memo_token="media-image-dhash")
     return dd.signature_hamming_pairs(hashes, id_col="id",
                                       sig_col="sig", max_hamming=3,
                                       collapse_identical=True)
@@ -537,7 +538,8 @@ def media_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                             schema="media_id long, payload binary")
     fps = materialize_signatures(
         extract_audio_fingerprints(size_bucketed(media)),
-        "media_audio_fp_pairs", corpus_key(d), "media_id", "fingerprint")
+        "media_audio_fp_pairs", corpus_key(d), "media_id", "fingerprint",
+        memo_token="media-audio-fp")
     return dd.signature_hamming_pairs(fps, id_col="id",
                                       sig_col="sig", max_hamming=3,
                                       collapse_identical=True)

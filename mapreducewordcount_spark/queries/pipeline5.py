@@ -486,11 +486,15 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     release_query_cache()
     feats = persist_tracked(dsir.doc_bucket_counts(docs))
     target = docs.filter(F.col("lang") == "en")
-    weights = dsir.dsir_weights(docs, target, feats=feats,
-                                target_ids=target.select("doc_id"))
+    # fit behind the lazy-artifact thunk (round 13): a session that
+    # already verified the weight artifact skips the pool/target
+    # collect + createDataFrame on later invocations
     wt = sig_artifacts.materialize_frame(
-        weights, "dsir_selection", sig_artifacts.corpus_key(docs),
-        ["bucket"], memo_token="dsir-weights-en-target")
+        lambda: dsir.dsir_weights(docs, target, feats=feats,
+                                  target_ids=target.select("doc_id")),
+        "dsir_selection", sig_artifacts.corpus_key(docs),
+        ["bucket"], memo_token="dsir-weights-en-target",
+        columns=["bucket", "w_micro"], spark=spark)
     scores = dsir.dsir_scores(docs, wt, feats=feats)
     topk = (scores.orderBy(F.col("dsir_score_micro").desc(),
                            F.col("doc_id"))

@@ -118,10 +118,12 @@ def embeddings_corpus_key(emb: DataFrame,
 _SESSION_VERIFIED: set = set()
 
 
-def materialize_frame(df: DataFrame, query_name: str,
+def materialize_frame(df, query_name: str,
                       key: tuple[int, int],
                       sort_cols: list[str],
-                      memo_token: str | None = None) -> DataFrame:
+                      memo_token: str | None = None,
+                      columns: list[str] | None = None,
+                      spark=None) -> DataFrame:
     """Generalized artifact writer: persist ALL columns of ``df``
     (plus the two key columns ``k_rows``/``k_sum``) to the artifact
     dir for ``query_name`` and return the frame re-read from the
@@ -168,17 +170,42 @@ def materialize_frame(df: DataFrame, query_name: str,
     change misses the memo and falls through to the full
     recompute-and-verify path instead of silently serving the
     committed bytes.
+
+    ``df`` may be a ZERO-ARG CALLABLE returning the frame (requires
+    ``memo_token``, ``columns`` and ``spark`` — round 13): on a
+    session-memo hit the thunk is never invoked, so the bounded model
+    fit behind it (the langid/DSIR/IPF collect + ``createDataFrame``,
+    ~1-2 s each at sf0.1) runs once per session instead of once per
+    invocation. Safety is unchanged — the FIRST call per (query_name,
+    key, token) still runs the full fit and verifies against the
+    committed bytes, and the declared ``columns`` are asserted against
+    the materialized frame on that call, so the column-set divergence
+    guard keeps its teeth.
     """
     n, s = key
     path = ARTIFACT_ROOT / query_name / f"k={n}_{s}"
     target_path = path / "data.parquet"
+    lazy = callable(df)
+    if lazy and (memo_token is None or columns is None or spark is None):
+        raise ValueError("lazy materialize_frame requires memo_token, "
+                         "columns and spark")
+    col_key = (tuple(sorted(columns)) if lazy
+               else tuple(sorted(df.columns)))
     memo_key = (query_name, key,
                 memo_token if memo_token is not None
                 else df.semanticHash(),
-                tuple(sorted(df.columns)))
+                col_key)
     if memo_key in _SESSION_VERIFIED and target_path.exists():
-        return (df.sparkSession.read.parquet(str(target_path))
+        session = spark if lazy else df.sparkSession
+        return (session.read.parquet(str(target_path))
                 .drop("k_rows", "k_sum"))
+    if lazy:
+        df = df()
+        if tuple(sorted(df.columns)) != col_key:
+            raise ValueError(
+                f"lazy materialize_frame({query_name!r}): declared "
+                f"columns {sorted(col_key)} != materialized "
+                f"{sorted(df.columns)}")
     out = (df.withColumn("k_rows", F.lit(n).cast("long"))
            .withColumn("k_sum", F.lit(s).cast("long")))
     target = _write_artifact(out, path, "data.parquet", sort_cols)
@@ -269,18 +296,38 @@ def frame_cte(name: str, query_name: str,
 
 def materialize_signatures(sigs: DataFrame, query_name: str,
                            key: tuple[int, int],
-                           id_col: str, sig_col: str) -> DataFrame:
+                           id_col: str, sig_col: str,
+                           memo_token: str | None = None) -> DataFrame:
     """Write (id, sig) + corpus-key columns to the artifact dir for
     ``query_name`` and return the frame RE-READ from the written
     parquet — the join below consumes byte-for-byte what the oracle
-    scans."""
+    scans.
+
+    ``memo_token`` opts into the same session memoization contract as
+    ``materialize_frame`` (round 13; these frames end in a pandas_udf
+    whose plan fingerprint is not reliably stable, so the token form
+    is used): the FIRST call per (query_name, key, token) in a
+    process recomputes the signature pipeline and verifies it against
+    the committed bytes as always; later same-session calls serve the
+    committed parquet directly — the signature queries re-ran their
+    full Arrow decode + content-hash compare on every invocation
+    (~1.2-1.8 s each at sf0.1) for bytes the session had already
+    proven."""
     n, chars = key
     path = ARTIFACT_ROOT / query_name / f"k={n}_{chars}"
+    target_path = path / "sig.parquet"
+    memo_key = (query_name, key, memo_token, ("id", "sig"))
+    if (memo_token is not None and memo_key in _SESSION_VERIFIED
+            and target_path.exists()):
+        return (sigs.sparkSession.read.parquet(str(target_path))
+                .select("id", "sig"))
     out = (sigs.select(F.col(id_col).cast("long").alias("id"),
                        F.col(sig_col).cast("long").alias("sig"))
            .withColumn("n_docs", F.lit(n).cast("long"))
            .withColumn("text_chars", F.lit(chars).cast("long")))
     target = _write_artifact(out, path, "sig.parquet", ["id"])
+    if memo_token is not None:
+        _SESSION_VERIFIED.add(memo_key)
     return (sigs.sparkSession.read.parquet(str(target))
             .select("id", "sig"))
 
