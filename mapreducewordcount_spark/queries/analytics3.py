@@ -15,7 +15,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreducewordcount_spark.queries import QuerySpec
@@ -148,6 +148,21 @@ def sketch_stats(spark: SparkSession, sf_dir: str,
     artifact survives the gate's foreign-session partitioning
     sweeps); its tolerance vs the exact form is pinned in
     tests/test_sketches.py.
+
+    Exact-form plan (round 13): one ``cume_dist`` window + a
+    partial-agg groupBy on the SAME key (no second exchange), not
+    three ``percentile_disc`` aggregates. ``percentile_disc`` is a
+    buffer aggregate — each of the three copies collects every group
+    value in executor memory and sorts it independently, the exact
+    failure mode guide §5 warns about; the window form pays one
+    spillable external sort and reads all three percentiles off it.
+    Value semantics are IDENTICAL by definition: percentile_disc(q)
+    is the smallest value with cume_dist >= q, so
+    ``min(price WHERE cume_dist >= q)`` returns the same parquet
+    double bit-for-bit (the ``sorted(vals)[ceil(q·n)−1]`` rank rule
+    stays replay-pinned in tests/test_sketches.py; boundary safety:
+    count/n as an IEEE double cannot cross an exact-dyadic q until
+    n > ~9e15 — the comparison is exact at any real group size).
     """
     l = load_table(spark, sf_dir, "lineitem")
     if approximate:
@@ -155,12 +170,16 @@ def sketch_stats(spark: SparkSession, sf_dir: str,
                 .alias(a) for q, a in
                 ((0.25, "price_p25"), (0.5, "price_p50"),
                  (0.75, "price_p75"))]
-    else:
-        pctl = [F.expr(f"percentile_disc({q}) WITHIN GROUP "
-                       "(ORDER BY l_extendedprice)").alias(a)
-                for q, a in ((0.25, "price_p25"), (0.5, "price_p50"),
-                             (0.75, "price_p75"))]
-    return (l.groupBy("l_returnflag")
+        return (l.groupBy("l_returnflag")
+                .agg(F.count(F.lit(1)).alias("n_rows"), *pctl))
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = l.select("l_returnflag", "l_extendedprice",
+                      F.cume_dist().over(w).alias("__cd"))
+    pctl = [F.min(F.when(F.col("__cd") >= q, F.col("l_extendedprice")))
+            .alias(a) for q, a in ((0.25, "price_p25"),
+                                   (0.5, "price_p50"),
+                                   (0.75, "price_p75"))]
+    return (ranked.groupBy("l_returnflag")
             .agg(F.count(F.lit(1)).alias("n_rows"), *pctl))
 
 

@@ -279,3 +279,91 @@ def test_memo_token_misses_on_column_set_change(spark, monkeypatch):
             sig_artifacts._SESSION_VERIFIED.discard(k)
         shutil.rmtree(sig_artifacts.ARTIFACT_ROOT / "test_memo_tok",
                       ignore_errors=True)
+
+
+def test_materialize_frame_lazy_thunk_skips_fit_on_hit(spark, monkeypatch):
+    """Round 13: a token-keyed call site may pass a ZERO-ARG THUNK —
+    on a session-memo hit the thunk (the bounded model fit behind it)
+    is never invoked; the first call still materializes and verifies,
+    and a declared-column mismatch raises instead of writing."""
+    import shutil
+
+    import pytest
+
+    from mapreducewordcount_spark.sources import sig_artifacts
+
+    fits = []
+
+    def thunk():
+        fits.append(1)
+        return spark.createDataFrame([(1, 10), (2, 20)],
+                                     "bucket long, w long")
+
+    try:
+        a = sig_artifacts.materialize_frame(
+            thunk, "test_lazy", (3, 7), ["bucket"],
+            memo_token="lazy-tok", columns=["bucket", "w"], spark=spark)
+        assert len(fits) == 1           # first call runs the fit
+        b = sig_artifacts.materialize_frame(
+            thunk, "test_lazy", (3, 7), ["bucket"],
+            memo_token="lazy-tok", columns=["bucket", "w"], spark=spark)
+        assert len(fits) == 1           # memo hit: thunk NOT invoked
+        assert sorted(map(tuple, a.collect())) \
+            == sorted(map(tuple, b.collect()))
+        # declared columns must match the materialized frame
+        with pytest.raises(ValueError, match="declared"):
+            sig_artifacts.materialize_frame(
+                thunk, "test_lazy", (3, 8), ["bucket"],
+                memo_token="lazy-tok", columns=["bucket", "wrong"],
+                spark=spark)
+        # lazy form without its required kwargs is an error
+        with pytest.raises(ValueError, match="lazy"):
+            sig_artifacts.materialize_frame(
+                thunk, "test_lazy", (3, 9), ["bucket"])
+    finally:
+        for k in [k for k in sig_artifacts._SESSION_VERIFIED
+                  if k[0] == "test_lazy"]:
+            sig_artifacts._SESSION_VERIFIED.discard(k)
+        shutil.rmtree(sig_artifacts.ARTIFACT_ROOT / "test_lazy",
+                      ignore_errors=True)
+
+
+def test_materialize_signatures_session_memo(spark, monkeypatch):
+    """Round 13: materialize_signatures with a memo_token gains the
+    materialize_frame session-memo contract — first call per session
+    writes/verifies, the second serves the committed bytes without
+    re-entering the write path; omitting the token keeps the old
+    always-verify behavior."""
+    import shutil
+
+    from mapreducewordcount_spark.sources import sig_artifacts
+
+    calls = []
+    real = sig_artifacts._write_artifact
+
+    def counting(out, path, filename, sort_cols):
+        calls.append(str(path))
+        return real(out, path, filename, sort_cols)
+
+    monkeypatch.setattr(sig_artifacts, "_write_artifact", counting)
+    sigs = spark.createDataFrame([(1, 111), (2, 222)],
+                                 "doc_id long, simhash long")
+    try:
+        a = sig_artifacts.materialize_signatures(
+            sigs, "test_sig_memo", (2, 42), "doc_id", "simhash",
+            memo_token="sig-tok")
+        b = sig_artifacts.materialize_signatures(
+            sigs, "test_sig_memo", (2, 42), "doc_id", "simhash",
+            memo_token="sig-tok")
+        assert len(calls) == 1          # memo hit: no second verify
+        assert sorted(map(tuple, a.collect())) \
+            == sorted(map(tuple, b.collect()))
+        sig_artifacts.materialize_signatures(
+            sigs, "test_sig_memo", (2, 42), "doc_id", "simhash")
+        assert len(calls) == 2          # tokenless call still verifies
+    finally:
+        for k in [k for k in sig_artifacts._SESSION_VERIFIED
+                  if k[0] == "test_sig_memo"]:
+            sig_artifacts._SESSION_VERIFIED.discard(k)
+        shutil.rmtree(sig_artifacts.ARTIFACT_ROOT / "test_sig_memo",
+                      ignore_errors=True)

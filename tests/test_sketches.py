@@ -106,3 +106,37 @@ def test_exact_percentiles_are_partition_invariant(spark):
                 .orderBy("l_returnflag").collect())
         outs.append([(r.l_returnflag, r.p50) for r in rows])
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_window_percentiles_equal_percentile_disc(spark):
+    """Round 13: the exact sketch_stats form moved from three
+    percentile_disc buffer aggregates to one cume_dist window + a
+    min(when) groupBy. The two must agree bit-for-bit, including on
+    tie-heavy groups and boundary group sizes (n divisible by 4, by
+    2, and neither)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    rows = []
+    for g, n in (("A", 16), ("B", 15), ("C", 2), ("D", 1), ("E", 8)):
+        vals = [round(rng.uniform(1, 50), 2) for _ in range(n)]
+        # plant ties: duplicate half the values
+        vals += vals[: n // 2]
+        rows += [(g, v) for v in vals]
+    df = spark.createDataFrame(rows, "g string, x double")
+
+    disc = {tuple(r) for r in df.groupBy("g").agg(
+        *[F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY x)")
+          .alias(f"p{i}") for i, q in
+          enumerate((0.25, 0.5, 0.75))]).collect()}
+    w = Window.partitionBy("g").orderBy("x")
+    win = {tuple(r) for r in
+           df.select("g", "x", F.cume_dist().over(w).alias("cd"))
+           .groupBy("g")
+           .agg(*[F.min(F.when(F.col("cd") >= q, F.col("x")))
+                  .alias(f"p{i}") for i, q in
+                  enumerate((0.25, 0.5, 0.75))]).collect()}
+    assert disc == win
