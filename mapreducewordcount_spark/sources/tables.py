@@ -47,6 +47,42 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+#: session-scoped table-handle cache: (applicationId, path) →
+#: (dir_fingerprint, DataFrame). Re-analyzing an immutable input per
+#: query construction cost ~100 ms each (directory listing + footer
+#: read + schema conversion) — ~40 s across a full bench session for
+#: plans that are identical every time (round 13). This is the
+#: CATALOG shape, not result caching: no data is persisted (every
+#: execution still scans the parquet bytes), only the analyzed scan
+#: relation is reused — exactly what a metastore-backed table or
+#: Spark's own ``filesourcePartitionFileCacheSize`` listing cache
+#: does at 100 TB (guide §6). The fingerprint (entry name/size/mtime
+#: per directory file) invalidates the handle the moment anything
+#: rewrites the path, so overwrite-then-reload callers always see
+#: fresh bytes.
+_TABLE_CACHE: dict = {}
+
+
+def _dir_fingerprint(path: str) -> tuple | None:
+    import os
+
+    try:
+        with os.scandir(path) as it:
+            out = []
+            for e in it:
+                st = e.stat()
+                out.append((e.name, st.st_size, st.st_mtime_ns))
+        return tuple(sorted(out))
+    except NotADirectoryError:  # single-file parquet
+        try:
+            st = __import__("os").stat(path)
+            return (("", st.st_size, st.st_mtime_ns),)
+        except OSError:
+            return None
+    except OSError:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # self-defensive: callers may hand us a session built without our
     # defaults (the correctness driver does). Queries whose closures
@@ -59,15 +95,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # both confs are runtime-settable. nanosAsLong is required to
         # scan events.ts; UTC pins timestamp rendering to match
-        # UTC-naive oracles on any host timezone.
+        # UTC-naive oracles on any host timezone. Re-asserted on every
+        # call (cache hit included): they are session state, not plan
+        # state.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:  # noqa: BLE001 — dying context: skip the cache
+        app_id = None
+    fp = _dir_fingerprint(path) if app_id is not None else None
+    cache_key = (app_id, path)
+    if fp is not None:
+        hit = _TABLE_CACHE.get(cache_key)
+        if hit is not None and hit[0] == fp:
+            return hit[1]
+    df = spark.read.parquet(path)
     if name == "events":
         # events.ts has drifted across testdata generations
         # (TIMESTAMP(NANOS) → timestamp[us]-NTZ); normalize every
         # arrival type to one TimestampType contract.
         df = normalize_events_ts(df)
+    if fp is not None:
+        _TABLE_CACHE[cache_key] = (fp, df)
     return df
 
 
@@ -122,6 +173,14 @@ def spread(df: DataFrame) -> DataFrame:
 
     from mapreducewordcount_spark.plans import explain_str
 
+    # the probe (one explain + possibly an .rdd analysis — ~50 ms of
+    # py4j) is deterministic for a given frame in a given session, so
+    # its outcome rides the frame object; with load_table's handle
+    # cache this makes repeated constructions of the same query pay
+    # the probe once per session (round 13)
+    cached = getattr(df, "_mrwc_spread_out", None)
+    if cached is not None:
+        return cached
     target = df.sparkSession.sparkContext.defaultParallelism
     # SHUFFLE exchanges only — a bare "Exchange" substring also
     # matches BroadcastExchange, and a broadcast-join-only plan may
@@ -130,10 +189,16 @@ def spread(df: DataFrame) -> DataFrame:
     if re.search(r"\bExchange (hashpartitioning|rangepartitioning"
                  r"|SinglePartition|RoundRobinPartitioning)",
                  explain_str(df, mode="simple")):
-        return df
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+        out = df
+    elif df.rdd.getNumPartitions() >= target:
+        out = df
+    else:
+        out = df.repartition(target)
+    try:
+        df._mrwc_spread_out = out
+    except Exception:  # noqa: BLE001 — memo is best-effort
+        pass
+    return out
 
 
 def register_views(spark: SparkSession, sf_dir: str,

@@ -303,3 +303,31 @@ def test_sorted_layout_files_have_disjoint_ranges(spark, tmp_path):
     assert len(ranges) >= 2
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo, f"overlapping file ranges: {ranges}"
+
+
+def test_load_table_handle_cache_and_invalidation(spark, tmp_path):
+    """Round 13: load_table memoizes the analyzed scan handle per
+    (application, path) — the catalog shape: no data is cached, only
+    re-analysis is skipped — and the directory fingerprint drops the
+    handle the moment the path's bytes change, so overwrite-then-
+    reload always sees fresh data."""
+    import shutil
+    import time
+
+    from mapreducewordcount_spark.sources.tables import load_table, spread
+
+    src = "/root/testdata/sf0.001/region.parquet"
+    d = tmp_path / "tc"
+    d.mkdir()
+    shutil.copy(src, d / "region.parquet")
+    a1 = load_table(spark, str(d), "region")
+    a2 = load_table(spark, str(d), "region")
+    assert a1 is a2                      # same-session handle reuse
+    assert spread(a1) is spread(a2)      # spread probe memoized too
+    n1 = a1.count()
+    time.sleep(0.02)                     # ensure mtime_ns advances
+    shutil.copy("/root/testdata/sf0.01/region.parquet",
+                d / "region.parquet")
+    b = load_table(spark, str(d), "region")
+    assert b is not a1                   # rewrite invalidates
+    assert b.count() == n1               # fresh read works
