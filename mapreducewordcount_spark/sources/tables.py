@@ -118,6 +118,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # arrival type to one TimestampType contract.
         df = normalize_events_ts(df)
     if fp is not None:
+        # mark fingerprint-guarded handles: derived per-table
+        # statistics (sig_artifacts corpus keys) may memoize on the
+        # object, because a byte change at the path yields a NEW
+        # handle — object identity ⟺ same underlying bytes
+        try:
+            df._mrwc_from_table_cache = True
+        except Exception:  # noqa: BLE001
+            pass
         _TABLE_CACHE[cache_key] = (fp, df)
     return df
 
@@ -196,6 +204,12 @@ def spread(df: DataFrame) -> DataFrame:
         out = df.repartition(target)
     try:
         df._mrwc_spread_out = out
+        # propagate statistic-memo eligibility: out's identity is tied
+        # to df's (this memo), and df's to the file bytes (the handle
+        # cache), so per-table statistics may ride out too
+        if out is not df and getattr(df, "_mrwc_from_table_cache",
+                                     False):
+            out._mrwc_from_table_cache = True
     except Exception:  # noqa: BLE001 — memo is best-effort
         pass
     return out
