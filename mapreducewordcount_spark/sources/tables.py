@@ -106,7 +106,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:  # noqa: BLE001 — dying context: skip the cache
         app_id = None
     fp = _dir_fingerprint(path) if app_id is not None else None
-    cache_key = (app_id, path)
+    # keyed on the SESSION object too (not just the application): a
+    # DataFrame is session-bound, and two sessions over one context
+    # may differ in runtime conf — never serve one session's handle
+    # to another
+    cache_key = (app_id, id(spark), path)
     if fp is not None:
         hit = _TABLE_CACHE.get(cache_key)
         if hit is not None and hit[0] == fp:
