@@ -166,9 +166,17 @@ def all_queries() -> dict[str, QuerySpec]:
         # covered by dataset_split_stats + dedup_cluster_stats)
         "ivfpq_append_report", "doc_stratified_reservoir",
         "leakage_safe_splits",
-        # --- oldest 25 of the 48-query r10-last-green cohort (name
-        # order); the remaining 23 (part_name_fuzzy_pairs,
-        # q10_returned_customers,
+        # --- sketch_stats: its exact-percentile operator changed
+        # plan this round (optimization r13: percentile_disc buffers
+        # → cume_dist window, value-identical — EXACT at sf0.001,
+        # sf0.01 AND sf0.1, hostile partitioning local[1]/parts=1 and
+        # local[16]/parts=7, full gate-sim vanilla+parts+ansi), so it
+        # takes a fresh driver row per the r11 changed-query
+        # precedent rather than waiting in the r14 spill set
+        "sketch_stats",
+        # --- oldest 24 of the 48-query r10-last-green cohort (name
+        # order); the remaining 24 (part_name_features,
+        # part_name_fuzzy_pairs, q10_returned_customers,
         # q11_important_parts, q12_ship_priority,
         # q13_order_count_dist, q14_promo_revenue, q15_top_supplier,
         # q16_part_supplier_counts, q17_small_qty_revenue,
@@ -176,7 +184,7 @@ def all_queries() -> dict[str, QuerySpec]:
         # q20_excess_share_suppliers, q21_late_suppliers,
         # q22_idle_customers, q9_type_profit,
         # segment_price_quantiles, semantic_decontam_report,
-        # sketch_cms_words, sketch_hll_report, sketch_stats,
+        # sketch_cms_words, sketch_hll_report,
         # source_quota_cap, supplier_part_pagerank, wc_top20) are
         # the designated spills and lead r14
         "above_avg_customers", "acctbal_histogram", "cube_revenue",
@@ -188,7 +196,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "hybrid_rank_overlap", "join_skew_report",
         "lineitem_zorder_layout", "nation_balance_reconciliation",
         "orders_agg_ivm", "orders_cdc_merge", "orders_nearby_window",
-        "orders_scd2_history", "part_name_features",
+        "orders_scd2_history",
     )
     out = {n: full[n] for n in gate_first}
     out.update(full)  # remainder keeps its original relative order

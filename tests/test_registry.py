@@ -34,6 +34,12 @@ def test_gate_window_rotation_round13():
         "orders_cdc_merge"}
     assert r10_cohort_head <= window
     assert len(window) == 50
+    # sketch_stats' exact-percentile operator changed plan in the r13
+    # optimization round (percentile_disc buffers -> cume_dist
+    # window, value-identical): per the r11 changed-query precedent
+    # it takes a fresh driver row THIS round instead of waiting in
+    # the r14 spill set (part_name_features spilled to make room)
+    assert "sketch_stats" in window
     # freshly green in r11/r12 -> correctly rotated OUT this round
     for q in ("bigram_collocations", "curate_corpus_best",
               "doc_hybrid_search", "vocab_overlap_hll_sketch",
@@ -44,7 +50,7 @@ def test_gate_window_rotation_round13():
               # r14 leads (the remaining r10 cohort) stay out too
               "q10_returned_customers", "wc_top20",
               "part_name_fuzzy_pairs",
-              "sketch_stats", "supplier_part_pagerank"):
+              "part_name_features", "supplier_part_pagerank"):
         assert q not in window, q
 
 
