@@ -163,6 +163,14 @@ def sketch_stats(spark: SparkSession, sf_dir: str,
     stays replay-pinned in tests/test_sketches.py; boundary safety:
     count/n as an IEEE double cannot cross an exact-dyadic q until
     n > ~9e15 — the comparison is exact at any real group size).
+
+    PRECONDITION for the window form (ADVICE r13): the ordered column
+    must be NOT NULL. ``percentile_disc`` ignores NULLs while
+    ``cume_dist`` counts NULL rows in its denominator and Spark's ASC
+    ordering ranks them first, so the two forms diverge on nullable
+    input — filter ``isNotNull`` before the window if this pattern is
+    copied to a nullable column. ``l_extendedprice`` is NOT NULL in
+    TPC-H, so the equivalence holds here.
     """
     l = load_table(spark, sf_dir, "lineitem")
     if approximate:

@@ -345,7 +345,17 @@ def materialize_signatures(sigs: DataFrame, query_name: str,
     committed parquet directly — the signature queries re-ran their
     full Arrow decode + content-hash compare on every invocation
     (~1.2-1.8 s each at sf0.1) for bytes the session had already
-    proven."""
+    proven.
+
+    Guard note (ADVICE r13): the memo key folds the CONSTANT column
+    set ``("id", "sig")``, so unlike token-keyed ``materialize_frame``
+    sites the column-set divergence guard is vacuous here — within one
+    long-lived process, a plan change at a signature call site with an
+    unchanged (query_name, key, token) would keep serving the
+    committed bytes without re-verifying. Accepted because the first
+    call per process always recomputes and verifies, and each call
+    site owns a distinct token; give any NEW signature recipe a new
+    token string."""
     n, chars = key
     path = ARTIFACT_ROOT / query_name / f"k={n}_{chars}"
     target_path = path / "sig.parquet"

@@ -57,30 +57,64 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
 #: relation is reused — exactly what a metastore-backed table or
 #: Spark's own ``filesourcePartitionFileCacheSize`` listing cache
 #: does at 100 TB (guide §6). The fingerprint (entry name/size/mtime
-#: per directory file) invalidates the handle the moment anything
+#: per file, recursive) invalidates the handle the moment anything
 #: rewrites the path, so overwrite-then-reload callers always see
 #: fresh bytes.
+#:
+#: Key soundness note (ADVICE r13): the key uses ``id(spark)``, which
+#: is only sound because the cached DataFrame holds a STRONG reference
+#: to its session — a live cache entry therefore pins the session
+#: object alive, so its ``id()`` can never be recycled onto a new
+#: session while the entry exists. Do not weaken that reference or add
+#: eviction without re-keying (e.g. per-session dict stored on the
+#: session object); the no-evict choice is load-bearing, not an
+#: oversight. Lifetime is bounded: one entry per (session, table
+#: path) over a ten-table star schema.
 _TABLE_CACHE: dict = {}
 
 
 def _dir_fingerprint(path: str) -> tuple | None:
+    """Name/size/mtime of every file under ``path``, RECURSIVELY: a
+    partitioned directory table keeps its part files in subdirectories,
+    and an in-place rewrite down there changes neither the top-level
+    names nor the top dir's mtime — a one-level scan would serve the
+    stale handle (ADVICE r13). Depth is bounded by the table layout
+    (partition dirs), and the walk is the same listing Spark's own
+    file index performs."""
     import os
 
     try:
-        with os.scandir(path) as it:
-            out = []
-            for e in it:
-                st = e.stat()
-                out.append((e.name, st.st_size, st.st_mtime_ns))
-        return tuple(sorted(out))
-    except NotADirectoryError:  # single-file parquet
-        try:
-            st = __import__("os").stat(path)
+        if not os.path.isdir(path):  # single-file parquet
+            st = os.stat(path)
             return (("", st.st_size, st.st_mtime_ns),)
-        except OSError:
-            return None
+        out = []
+        for root, _dirs, files in os.walk(path):
+            rel = os.path.relpath(root, path)
+            for fn in files:
+                st = os.stat(os.path.join(root, fn))
+                out.append((os.path.join(rel, fn),
+                            st.st_size, st.st_mtime_ns))
+        return tuple(sorted(out))
     except OSError:
         return None
+
+
+def reset_session_memos() -> None:
+    """Drop every Python-side session memo this module (and the
+    artifact layer) holds: the table-handle cache — and with it the
+    per-frame ``spread``-probe and corpus-key statistic memos that
+    ride the cached frame objects — plus ``sig_artifacts``'s
+    verified-artifact set.
+
+    Exists for the BENCH harness (VERDICT r13 next#1): the bench's
+    per-rep quiesce calls this so every timed repetition re-analyzes
+    its inputs and re-runs the full compute+verify path instead of
+    serving session state the previous rep warmed. Production and
+    gate paths never call it — the memos stay available there."""
+    from mapreducewordcount_spark.sources import sig_artifacts
+
+    _TABLE_CACHE.clear()
+    sig_artifacts._SESSION_VERIFIED.clear()  # noqa: SLF001
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -331,3 +331,46 @@ def test_load_table_handle_cache_and_invalidation(spark, tmp_path):
     b = load_table(spark, str(d), "region")
     assert b is not a1                   # rewrite invalidates
     assert b.count() == n1               # fresh read works
+
+def test_dir_fingerprint_sees_subdirectory_rewrites(spark, tmp_path):
+    """ADVICE r13: the handle-cache fingerprint must walk RECURSIVELY —
+    for a partitioned directory table, an in-place part-file edit
+    inside a partition subdir changes neither top-level names nor the
+    top dir's mtime, and a one-level scan would serve a stale handle."""
+    from mapreducewordcount_spark.sources.tables import load_table
+
+    d = tmp_path / "pt"
+    src = load_table(spark, "/root/testdata/sf0.001", "region")
+    (src.write.mode("overwrite").partitionBy("r_regionkey")
+        .parquet(str(d / "region.parquet")))
+    a1 = load_table(spark, str(d), "region")
+    assert load_table(spark, str(d), "region") is a1
+    part = next((d / "region.parquet").rglob("part-*.parquet"))
+    assert part.parent != d / "region.parquet"  # really in a subdir
+    with open(part, "r+b") as f:  # in-place edit: no rename, no
+        f.write(b"\x00")          # directory-entry change
+    b = load_table(spark, str(d), "region")
+    assert b is not a1, "subdir rewrite must invalidate the handle"
+
+
+def test_reset_session_memos_clears_handle_and_artifact_memos(spark):
+    """Round 14 (VERDICT r13 next#1): the bench's per-rep reset must
+    drop BOTH Python-side session memo families — the table-handle
+    cache and the artifact verified-set — so every timed rep
+    re-analyzes and re-verifies instead of serving session state."""
+    from mapreducewordcount_spark.sources import sig_artifacts
+    from mapreducewordcount_spark.sources.tables import (
+        _TABLE_CACHE,
+        load_table,
+        reset_session_memos,
+    )
+
+    a1 = load_table(spark, "/root/testdata/sf0.001", "region")
+    assert _TABLE_CACHE, "load_table should have populated the cache"
+    sentinel = ("__reset_test__", (0, 0), "tok", ("id", "sig"))
+    sig_artifacts._SESSION_VERIFIED.add(sentinel)
+    reset_session_memos()
+    assert not _TABLE_CACHE
+    assert sentinel not in sig_artifacts._SESSION_VERIFIED
+    b = load_table(spark, "/root/testdata/sf0.001", "region")
+    assert b is not a1, "post-reset load must build a fresh handle"
