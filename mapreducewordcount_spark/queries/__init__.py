@@ -136,7 +136,21 @@ def all_queries() -> dict[str, QuerySpec]:
     #   gate-sim before entering), then the oldest 26 of the
     #   48-query r10-last-green cohort in name order. The remaining
     #   22 r10 rows (q10_returned_customers .. wc_top20) are the
-    #   designated spills and lead r14.
+    #   designated spills and lead r14;
+    #   r14 window (below) — VERDICT r13 next#8: the 23 remaining
+    #   r10-last-green rows lead unconditionally (the only rows older
+    #   than r11 in the cumulative record — CORRECTNESS_r10..r13
+    #   histogram: r13=50, r12=50, r11=50, r10=23; this includes
+    #   part_name_features, which spilled from the r13 window), then
+    #   the oldest 27 of the 50-query r11-last-green cohort in name
+    #   order (ann_cosine_topk .. doc_winnow_fingerprints). No query
+    #   changed value or standalone plan this round — the r14
+    #   optimization changes are loop/memo-internal (label-propagation
+    #   round count, bench memo reset), value-identical by
+    #   construction and oracle-verified, so per the r13 precedent no
+    #   fresh changed-query rows are needed. The remaining 23 r11
+    #   rows (epoch_shuffle_order .. weighted_sample_docs) are the
+    #   designated spills and lead r15.
     full: dict[str, QuerySpec] = {}
     for mod in (wordcount_queries, curation, dedup_queries,
                 pipeline_queries, pipeline2, pipeline3, pipeline4,
@@ -146,57 +160,44 @@ def all_queries() -> dict[str, QuerySpec]:
         full.update(mod.QUERIES)
 
     gate_first = (
-        # --- the 22-query r9-last-green cohort (VERDICT r12 next#2 /
-        # missing#3): the only rows in the cumulative driver record
-        # older than r10 — they lead unconditionally
-        "big_spender_segments", "bucketed_order_revenue",
-        "churned_customers", "content_word_counts",
-        "curriculum_epoch_order", "customers_without_orders",
-        "distinct_stats", "embedding_cluster_stats",
-        "events_sessions", "media_audio_features",
-        "media_audio_fp_pairs", "media_image_dhash_pairs",
-        "media_image_features", "pack_training_sequences",
-        "part_brand_stats", "retained_customers", "rollup_revenue",
-        "running_revenue", "top_bigrams", "top_customers",
-        "top_orders_per_customer", "wc_bucket_hist",
-        # --- r13 first-ever rows (new this round, locally
-        # oracle-verified at sf0.001 AND sf0.01 incl. hostile
-        # gate-sim before entering; leakage_safe_splits verified at
-        # both SFs, gate-sim vanilla-equivalent arithmetic already
-        # covered by dataset_split_stats + dedup_cluster_stats)
-        "ivfpq_append_report", "doc_stratified_reservoir",
-        "leakage_safe_splits",
-        # --- sketch_stats: its exact-percentile operator changed
-        # plan this round (optimization r13: percentile_disc buffers
-        # → cume_dist window, value-identical — EXACT at sf0.001,
-        # sf0.01 AND sf0.1, hostile partitioning local[1]/parts=1 and
-        # local[16]/parts=7, full gate-sim vanilla+parts+ansi), so it
-        # takes a fresh driver row per the r11 changed-query
-        # precedent rather than waiting in the r14 spill set
-        "sketch_stats",
-        # --- oldest 24 of the 48-query r10-last-green cohort (name
-        # order); the remaining 24 (part_name_features,
-        # part_name_fuzzy_pairs, q10_returned_customers,
-        # q11_important_parts, q12_ship_priority,
-        # q13_order_count_dist, q14_promo_revenue, q15_top_supplier,
-        # q16_part_supplier_counts, q17_small_qty_revenue,
-        # q18_large_orders, q19_disjunctive,
-        # q20_excess_share_suppliers, q21_late_suppliers,
-        # q22_idle_customers, q9_type_profit,
-        # segment_price_quantiles, semantic_decontam_report,
-        # sketch_cms_words, sketch_hll_report,
-        # source_quota_cap, supplier_part_pagerank, wc_top20) are
-        # the designated spills and lead r14
-        "above_avg_customers", "acctbal_histogram", "cube_revenue",
-        "doc_bm25_multi", "doc_bm25_topk", "doc_bpe_tokens",
-        "doc_chunk_gc_report", "doc_chunk_share_pairs",
-        "doc_fingerprints", "doc_language_id", "doc_quality",
-        "doc_stats", "dsir_selection", "events_compaction_plan",
-        "events_funnel", "exact_substring_dedup",
-        "hybrid_rank_overlap", "join_skew_report",
-        "lineitem_zorder_layout", "nation_balance_reconciliation",
-        "orders_agg_ivm", "orders_cdc_merge", "orders_nearby_window",
-        "orders_scd2_history",
+        # --- the 23-query r10-last-green cohort (VERDICT r13 next#8):
+        # the only rows in the cumulative driver record older than
+        # r11 — they lead unconditionally
+        "part_name_features", "part_name_fuzzy_pairs",
+        "q10_returned_customers", "q11_important_parts",
+        "q12_ship_priority", "q13_order_count_dist",
+        "q14_promo_revenue", "q15_top_supplier",
+        "q16_part_supplier_counts", "q17_small_qty_revenue",
+        "q18_large_orders", "q19_disjunctive",
+        "q20_excess_share_suppliers", "q21_late_suppliers",
+        "q22_idle_customers", "q9_type_profit",
+        "segment_price_quantiles", "semantic_decontam_report",
+        "sketch_cms_words", "sketch_hll_report", "source_quota_cap",
+        "supplier_part_pagerank", "wc_top20",
+        # --- oldest 27 of the 50-query r11-last-green cohort (name
+        # order); the remaining 23 (epoch_shuffle_order,
+        # events_type_transitions, grouping_sets_revenue,
+        # label_centroid_norms, media_video_frames,
+        # mixture_applied_sample, mixture_ipf_grid,
+        # mixture_on_predicted_lang, orders_by_month,
+        # pack_curated_corpus, pack_mixture_corpus,
+        # part_pair_affinity, pii_scrub_stats,
+        # pivot_status_by_segment, rollup_with_grouping_flags,
+        # source_drift_tv, stratified_sample_docs,
+        # training_mixture_plan, unpivot_part_measures,
+        # vocab_overlap_hll, wc_word_count, wc_word_count_salted,
+        # weighted_sample_docs) are the designated spills and lead r15
+        "ann_cosine_topk", "ann_ivfpq_topk", "basket_cap_report",
+        "boilerplate_lines", "bpe_fertility_by_lang",
+        "bpe_pair_stats", "c4_line_dedup", "curate_corpus",
+        "dataset_split_stats", "decontam_bloom_report",
+        "decontam_minhash_report", "decontam_report",
+        "dedup_embedding_pairs", "dedup_embedding_pairs_lsh",
+        "dedup_exact", "dedup_groups", "dedup_minhash_pairs",
+        "dedup_ngram_pairs", "dedup_prefix_pairs",
+        "dedup_winnow_pairs", "doc_char_entropy", "doc_dup_spans",
+        "doc_language_ngram", "doc_nfc_stats", "doc_ngram_novelty",
+        "doc_quality_features", "doc_winnow_fingerprints",
     )
     out = {n: full[n] for n in gate_first}
     out.update(full)  # remainder keeps its original relative order

@@ -247,18 +247,36 @@ def materialize_frame(df, query_name: str,
             .drop("k_rows", "k_sum"))
 
 
-def _content_hash(df: DataFrame) -> tuple:
-    """Order-independent value fingerprint: bit_xor of xxhash64 over
-    the stringified row (sorted column order), plus the row count.
-    XOR (not sum) — an ANSI session raises on long-sum overflow, and
-    artifact rows are unique so XOR's duplicate-pair cancellation
-    can't bite."""
+def _row_hash(df: DataFrame):
+    """Per-row xxhash64 over the stringified row (sorted column
+    order) — the shared kernel of the order-independent content
+    fingerprint. XOR-merged (not summed) downstream — an ANSI session
+    raises on long-sum overflow, and artifact rows are unique so
+    XOR's duplicate-pair cancellation can't bite."""
     cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
             for c in sorted(df.columns)]
-    row = (df.select(F.xxhash64(*cols).alias("__h"))
-           .agg(F.expr("bit_xor(__h)").alias("h"),
-                F.count(F.lit(1)).alias("n")).first())
-    return (row.h, row.n)
+    return df.select(F.xxhash64(*cols).alias("__h"))
+
+
+def _content_match(a: DataFrame, b: DataFrame) -> bool:
+    """True iff both frames hold the same value content — ONE Spark
+    job (round 14): the two sides' row hashes are unioned under a
+    side tag and reduced in a single two-group aggregate, where the
+    old shape hashed each frame in its own sequential job, each
+    paying its own job-launch latency; the honest bench re-verifies
+    every artifact on every rep, so the redundant launch was paid
+    ~60× per session. The per-side (bit_xor, count) pairs are exactly
+    what the two-job form compared."""
+    tagged = (_row_hash(a).withColumn("__side", F.lit(0))
+              .unionByName(_row_hash(b).withColumn("__side", F.lit(1))))
+    rows = (tagged.groupBy("__side")
+            .agg(F.expr("bit_xor(__h)").alias("h"),
+                 F.count(F.lit(1)).alias("n")).collect())
+    # index access, NOT r.__side: Row.__getattr__ raises on dunder-
+    # prefixed names, and the caller's unreadable-artifact except
+    # would turn that into a spurious full rewrite
+    sides = {r["__side"]: (r["h"], r["n"]) for r in rows}
+    return sides.get(0, (None, 0)) == sides.get(1, (None, 0))
 
 
 def _write_artifact(out: DataFrame, path, filename: str,
@@ -292,10 +310,16 @@ def _write_artifact(out: DataFrame, path, filename: str,
         try:
             existing = spark.read.parquet(str(target))
             if (sorted(existing.columns) == sorted(out.columns)
-                    and _content_hash(existing) == _content_hash(out)):
+                    and _content_match(existing, out)):
                 return target
-        except Exception:  # noqa: BLE001 — unreadable artifact → rewrite
-            pass
+        except Exception as exc:  # noqa: BLE001 — unreadable artifact
+            # → rewrite (self-heal), but LOUDLY: a comparator bug here
+            # once silently churned every committed artifact (r14) —
+            # the healthy paths are value-match (skip) or value-drift
+            # (rewrite after a CLEAN compare); an exception is neither
+            import sys
+            print(f"artifact compare failed for {target}, rewriting: "
+                  f"{exc!r}", file=sys.stderr)
     tmp = (ARTIFACT_ROOT / ".tmp"
            / f"{path.parent.name}_{path.name}_{os.getpid()}")
     try:

@@ -534,3 +534,18 @@ def test_arrow_cosine_degenerate_rows_match_expression(spark):
     assert got[2] == 0.0
     assert got[3] == 0.0
     assert got[4] is None
+
+def test_dup_groups_double_halving_round_budget(spark):
+    """Round 14: double pointer-halving contracts label distance ~4×
+    per round, so the 100-vertex chain must converge within 5 rounds
+    (4 to reach the fixpoint + 1 to observe no change). The single-
+    halving form needed ~7 — this pins the round budget so a
+    regression to slower convergence fails loudly."""
+    from mapreducewordcount_spark.operators.dedup import dup_groups
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "a_id long, b_id long")
+    got = {r.doc_id: r.group_id
+           for r in dup_groups(pairs, max_iters=5).collect()}
+    assert len(got) == 100
+    assert set(got.values()) == {0}

@@ -367,3 +367,51 @@ def test_materialize_signatures_session_memo(spark, monkeypatch):
             sig_artifacts._SESSION_VERIFIED.discard(k)
         shutil.rmtree(sig_artifacts.ARTIFACT_ROOT / "test_sig_memo",
                       ignore_errors=True)
+
+
+def test_content_match_one_job_semantics(spark):
+    """Round 14: the artifact value compare runs as ONE union+aggregate
+    job. Semantics must equal the old two-hash compare: row-order
+    independent, value- and count-sensitive, empty-vs-empty equal.
+    Also a regression pin for the dunder-field Row access bug: a
+    failure INSIDE the comparator is swallowed by the caller's
+    unreadable-artifact except and silently rewrites every committed
+    artifact, so the comparator itself must never raise on the happy
+    path."""
+    from mapreducewordcount_spark.sources.sig_artifacts import (
+        _content_match,
+    )
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    b = spark.createDataFrame([(2, "y"), (1, "x")], "id long, v string")
+    c = spark.createDataFrame([(1, "x"), (2, "z")], "id long, v string")
+    e = spark.createDataFrame([], "id long, v string")
+    assert _content_match(a, b) is True      # order-independent
+    assert _content_match(a, c) is False     # value-sensitive
+    assert _content_match(e, e) is True      # both empty
+    assert _content_match(a, e) is False     # count-sensitive
+
+
+def test_write_artifact_skips_rewrite_when_values_match(spark, tmp_path,
+                                                        monkeypatch):
+    """The committed-bytes skip must survive the one-job comparator: a
+    value-identical rematerialization leaves the artifact file's bytes
+    (mtime/inode included) untouched — the property that keeps git
+    clean across gate/test runs and that the r14 comparator bug broke."""
+    import os
+
+    from mapreducewordcount_spark.sources import sig_artifacts
+
+    monkeypatch.setattr(sig_artifacts, "ARTIFACT_ROOT", tmp_path)
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id long, sig long")
+    out = sig_artifacts.materialize_signatures(
+        df, "test_skip_rewrite", (2, 7), "id", "sig")
+    target = tmp_path / "test_skip_rewrite" / "k=2_7" / "sig.parquet"
+    st0 = os.stat(target)
+    out2 = sig_artifacts.materialize_signatures(
+        df, "test_skip_rewrite", (2, 7), "id", "sig")
+    st1 = os.stat(target)
+    assert (st0.st_mtime_ns, st0.st_ino, st0.st_size) \
+        == (st1.st_mtime_ns, st1.st_ino, st1.st_size)
+    assert sorted(map(tuple, out.collect())) \
+        == sorted(map(tuple, out2.collect()))
