@@ -528,6 +528,8 @@ def _emit(report: dict, line: dict | None = None) -> None:
                 "round": rnd, "value": report.get("value"),
                 "core_total": report.get("core_total"),
                 "unit": "sec", "sf": report.get("sf"),
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS",
+                                           os.cpu_count() or 0)),
                 "queries": report.get("queries"),
                 "sessions": report.get("sessions"),
                 "env": line.get("env"),

@@ -9,6 +9,8 @@ right times is engine-defined; the query layer pins it by pre-dedup).
 
 from __future__ import annotations
 
+import pytest
+
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -26,6 +28,7 @@ _time = st.integers(min_value=0, max_value=10 ** 6)
     right=st.lists(st.tuples(_key, _time), min_size=1, max_size=40,
                    unique_by=lambda r: (r[0], r[1])),
 )
+@pytest.mark.slow  # heavy sweep: default tier skips (pytest.ini, r14)
 def test_asof_matches_pandas_merge_asof(spark, left, right):
     left_rows = [(i, k, t) for i, (k, t) in enumerate(left)]
     right_rows = [(k, t, 1000 + i) for i, (k, t) in enumerate(right)]

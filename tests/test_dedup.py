@@ -278,6 +278,7 @@ def test_prefix_jaccard_rejects_bad_threshold(spark):
             dd.prefix_jaccard_pairs(df, threshold=bad)
 
 
+@pytest.mark.slow  # heavy sweep: default tier skips (pytest.ini, r14)
 def test_prefix_jaccard_agrees_with_quadratic_on_random_corpus(spark):
     """Property-style sweep on a constructed corpus with heavy shingle
     sharing and mixed sizes, across thresholds (float-ceil edges)."""

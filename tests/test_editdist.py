@@ -40,6 +40,7 @@ def _df(spark, rows):
     return spark.createDataFrame(rows, "id long, s string")
 
 
+@pytest.mark.slow  # heavy sweep: default tier skips (pytest.ini, r14)
 def test_matches_brute_force_with_indels(spark):
     """Random corpus + planted substitution/insert/delete mutants;
     every τ compared pair-for-pair against brute force."""
@@ -64,6 +65,7 @@ def test_matches_brute_force_with_indels(spark):
         assert got == _brute(rows, tau), f"tau={tau}"
 
 
+@pytest.mark.slow  # heavy sweep: default tier skips (pytest.ini, r14)
 def test_leading_indel_shifts_every_segment(spark):
     """A single LEADING insertion displaces every downstream segment
     by one — same-index banding with no shift window finds zero
@@ -79,6 +81,7 @@ def test_leading_indel_shifts_every_segment(spark):
     assert got2 == _brute(rows, 2)
 
 
+@pytest.mark.slow  # heavy sweep: default tier skips (pytest.ini, r14)
 def test_short_strings_take_the_brute_pool(spark):
     # lengths < tau+1 cannot host tau+1 non-empty segments
     rows = [(0, "a"), (1, "b"), (2, "ab"), (3, "abc"), (4, "abcdefg")]
@@ -89,6 +92,7 @@ def test_short_strings_take_the_brute_pool(spark):
         assert got == _brute(rows, tau), f"tau={tau}"
 
 
+@pytest.mark.slow  # heavy sweep: default tier skips (pytest.ini, r14)
 def test_star_mode_collapses_cliques(spark):
     """A k-clique of identical strings must emit k−1 star rows (rep →
     member, dist 0), and near rows must connect REPRESENTATIVES; the

@@ -243,6 +243,7 @@ def _brute_affinity(rows, min_support, max_basket):
 @given(rows=st.lists(st.tuples(st.integers(0, 8), st.integers(0, 6)),
                      min_size=1, max_size=60),
        min_support=st.integers(1, 3))
+@pytest.mark.slow  # heavy sweep: default tier skips (pytest.ini, r14)
 def test_pair_affinity_matches_brute_force(spark, rows, min_support):
     df = spark.createDataFrame(rows, ["b", "i"])
     got = _rows(pair_affinity(df, "b", "i", min_support=min_support,

@@ -90,6 +90,7 @@ _val = st.integers(min_value=-1000, max_value=1000)
     chg=st.lists(st.tuples(_key, _grp, _val, st.sampled_from(["U", "D"])),
                  min_size=0, max_size=25),
 )
+@pytest.mark.slow  # heavy sweep: default tier skips (pytest.ini, r14)
 def test_delta_refresh_property(spark, snap, chg):
     snap_df = spark.createDataFrame(snap or [(99, "a", 0)],
                                     "k long, grp string, v long")
@@ -179,6 +180,7 @@ def test_minmax_duplicate_extremum_is_conservative_but_correct(spark):
     chg=st.lists(st.tuples(_key, _grp, _val, st.sampled_from(["U", "D"])),
                  min_size=0, max_size=25),
 )
+@pytest.mark.slow  # heavy sweep: default tier skips (pytest.ini, r14)
 def test_minmax_delta_property(spark, snap, chg):
     snap_df = spark.createDataFrame(snap or [(99, "a", 0)],
                                     "k long, grp string, v long")

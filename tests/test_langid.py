@@ -4,6 +4,8 @@ integer-score/argmax parity rules the oracle depends on."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -174,6 +176,7 @@ def test_mixture_on_predicted_labels_planted(spark, tmp_path):
             want_target / r.tokens_available, 6)
 
 
+@pytest.mark.slow  # heavy sweep: default tier skips (pytest.ini, r14)
 def test_repeated_invocations_hold_bounded_cache(spark):
     """VERDICT r10 wrong#1: the langid/DSIR feature persists are
     tracked-released, so repeated same-session invocations must not
@@ -202,6 +205,7 @@ def test_repeated_invocations_hold_bounded_cache(spark):
     assert n_persistent() <= before
 
 
+@pytest.mark.slow  # heavy sweep: default tier skips (pytest.ini, r14)
 def test_holdout_eval_band_never_contributes_to_fit(spark, tmp_path):
     """VERDICT r10 next#4: doc_language_ngram fits on the train band
     only — corrupting every EVAL-band document's text and label must

@@ -23,6 +23,23 @@ SPECS = all_queries()
 WITH_ORACLE = sorted(n for n, s in SPECS.items() if s.oracle_sql)
 ROWS_ONLY = sorted(n for n, s in SPECS.items() if not s.oracle_sql)
 
+#: the heaviest oracle rows (≥8 s each at sf0.01 in the r14 timing
+#: sweep — dedup component pipelines, BM25 legs, curation
+#: composites). Marked ``slow`` so the default (driver-budget) tier
+#: skips them; they remain covered by the full-suite builder gate,
+#: by ``tools/gate_sim.py`` (full registry, all axes) and most by
+#: the driver's own rotating correctness window. Keep this list
+#: SHORT and timing-justified — everything else stays default-tier.
+SLOW_ORACLE = frozenset({
+    "curate_corpus", "curate_corpus_best", "dedup_cluster_stats",
+    "dedup_groups", "dedup_minhash_pairs", "dedup_ngram_pairs",
+    "dedup_prefix_pairs", "dedup_survivors", "dedup_winnow_pairs",
+    "doc_bm25_multi", "doc_bm25_topk", "doc_cdc_chunk_dedup",
+    "doc_hybrid_bm25", "doc_hybrid_search", "doc_keywords_tfidf",
+    "doc_language_ngram", "leakage_safe_splits", "pack_curated_corpus",
+    "part_name_fuzzy_pairs",
+})
+
 
 @pytest.fixture(scope="module")
 def duck():
@@ -54,7 +71,10 @@ def _values_equal(a, b) -> bool:
     return a == b or (pd.isna(a) and pd.isna(b))
 
 
-@pytest.mark.parametrize("name", WITH_ORACLE)
+@pytest.mark.parametrize(
+    "name",
+    [pytest.param(n, marks=pytest.mark.slow) if n in SLOW_ORACLE else n
+     for n in WITH_ORACLE])
 def test_query_matches_duckdb_oracle(spark, duck, name):
     spec = SPECS[name]
     got = _canon(spec.spark_fn(spark, SF_ORACLE).toPandas())

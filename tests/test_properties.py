@@ -9,6 +9,8 @@ generates corpora driver-side, one Spark job checks the whole batch
 
 from __future__ import annotations
 
+import pytest
+
 import string
 
 from hypothesis import HealthCheck, given, settings
@@ -36,6 +38,7 @@ def _native_reference(line: str) -> list[str]:
 @settings(max_examples=30, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(lines=st.lists(_line, min_size=1, max_size=40))
+@pytest.mark.slow  # heavy sweep: default tier skips (pytest.ini, r14)
 def test_native_tokenizer_matches_python_spec(spark, lines):
     df = spark.createDataFrame([(ln,) for ln in lines], "value string")
     got = [r.w for r in df.select(tokenize_expr("value").alias("w")).collect()]
@@ -46,6 +49,7 @@ def test_native_tokenizer_matches_python_spec(spark, lines):
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(words=st.lists(_word.filter(lambda w: w.strip()), min_size=1, max_size=60),
        m=st.sampled_from([1, 2, 4, 7, 26]))
+@pytest.mark.slow  # heavy sweep: default tier skips (pytest.ini, r14)
 def test_bucket_expr_matches_python_ord(spark, words, m):
     df = spark.createDataFrame([(w,) for w in words], "word string")
     got = [r.b for r in df.select(bucket_expr("word", m).alias("b")).collect()]

@@ -6,51 +6,42 @@ from __future__ import annotations
 
 from mapreducewordcount_spark.queries import all_queries
 
-def test_gate_window_rotation_round13():
+def test_gate_window_rotation_round14():
     names = list(all_queries())
     window = set(names[:50])
-    # VERDICT r12 next#2: the 22-query r9-last-green cohort leads
-    # unconditionally (the only rows older than r10 in the cumulative
-    # driver record), then the three r13 first-evers
-    assert names[:25] == [
-        "big_spender_segments", "bucketed_order_revenue",
-        "churned_customers", "content_word_counts",
-        "curriculum_epoch_order", "customers_without_orders",
-        "distinct_stats", "embedding_cluster_stats",
-        "events_sessions", "media_audio_features",
-        "media_audio_fp_pairs", "media_image_dhash_pairs",
-        "media_image_features", "pack_training_sequences",
-        "part_brand_stats", "retained_customers", "rollup_revenue",
-        "running_revenue", "top_bigrams", "top_customers",
-        "top_orders_per_customer", "wc_bucket_hist",
-        "ivfpq_append_report", "doc_stratified_reservoir",
-        "leakage_safe_splits"]
-    # the oldest r10-last-green rows fill the window
-    r10_cohort_head = {
-        "above_avg_customers", "acctbal_histogram", "cube_revenue",
-        "doc_bm25_topk", "doc_fingerprints", "doc_language_id",
-        "doc_quality", "dsir_selection", "events_funnel",
-        "exact_substring_dedup", "join_skew_report",
-        "orders_cdc_merge"}
-    assert r10_cohort_head <= window
+    # VERDICT r13 next#8: the 23-query r10-last-green cohort leads
+    # unconditionally (the only rows older than r11 in the cumulative
+    # driver record; includes part_name_features, the r13 spill)
+    assert names[:23] == [
+        "part_name_features", "part_name_fuzzy_pairs",
+        "q10_returned_customers", "q11_important_parts",
+        "q12_ship_priority", "q13_order_count_dist",
+        "q14_promo_revenue", "q15_top_supplier",
+        "q16_part_supplier_counts", "q17_small_qty_revenue",
+        "q18_large_orders", "q19_disjunctive",
+        "q20_excess_share_suppliers", "q21_late_suppliers",
+        "q22_idle_customers", "q9_type_profit",
+        "segment_price_quantiles", "semantic_decontam_report",
+        "sketch_cms_words", "sketch_hll_report", "source_quota_cap",
+        "supplier_part_pagerank", "wc_top20"]
+    # then the oldest 27 of the r11-last-green cohort in name order
+    r11_cohort_head = {
+        "ann_cosine_topk", "ann_ivfpq_topk", "basket_cap_report",
+        "boilerplate_lines", "c4_line_dedup", "dedup_exact",
+        "dedup_groups", "dedup_minhash_pairs", "doc_char_entropy",
+        "doc_language_ngram", "doc_winnow_fingerprints"}
+    assert r11_cohort_head <= window
     assert len(window) == 50
-    # sketch_stats' exact-percentile operator changed plan in the r13
-    # optimization round (percentile_disc buffers -> cume_dist
-    # window, value-identical): per the r11 changed-query precedent
-    # it takes a fresh driver row THIS round instead of waiting in
-    # the r14 spill set (part_name_features spilled to make room)
-    assert "sketch_stats" in window
-    # freshly green in r11/r12 -> correctly rotated OUT this round
-    for q in ("bigram_collocations", "curate_corpus_best",
-              "doc_hybrid_search", "vocab_overlap_hll_sketch",
-              "ivfpq_recall_curve", "doc_reservoir_sample",
-              "events_retention_cohorts", "dedup_cluster_stats",
-              "q1_pricing_summary", "ann_ivf_topk",
-              "semantic_dedup_embeddings", "events_hourly",
-              # r14 leads (the remaining r10 cohort) stay out too
-              "q10_returned_customers", "wc_top20",
-              "part_name_fuzzy_pairs",
-              "part_name_features", "supplier_part_pagerank"):
+    # freshly green in r12/r13 -> correctly rotated OUT this round,
+    # along with the r15 leads (the remaining 23 r11 rows)
+    for q in ("big_spender_segments", "events_sessions",
+              "media_audio_fp_pairs", "ivfpq_append_report",
+              "doc_stratified_reservoir", "leakage_safe_splits",
+              "sketch_stats", "q1_pricing_summary",
+              "dedup_cluster_stats", "semantic_dedup_embeddings",
+              "wc_word_count", "vocab_overlap_hll",
+              "mixture_ipf_grid", "epoch_shuffle_order",
+              "weighted_sample_docs"):
         assert q not in window, q
 
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from hypothesis import HealthCheck, given, settings
@@ -35,6 +37,7 @@ def _py_sessions(events, gap_minutes):
     st.tuples(st.integers(0, 10 ** 6),          # event offset seconds
               st.integers(0, 3)),               # user id
     min_size=1, max_size=60))
+@pytest.mark.slow  # heavy sweep: default tier skips (pytest.ini, r14)
 def test_session_stats_matches_python(spark, events):
     rows = [(i, uid, _EPOCH + dt.timedelta(seconds=off))
             for i, (off, uid) in enumerate(events)]

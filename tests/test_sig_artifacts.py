@@ -125,6 +125,7 @@ def _artifact_digests() -> dict:
             if ".tmp" not in p.parts and "test_roundtrip" not in p.parts}
 
 
+@pytest.mark.slow  # heavy sweep: default tier skips (pytest.ini, r14)
 def test_committed_artifacts_match_fresh_recompute(spark):
     """The committed artifact bytes are what make the oracle
     independent of execution order (a fresh checkout's oracle may
@@ -242,6 +243,7 @@ def test_materialize_frame_session_memo(spark, monkeypatch):
                       ignore_errors=True)
 
 
+@pytest.mark.slow  # heavy sweep: default tier skips (pytest.ini, r14)
 def test_memo_token_misses_on_column_set_change(spark, monkeypatch):
     """ADVICE r11: a ``memo_token`` REPLACES the plan fingerprint in
     the memo key, so a same-session plan change at a token-keyed call
